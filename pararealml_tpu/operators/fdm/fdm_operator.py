@@ -1,0 +1,313 @@
+"""The finite-difference-method solver as a single compiled XLA program.
+
+Capability match for /root/reference/pararealml/operators/fdm/
+fdm_operator.py:27-231. The reference advances a Python time loop with
+per-step closure dispatch and time-keyed constraint dict caches; here the
+whole solve is one ``jax.jit``-compiled ``lax.scan`` over time steps:
+
+- **Static boundary conditions** become constant dense constraint
+  tensors baked into the program.
+- **Dynamic boundary conditions** are evaluated host-side once, on the
+  half-step time grid (every integrator stage offset is a multiple of
+  ``d_t/2``), stacked into arrays with a leading time axis, and selected
+  inside the scan with a traced index — no host callbacks in the hot
+  loop.
+- The three LHS types are handled per step exactly as the reference
+  does: time integration for ``D_Y_OVER_D_T``, constrained algebraic
+  assignment for ``Y``, and a Jacobi anti-Laplacian solve for
+  ``Y_LAPLACIAN`` — the latter warm-started with the previous step's
+  value instead of the reference's random initial guess.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pararealml_tpu.constrained_problem import ConstrainedProblem
+from pararealml_tpu.constraint import (
+    Constraint,
+    apply_constraints_along_last_axis,
+)
+from pararealml_tpu.differential_equation import LHS
+from pararealml_tpu.initial_value_problem import InitialValueProblem
+from pararealml_tpu.operator import JaxOperator, discretize_time_domain
+from pararealml_tpu.operators.fdm.fdm_symbol_mapper import (
+    FDMSymbolMapArg,
+    FDMSymbolMapper,
+)
+from pararealml_tpu.operators.fdm.numerical_differentiator import (
+    NumericalDifferentiator,
+    slice_all_constraint_pairs,
+    slice_constraint,
+)
+from pararealml_tpu.operators.fdm.numerical_integrator import (
+    NumericalIntegrator,
+)
+from pararealml_tpu.solution import Solution
+
+
+def _tree_stack(trees):
+    """Stacks a list of identically structured pytrees leaf-wise."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _tree_index(tree, k):
+    """Dynamically selects index ``k`` of every leaf's leading axis."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, k, 0, keepdims=False),
+        tree,
+    )
+
+
+class FDMOperator(JaxOperator):
+    """A finite difference method differential equation solver."""
+
+    def __init__(
+        self,
+        integrator: NumericalIntegrator,
+        differentiator: NumericalDifferentiator,
+        d_t: float,
+    ):
+        super().__init__(d_t, True)
+        self._integrator = integrator
+        self._differentiator = differentiator
+        self._compiled_cache = {}
+
+    def solve(
+        self, ivp: InitialValueProblem, parallel_enabled: bool = True
+    ) -> Solution:
+        cp = ivp.constrained_problem
+        t = discretize_time_domain(ivp.t_interval, self._d_t)
+        steps = len(t) - 1
+        if steps < 1:
+            raise ValueError(
+                "time interval must span at least one full time step"
+            )
+
+        y_0 = jnp.asarray(ivp.initial_condition.discrete_y_0(True))
+        dynamic = (
+            cp.differential_equation.x_dimension
+            and not cp.are_all_boundary_conditions_static
+        )
+        if dynamic:
+            init_constraints = cp.create_y_vertex_constraints(
+                cp.create_boundary_constraints(True, t[0]).y
+            )
+            y_0 = apply_constraints_along_last_axis(init_constraints, y_0)
+
+        cache_key = (
+            id(cp),
+            steps,
+            round(float(t[0]), 12) if dynamic else None,
+        )
+        if cache_key not in self._compiled_cache:
+            step_fn = self._build_step_function(
+                cp, float(t[0]), steps, static_only=not dynamic
+            )
+
+            def solve_fn(y_init, t_start):
+                xs = (
+                    jnp.arange(steps),
+                    t_start + self._d_t * jnp.arange(steps),
+                )
+
+                def body(y, x):
+                    y_next = step_fn(y, x[0], x[1])
+                    return y_next, y_next
+
+                _, ys = jax.lax.scan(body, y_init, xs)
+                return ys
+
+            self._compiled_cache[cache_key] = jax.jit(solve_fn)
+
+        ys = self._compiled_cache[cache_key](y_0, t[0])
+        return Solution(
+            ivp, t[1:], np.asarray(ys), vertex_oriented=True, d_t=self._d_t
+        )
+
+    def trajectory_function(
+        self, cp, t_interval
+    ) -> Tuple[Callable, np.ndarray]:
+        if (
+            cp.differential_equation.x_dimension
+            and not cp.are_all_boundary_conditions_static
+        ):
+            raise ValueError(
+                "a reusable trajectory function requires static boundary "
+                "conditions (dynamic conditions depend on absolute time)"
+            )
+        t = discretize_time_domain(t_interval, self._d_t)
+        steps = len(t) - 1
+        step_fn = self._build_step_function(
+            cp, float(t[0]), steps, static_only=True
+        )
+
+        def trajectory(y_0, t_0):
+            xs = (
+                jnp.arange(steps),
+                t_0 + self._d_t * jnp.arange(steps),
+            )
+
+            def body(y, x):
+                y_next = step_fn(y, x[0], x[1])
+                return y_next, y_next
+
+            _, ys = jax.lax.scan(body, y_0, xs)
+            return ys
+
+        return trajectory, t[1:]
+
+    # -- step construction -------------------------------------------------
+
+    def _build_step_function(
+        self,
+        cp: ConstrainedProblem,
+        t_0: float,
+        steps: int,
+        static_only: bool,
+    ) -> Callable:
+        """Builds ``step(y, i, t_i) -> y_next`` for one time step, with
+        all constraint data resolved to traceable tensors."""
+        diff_eq = cp.differential_equation
+        eq_sys = diff_eq.symbolic_equation_system
+        mapper = FDMSymbolMapper(cp, self._differentiator)
+
+        d_y_over_d_t_indices = tuple(
+            eq_sys.equation_indices_by_type(LHS.D_Y_OVER_D_T)
+        )
+        y_indices = tuple(eq_sys.equation_indices_by_type(LHS.Y))
+        y_laplacian_indices = tuple(
+            eq_sys.equation_indices_by_type(LHS.Y_LAPLACIAN)
+        )
+        all_d_y_over_d_t = len(d_y_over_d_t_indices) == diff_eq.y_dimension
+
+        y_constraint_at, d_y_constraints_at = self._constraint_selectors(
+            cp, t_0, steps, static_only
+        )
+
+        d_t = self._d_t
+
+        def step(y, i, t_i):
+            def d_y_over_d_t(offset, y_arg):
+                rhs = mapper.map_concatenated(
+                    FDMSymbolMapArg(
+                        t_i + offset * d_t,
+                        y_arg,
+                        d_y_constraints_at(i, offset),
+                    ),
+                    LHS.D_Y_OVER_D_T,
+                )
+                if all_d_y_over_d_t:
+                    return rhs
+                full = jnp.zeros_like(y_arg)
+                return full.at[..., list(d_y_over_d_t_indices)].set(rhs)
+
+            y_next = self._integrator.integral(
+                y,
+                d_t,
+                d_y_over_d_t,
+                lambda offset: y_constraint_at(i, offset),
+            )
+
+            if y_indices:
+                y_rhs = mapper.map_concatenated(
+                    FDMSymbolMapArg(
+                        t_i, y, d_y_constraints_at(i, 0.0)
+                    ),
+                    LHS.Y,
+                )
+                y_constraint = slice_constraint(
+                    y_constraint_at(i, 1.0), list(y_indices)
+                )
+                y_next = y_next.at[..., list(y_indices)].set(
+                    apply_constraints_along_last_axis(y_constraint, y_rhs)
+                )
+
+            if y_laplacian_indices:
+                indices = list(y_laplacian_indices)
+                laplacian_rhs = mapper.map_concatenated(
+                    FDMSymbolMapArg(
+                        t_i, y, d_y_constraints_at(i, 0.0)
+                    ),
+                    LHS.Y_LAPLACIAN,
+                )
+                y_constraint = slice_constraint(
+                    y_constraint_at(i, 1.0), indices
+                )
+                d_y_constraints = slice_all_constraint_pairs(
+                    d_y_constraints_at(i, 1.0), indices
+                )
+                anti_laplacian = self._differentiator.anti_laplacian(
+                    laplacian_rhs,
+                    cp.mesh,
+                    y_constraint,
+                    d_y_constraints,
+                    y_init=y[..., indices],
+                )
+                y_next = y_next.at[..., indices].set(anti_laplacian)
+
+            return y_next
+
+        return step
+
+    def _constraint_selectors(
+        self,
+        cp: ConstrainedProblem,
+        t_0: float,
+        steps: int,
+        static_only: bool,
+    ) -> Tuple[Callable, Callable]:
+        """Builds ``(i, offset) -> constraints`` selectors for the y value
+        constraints and the derivative boundary constraints.
+
+        ``offset`` must be a static float in {0.0, 0.5, 1.0}; for dynamic
+        boundary conditions the selectors index pre-evaluated constraint
+        stacks over the half-step time grid at ``2*i + 2*offset``.
+        """
+        if not cp.differential_equation.x_dimension:
+            return (lambda i, o: None), (lambda i, o: None)
+
+        if static_only or cp.are_all_boundary_conditions_static:
+            y_constraint = cp.static_y_vertex_constraints
+            d_y_constraints = cp.static_boundary_vertex_constraints.d_y
+            return (
+                lambda i, o: y_constraint,
+                lambda i, o: d_y_constraints,
+            )
+
+        half_grid = t_0 + (self._d_t / 2.0) * np.arange(2 * steps + 1)
+        boundary_constraints = [
+            cp.create_boundary_constraints(True, tau) for tau in half_grid
+        ]
+        d_y_stacked = _tree_stack(
+            [bc.d_y for bc in boundary_constraints]
+        )
+
+        if cp.are_there_boundary_conditions_on_y:
+            y_constraints = [
+                cp.create_y_vertex_constraints(bc.y)
+                for bc in boundary_constraints
+            ]
+            y_stacked = _tree_stack(y_constraints)
+
+            def y_constraint_at(i, offset):
+                return _tree_index(
+                    y_stacked, 2 * i + int(round(2 * offset))
+                )
+
+        else:
+            static_y = cp.static_y_vertex_constraints
+
+            def y_constraint_at(i, offset):
+                return static_y
+
+        def d_y_constraints_at(i, offset):
+            return _tree_index(
+                d_y_stacked, 2 * i + int(round(2 * offset))
+            )
+
+        return y_constraint_at, d_y_constraints_at

@@ -1,15 +1,14 @@
 """Test configuration: run JAX on CPU with 8 virtual devices (so
 multi-device Parareal sharding is exercised without a TPU pod) and enable
-float64 so numerical oracles can be checked at reference precision."""
+float64 so numerical oracles can be checked at reference precision.
 
-import os
+Plugins may import jax before this conftest runs, so environment
+variables are too late; the config updates below work as long as no
+backend has been initialized yet.
+"""
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8"
-)
+import jax
 
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)

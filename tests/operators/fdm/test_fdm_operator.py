@@ -1,0 +1,291 @@
+import numpy as np
+import pytest
+
+from pararealml_tpu import (
+    BurgersEquation,
+    CahnHilliardEquation,
+    ConstrainedProblem,
+    ContinuousInitialCondition,
+    CoordinateSystem,
+    DiffusionEquation,
+    DirichletBoundaryCondition,
+    DiscreteInitialCondition,
+    GaussianInitialCondition,
+    InitialValueProblem,
+    LorenzEquation,
+    Mesh,
+    NavierStokesEquation,
+    NeumannBoundaryCondition,
+    PopulationGrowthEquation,
+    ShallowWaterEquation,
+    WaveEquation,
+)
+from pararealml_tpu.operators.fdm import (
+    CrankNicolsonMethod,
+    FDMOperator,
+    ForwardEulerMethod,
+    RK4,
+    ThreePointCentralDifferenceMethod,
+)
+
+
+def _zero_neumann(y_dim):
+    return NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), y_dim)), is_static=True
+    )
+
+
+def test_ode_with_analytic_solution():
+    r, y_0 = 0.02, 100.0
+    cp = ConstrainedProblem(PopulationGrowthEquation(r))
+    ic = ContinuousInitialCondition(cp, lambda _: np.array([y_0]))
+    ivp = InitialValueProblem(
+        cp,
+        (0.0, 10.0),
+        ic,
+        lambda _ivp, t, x: np.array([y_0 * np.exp(r * t)]),
+    )
+
+    op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 1e-3)
+    solution = op.solve(ivp)
+    assert solution.d_t == 1e-3
+    assert solution.discrete_y().shape == (10_000, 1)
+
+    analytic = np.stack(
+        [ivp.exact_y(t) for t in solution.t_coordinates]
+    )
+    assert np.allclose(analytic, solution.discrete_y())
+
+
+def test_conserves_density_on_zero_flux_diffusion():
+    diff_eq = DiffusionEquation(1, 5.0)
+    mesh = Mesh([(0.0, 100.0)], [0.5])
+    cp = ConstrainedProblem(diff_eq, mesh, [(_zero_neumann(1),) * 2])
+    ic = GaussianInitialCondition(
+        cp, [(np.array([50.0]), np.array([[50.0]]))], [100.0]
+    )
+    ivp = InitialValueProblem(cp, (0.0, 5.0), ic)
+
+    op = FDMOperator(
+        CrankNicolsonMethod(), ThreePointCentralDifferenceMethod(), 1e-2
+    )
+    y = op.solve(ivp).discrete_y()
+    y_sums = y.sum(axis=(1, 2))
+    assert np.allclose(y_sums, ic.discrete_y_0(True).sum(), rtol=1e-4)
+
+
+def test_lorenz_ode():
+    cp = ConstrainedProblem(LorenzEquation())
+    ic = ContinuousInitialCondition(cp, lambda _: np.ones(3))
+    ivp = InitialValueProblem(cp, (0.0, 1.0), ic)
+    op = FDMOperator(
+        ForwardEulerMethod(), ThreePointCentralDifferenceMethod(), 1e-3
+    )
+    solution = op.solve(ivp)
+    assert solution.discrete_y().shape == (1000, 3)
+
+
+def test_2d_diffusion_matches_1d_profile():
+    # a y-invariant initial profile on a 2D mesh must evolve exactly like
+    # the corresponding 1D problem
+    d_t = 0.01
+    op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), d_t)
+
+    mesh_1d = Mesh([(0.0, 1.0)], [0.1])
+    cp_1d = ConstrainedProblem(
+        DiffusionEquation(1, 0.5), mesh_1d, [(_zero_neumann(1),) * 2]
+    )
+    x = mesh_1d.vertex_axis_coordinates[0]
+    profile = np.cos(np.pi * x)
+    ic_1d = DiscreteInitialCondition(
+        cp_1d, profile.reshape(-1, 1), True
+    )
+    y_1d = op.solve(
+        InitialValueProblem(cp_1d, (0.0, 0.5), ic_1d)
+    ).discrete_y()
+
+    mesh_2d = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.1, 0.1])
+    cp_2d = ConstrainedProblem(
+        DiffusionEquation(2, 0.5), mesh_2d, [(_zero_neumann(1),) * 2] * 2
+    )
+    ic_2d = DiscreteInitialCondition(
+        cp_2d,
+        np.tile(profile.reshape(-1, 1, 1), (1, 11, 1)),
+        True,
+    )
+    y_2d = op.solve(
+        InitialValueProblem(cp_2d, (0.0, 0.5), ic_2d)
+    ).discrete_y()
+
+    for j in range(11):
+        assert np.allclose(y_2d[:, :, j, 0], y_1d[:, :, 0], atol=1e-10)
+
+
+def test_1d_diffusion_dirichlet_steady_state():
+    mesh = Mesh([(0.0, 1.0)], [0.05])
+    bc_pair = (
+        DirichletBoundaryCondition(
+            lambda x, t: np.zeros((len(x), 1)), is_static=True
+        ),
+        DirichletBoundaryCondition(
+            lambda x, t: np.ones((len(x), 1)), is_static=True
+        ),
+    )
+    cp = ConstrainedProblem(DiffusionEquation(1), mesh, [bc_pair])
+    ic = ContinuousInitialCondition(cp, lambda x: np.zeros_like(x))
+    ivp = InitialValueProblem(cp, (0.0, 2.0), ic)
+    op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 5e-4)
+    y = op.solve(ivp).discrete_y()
+    assert np.allclose(
+        y[-1, :, 0], mesh.vertex_axis_coordinates[0], atol=1e-6
+    )
+
+
+def test_wave_equation():
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.1, 0.1])
+    cp = ConstrainedProblem(
+        WaveEquation(2), mesh, [(_zero_neumann(2),) * 2] * 2
+    )
+    ic = GaussianInitialCondition(
+        cp,
+        [(np.full(2, 0.5), 0.05 * np.eye(2))] * 2,
+        [1.0, 0.0],
+    )
+    ivp = InitialValueProblem(cp, (0.0, 0.1), ic)
+    op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
+    solution = op.solve(ivp)
+    assert solution.discrete_y().shape == (10, 11, 11, 2)
+
+
+def test_burgers_equation():
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.25, 0.25])
+    cp = ConstrainedProblem(
+        BurgersEquation(2, 100.0), mesh, [(_zero_neumann(2),) * 2] * 2
+    )
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 0.5), 0.1 * np.eye(2))] * 2
+    )
+    ivp = InitialValueProblem(cp, (0.0, 0.1), ic)
+    op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
+    assert op.solve(ivp).discrete_y().shape == (10, 5, 5, 2)
+
+
+def test_cahn_hilliard_mixed_lhs():
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.2, 0.2])
+    cp = ConstrainedProblem(
+        CahnHilliardEquation(2), mesh, [(_zero_neumann(2),) * 2] * 2
+    )
+    rng = np.random.default_rng(0)
+    y_0 = 0.05 * rng.uniform(-1.0, 1.0, cp.y_shape(True))
+    ic = DiscreteInitialCondition(cp, y_0, True)
+    ivp = InitialValueProblem(cp, (0.0, 0.05), ic)
+    op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.005)
+    y = op.solve(ivp).discrete_y()
+    assert y.shape == (10, 6, 6, 2)
+    # the algebraic (LHS.Y) component equals mu = c^3 - c - gamma lap(c)
+    assert np.all(np.isfinite(y))
+
+
+def test_shallow_water_equation():
+    mesh = Mesh([(0.0, 5.0), (0.0, 5.0)], [1.0, 1.0])
+    cp = ConstrainedProblem(
+        ShallowWaterEquation(0.5), mesh, [(_zero_neumann(3),) * 2] * 2
+    )
+    ic = GaussianInitialCondition(
+        cp,
+        [(np.full(2, 2.5), 0.25 * np.eye(2))] * 3,
+        [1.0, 0.0, 0.0],
+    )
+    ivp = InitialValueProblem(cp, (0.0, 0.1), ic)
+    op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
+    assert op.solve(ivp).discrete_y().shape == (10, 6, 6, 3)
+
+
+def test_navier_stokes_equation():
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.2, 0.2])
+    bc = DirichletBoundaryCondition(
+        lambda x, t: np.tile(
+            np.array([[np.nan, 0.0, np.nan, np.nan]]), (len(x), 1)
+        ),
+        is_static=True,
+    )
+    cp = ConstrainedProblem(
+        NavierStokesEquation(1000.0), mesh, [(bc, bc)] * 2
+    )
+    rng = np.random.default_rng(1)
+    y_0 = np.zeros(cp.y_shape(True))
+    y_0[..., 0] = rng.uniform(-1.0, 1.0, y_0.shape[:-1])
+    ic = DiscreteInitialCondition(cp, y_0, True)
+    ivp = InitialValueProblem(cp, (0.0, 0.02), ic)
+    op = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(tol=1e-6), 0.01
+    )
+    y = op.solve(ivp).discrete_y()
+    assert y.shape == (2, 6, 6, 4)
+    assert np.all(np.isfinite(y))
+
+
+def test_polar_diffusion():
+    mesh = Mesh(
+        [(1.0, 5.0), (0.0, 2.0 * np.pi)],
+        [0.5, np.pi / 4.0],
+        CoordinateSystem.POLAR,
+    )
+    cp = ConstrainedProblem(
+        DiffusionEquation(2), mesh, [(_zero_neumann(1),) * 2] * 2
+    )
+    ic = GaussianInitialCondition(
+        cp, [(np.array([3.0, np.pi]), np.eye(2))]
+    )
+    ivp = InitialValueProblem(cp, (0.0, 0.1), ic)
+    op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
+    y = op.solve(ivp).discrete_y()
+    assert y.shape == (10, 9, 9, 1)
+    assert np.all(np.isfinite(y))
+
+
+def test_dynamic_boundary_conditions():
+    mesh = Mesh([(0.0, 1.0)], [0.1])
+    bc = DirichletBoundaryCondition(
+        lambda x, t: np.full((len(x), 1), t)
+    )
+    cp = ConstrainedProblem(DiffusionEquation(1, 0.1), mesh, [(bc, bc)])
+    ic = ContinuousInitialCondition(cp, lambda x: np.zeros_like(x))
+    ivp = InitialValueProblem(cp, (0.0, 1.0), ic)
+    op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.1)
+    y = op.solve(ivp).discrete_y()
+    # boundary values track t at every output step
+    t = np.linspace(0.1, 1.0, 10)
+    assert np.allclose(y[:, 0, 0], t)
+    assert np.allclose(y[:, -1, 0], t)
+
+
+def test_trajectory_function_matches_solve():
+    import jax.numpy as jnp
+
+    mesh = Mesh([(0.0, 1.0)], [0.1])
+    cp = ConstrainedProblem(
+        DiffusionEquation(1), mesh, [(_zero_neumann(1),) * 2]
+    )
+    ic = GaussianInitialCondition(
+        cp, [(np.array([0.5]), np.array([[0.05]]))]
+    )
+    ivp = InitialValueProblem(cp, (0.0, 0.5), ic)
+    op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.05)
+
+    solution = op.solve(ivp)
+    fn, t = op.trajectory_function(cp, (0.0, 0.5))
+    ys = np.asarray(fn(jnp.asarray(ic.discrete_y_0(True)), 0.0))
+    assert np.allclose(ys, solution.discrete_y())
+    assert np.allclose(t, solution.t_coordinates)
+
+
+def test_trajectory_function_rejects_dynamic_bcs():
+    mesh = Mesh([(0.0, 1.0)], [0.1])
+    bc = DirichletBoundaryCondition(
+        lambda x, t: np.full((len(x), 1), t)
+    )
+    cp = ConstrainedProblem(DiffusionEquation(1), mesh, [(bc, bc)])
+    op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.1)
+    with pytest.raises(ValueError):
+        op.trajectory_function(cp, (0.0, 1.0))

@@ -1,0 +1,273 @@
+import numpy as np
+import pytest
+
+from pararealml_tpu import (
+    ConstrainedProblem,
+    CoordinateSystem,
+    DiffusionEquation,
+    DirichletBoundaryCondition,
+    Mesh,
+    NeumannBoundaryCondition,
+)
+from pararealml_tpu.operators.fdm import (
+    ThreePointCentralDifferenceMethod,
+)
+
+DIFF = ThreePointCentralDifferenceMethod()
+
+
+def _interior(a, dims):
+    sl = tuple([slice(1, -1)] * dims)
+    return np.asarray(a)[sl]
+
+
+def test_derivative_of_quadratic_is_exact_in_interior():
+    mesh = Mesh([(0.0, 1.0)], [0.1])
+    x = mesh.vertex_coordinate_grids[0][..., None]
+    y = x**2
+    derivative = DIFF.gradient(y, mesh, 0)
+    assert np.allclose(_interior(derivative, 1), _interior(2 * x, 1))
+
+
+def test_derivative_input_validation():
+    mesh = Mesh([(0.0, 1.0)], [0.5])
+    y = np.zeros((3, 1))
+    with pytest.raises(ValueError):
+        DIFF.gradient(y, mesh, 1)
+    with pytest.raises(ValueError):
+        DIFF.gradient(np.zeros((4, 1)), mesh, 0)
+    small_mesh = Mesh([(0.0, 1.0)], [1.0])
+    with pytest.raises(ValueError):
+        DIFF.gradient(np.zeros((2, 1)), small_mesh, 0)
+
+
+def test_second_derivative_of_cubic():
+    mesh = Mesh([(0.0, 1.0)], [0.05])
+    x = mesh.vertex_coordinate_grids[0][..., None]
+    y = x**3
+    second = DIFF.hessian(y, mesh, 0, 0)
+    assert np.allclose(_interior(second, 1), _interior(6 * x, 1))
+
+
+def test_mixed_second_derivative():
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.1, 0.1])
+    grids = mesh.vertex_coordinate_grids
+    x0, x1 = grids[0][..., None], grids[1][..., None]
+    y = x0 * x1
+    mixed = DIFF.hessian(y, mesh, 0, 1)
+    # interior of the interior (the inner derivative is polluted at the
+    # boundary by the zero halos)
+    assert np.allclose(np.asarray(mixed)[2:-2, 2:-2], 1.0)
+
+
+def test_cartesian_laplacian():
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.1, 0.1])
+    grids = mesh.vertex_coordinate_grids
+    x0, x1 = grids[0][..., None], grids[1][..., None]
+    y = x0**2 + x1**2
+    laplacian = DIFF.laplacian(y, mesh)
+    assert np.allclose(_interior(laplacian, 2), 4.0)
+
+
+def test_polar_laplacian():
+    mesh = Mesh(
+        [(1.0, 2.0), (0.0, 1.0)],
+        [0.05, 0.05],
+        CoordinateSystem.POLAR,
+    )
+    r = mesh.vertex_coordinate_grids[0][..., None]
+    laplacian = DIFF.laplacian(r**2, mesh)
+    assert np.allclose(_interior(laplacian, 2), 4.0)
+
+
+def test_cylindrical_laplacian():
+    mesh = Mesh(
+        [(1.0, 2.0), (0.0, 1.0), (0.0, 1.0)],
+        [0.1, 0.1, 0.1],
+        CoordinateSystem.CYLINDRICAL,
+    )
+    grids = mesh.vertex_coordinate_grids
+    r, z = grids[0][..., None], grids[2][..., None]
+    laplacian = DIFF.laplacian(r**2 + z**2, mesh)
+    assert np.allclose(_interior(laplacian, 3), 6.0)
+
+
+def test_spherical_laplacian():
+    mesh = Mesh(
+        [(1.0, 2.0), (0.0, 1.0), (1.0, 2.0)],
+        [0.05, 0.1, 0.05],
+        CoordinateSystem.SPHERICAL,
+    )
+    r = mesh.vertex_coordinate_grids[0][..., None]
+    laplacian = DIFF.laplacian(r**2, mesh)
+    assert np.allclose(_interior(laplacian, 3), 6.0, rtol=1e-3)
+
+
+def test_polar_gradient():
+    mesh = Mesh(
+        [(1.0, 2.0), (0.0, 1.0)],
+        [0.05, 0.05],
+        CoordinateSystem.POLAR,
+    )
+    grids = mesh.vertex_coordinate_grids
+    r, theta = grids[0][..., None], grids[1][..., None]
+    d_theta = DIFF.gradient(theta.copy(), mesh, 1)
+    assert np.allclose(_interior(d_theta, 2), _interior(1.0 / r, 2))
+
+
+def test_cartesian_divergence():
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.1, 0.1])
+    grids = mesh.vertex_coordinate_grids
+    x0, x1 = grids[0], grids[1]
+    field = np.stack([x0**2, x1**2], axis=-1)
+    divergence = DIFF.divergence(field, mesh)
+    expected = 2 * x0[..., None] + 2 * x1[..., None]
+    assert np.allclose(_interior(divergence, 2), _interior(expected, 2))
+
+
+def test_cylindrical_divergence():
+    mesh = Mesh(
+        [(1.0, 2.0), (0.0, 1.0), (0.0, 1.0)],
+        [0.1, 0.1, 0.1],
+        CoordinateSystem.CYLINDRICAL,
+    )
+    grids = mesh.vertex_coordinate_grids
+    r, z = grids[0], grids[2]
+    field = np.stack([r, np.zeros_like(r), z], axis=-1)
+    divergence = DIFF.divergence(field, mesh)
+    assert np.allclose(_interior(divergence, 3), 3.0)
+
+
+def test_divergence_requires_vector_field():
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.25, 0.25])
+    with pytest.raises(ValueError):
+        DIFF.divergence(np.zeros(mesh.vertices_shape + (1,)), mesh)
+
+
+def test_cartesian_curl_2d():
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.1, 0.1])
+    grids = mesh.vertex_coordinate_grids
+    x0, x1 = grids[0], grids[1]
+    field = np.stack([-x1, x0], axis=-1)
+    curl = DIFF.curl(field, mesh)
+    assert np.allclose(_interior(curl, 2), 2.0)
+
+
+def test_cartesian_curl_3d():
+    mesh = Mesh([(0.0, 1.0)] * 3, [0.2] * 3)
+    grids = mesh.vertex_coordinate_grids
+    x0, x1, x2 = grids
+    field = np.stack([x1 * x2, np.zeros_like(x0), np.zeros_like(x0)],
+                     axis=-1)
+    # curl of (y*z, 0, 0) = (0, y, -z)
+    curl_0 = DIFF.curl(field, mesh, 0)
+    curl_1 = DIFF.curl(field, mesh, 1)
+    curl_2 = DIFF.curl(field, mesh, 2)
+    assert np.allclose(_interior(curl_0, 3), 0.0)
+    assert np.allclose(
+        _interior(curl_1, 3), _interior(x1[..., None], 3)
+    )
+    assert np.allclose(
+        _interior(curl_2, 3), _interior(-x2[..., None], 3)
+    )
+
+
+def test_curl_validation():
+    mesh = Mesh([(0.0, 1.0)], [0.25])
+    with pytest.raises(ValueError):
+        DIFF.curl(np.zeros((5, 1)), mesh)
+    mesh2 = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.25, 0.25])
+    with pytest.raises(ValueError):
+        DIFF.curl(np.zeros(mesh2.vertices_shape + (2,)), mesh2, 1)
+
+
+def test_cartesian_vector_laplacian_matches_scalar():
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.1, 0.1])
+    grids = mesh.vertex_coordinate_grids
+    x0, x1 = grids[0], grids[1]
+    field = np.stack([x0**2, x1**2], axis=-1)
+    for ind in range(2):
+        vector_laplacian = DIFF.vector_laplacian(field, mesh, ind)
+        scalar_laplacian = DIFF.laplacian(field[..., ind: ind + 1], mesh)
+        assert np.allclose(
+            np.asarray(vector_laplacian), np.asarray(scalar_laplacian)
+        )
+
+
+def test_polar_vector_laplacian():
+    # constant radial field (1, 0): vector Laplacian r-component is -1/r^2
+    mesh = Mesh(
+        [(1.0, 2.0), (0.0, 1.0)],
+        [0.05, 0.05],
+        CoordinateSystem.POLAR,
+    )
+    r = mesh.vertex_coordinate_grids[0][..., None]
+    field = np.concatenate([np.ones_like(r), np.zeros_like(r)], axis=-1)
+    vector_laplacian = DIFF.vector_laplacian(field, mesh, 0)
+    assert np.allclose(
+        _interior(vector_laplacian, 2), _interior(-1.0 / r**2, 2)
+    )
+
+
+def _dirichlet_diffusion_cp(mesh, value_fn):
+    bc = DirichletBoundaryCondition(value_fn, is_static=True)
+    return ConstrainedProblem(
+        DiffusionEquation(mesh.dimensions), mesh,
+        [(bc, bc)] * mesh.dimensions,
+    )
+
+
+def test_anti_laplacian_roundtrip():
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.1, 0.1])
+    grids = mesh.vertex_coordinate_grids
+    x0, x1 = grids[0][..., None], grids[1][..., None]
+    y_true = x0**2 - x1**2 + x0 * x1
+
+    def boundary_values(x, t):
+        return (
+            x[:, :1] ** 2 - x[:, 1:] ** 2 + x[:, :1] * x[:, 1:]
+        )
+
+    cp = _dirichlet_diffusion_cp(mesh, boundary_values)
+    y_constraint = cp.static_y_vertex_constraints
+
+    differentiator = ThreePointCentralDifferenceMethod(tol=1e-12)
+    laplacian = differentiator.laplacian(y_true, mesh)
+    recovered = differentiator.anti_laplacian(
+        laplacian, mesh, y_constraint
+    )
+    assert np.allclose(np.asarray(recovered), y_true, atol=1e-4)
+
+
+def test_derivative_boundary_constraint_override():
+    mesh = Mesh([(0.0, 1.0)], [0.25])
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.full((len(x), 1), 3.0), is_static=True
+    )
+    cp = ConstrainedProblem(
+        DiffusionEquation(1), mesh, [(bc, bc)]
+    )
+    d_y_bcs = cp.static_boundary_vertex_constraints.d_y
+    x = mesh.vertex_coordinate_grids[0][..., None]
+    derivative = DIFF.gradient(x.copy(), mesh, 0, d_y_bcs)
+    out = np.asarray(derivative)
+    # boundary derivative values overridden to the constrained 3.0
+    assert out[0, 0] == 3.0 and out[-1, 0] == 3.0
+    assert np.allclose(out[1:-1, 0], 1.0)
+
+
+def test_neumann_halos_in_second_derivative():
+    # y = x on [0, 1] with d y / d n = 1 on both boundaries (i.e.
+    # d y/d x = -1 at lower in normal convention? the constraint is on
+    # the derivative along the axis): with constrained axis derivative 1
+    # at both ends, the ghost points make the second derivative vanish
+    # everywhere.
+    mesh = Mesh([(0.0, 1.0)], [0.25])
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.full((len(x), 1), 1.0), is_static=True
+    )
+    cp = ConstrainedProblem(DiffusionEquation(1), mesh, [(bc, bc)])
+    d_y_bcs = cp.static_boundary_vertex_constraints.d_y
+    x = mesh.vertex_coordinate_grids[0][..., None]
+    second = DIFF.hessian(x.copy(), mesh, 0, 0, d_y_bcs)
+    assert np.allclose(np.asarray(second), 0.0)

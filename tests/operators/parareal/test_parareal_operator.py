@@ -1,0 +1,157 @@
+import numpy as np
+import pytest
+
+from pararealml_tpu import (
+    ConstrainedProblem,
+    ContinuousInitialCondition,
+    DiffusionEquation,
+    GaussianInitialCondition,
+    InitialValueProblem,
+    LorenzEquation,
+    Mesh,
+    NeumannBoundaryCondition,
+)
+from pararealml_tpu.operators.fdm import (
+    FDMOperator,
+    RK4,
+    ThreePointCentralDifferenceMethod,
+)
+from pararealml_tpu.operators.ode import ODEOperator
+from pararealml_tpu.operators.parareal import PararealOperator
+
+
+def _lorenz_ivp(t_end=4.0):
+    cp = ConstrainedProblem(LorenzEquation())
+    ic = ContinuousInitialCondition(cp, lambda _: np.ones(3))
+    return InitialValueProblem(cp, (0.0, t_end), ic)
+
+
+def _diffusion_ivp():
+    mesh = Mesh([(0.0, 5.0), (0.0, 5.0)], [0.5, 0.5])
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 1)), is_static=True
+    )
+    cp = ConstrainedProblem(
+        DiffusionEquation(2, 0.2), mesh, [(bc, bc)] * 2
+    )
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 2.5), 0.5 * np.eye(2))]
+    )
+    return InitialValueProblem(cp, (0.0, 2.0), ic)
+
+
+def test_invalid_fine_step_size():
+    ivp = _lorenz_ivp()
+    f = ODEOperator("RK45", 0.3)
+    g = ODEOperator("RK45", 0.5)
+    with pytest.raises(ValueError):
+        PararealOperator(f, g, 1e-3, num_time_slices=8).solve(ivp)
+
+
+def test_invalid_coarse_step_size():
+    ivp = _lorenz_ivp()
+    f = ODEOperator("RK45", 0.05)
+    g = ODEOperator("RK45", 0.3)
+    with pytest.raises(ValueError):
+        PararealOperator(f, g, 1e-3, num_time_slices=8).solve(ivp)
+
+
+def test_tolerance_length_mismatch():
+    ivp = _lorenz_ivp()
+    f = ODEOperator("RK45", 0.05)
+    g = ODEOperator("RK45", 0.25)
+    with pytest.raises(ValueError):
+        PararealOperator(f, g, [1e-3, 1e-3], num_time_slices=8).solve(
+            ivp
+        )
+
+
+def test_serial_mode_equals_fine_solve():
+    ivp = _lorenz_ivp()
+    f = ODEOperator("RK45", 0.05)
+    g = ODEOperator("RK45", 0.25)
+    parareal = PararealOperator(f, g, 1e-4)
+    serial = parareal.solve(ivp, parallel_enabled=False).discrete_y()
+    fine = f.solve(ivp).discrete_y()
+    assert np.array_equal(serial, fine)
+
+
+def test_ode_parareal_matches_fine_solve():
+    ivp = _lorenz_ivp()
+    f = ODEOperator("RK45", 0.005, rtol=1e-10, atol=1e-13)
+    g = ODEOperator("RK45", 0.005, rtol=1e-4, atol=1e-7)
+    parareal = PararealOperator(f, g, 1e-11, num_time_slices=8)
+
+    fine = f.solve(ivp).discrete_y()
+    result = parareal.solve(ivp)
+    assert result.d_t == f.d_t
+    assert np.allclose(result.discrete_y(), fine, atol=1e-7)
+
+
+def test_pde_parareal_matches_fine_solve():
+    ivp = _diffusion_ivp()
+    f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
+    g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.05)
+    parareal = PararealOperator(f, g, 1e-8, num_time_slices=8)
+
+    fine = f.solve(ivp).discrete_y()
+    result = parareal.solve(ivp).discrete_y()
+    assert result.shape == fine.shape
+    assert np.allclose(result, fine, atol=1e-5)
+
+
+def test_mixed_fine_coarse_operator_types():
+    ivp = _lorenz_ivp(t_end=2.0)
+    f = ODEOperator("RK45", 0.005, rtol=1e-10, atol=1e-13)
+    g = ODEOperator("RK4", 0.025)
+    parareal = PararealOperator(f, g, 1e-11, num_time_slices=8)
+    fine = f.solve(ivp).discrete_y()
+    assert np.allclose(
+        parareal.solve(ivp).discrete_y(), fine, atol=1e-6
+    )
+
+
+def test_callable_termination_uses_host_path():
+    ivp = _lorenz_ivp(t_end=2.0)
+    f = ODEOperator("RK45", 0.01, rtol=1e-10, atol=1e-13)
+    g = ODEOperator("RK45", 0.05, rtol=1e-4, atol=1e-7)
+    calls = []
+
+    def termination(old, new):
+        calls.append(np.abs(new - old).max())
+        return np.abs(new - old).max() < 1e-10
+
+    parareal = PararealOperator(f, g, termination, num_time_slices=4)
+    fine = f.solve(ivp).discrete_y()
+    assert np.allclose(
+        parareal.solve(ivp).discrete_y(), fine, atol=1e-6
+    )
+    assert len(calls) >= 1
+
+
+def test_more_slices_than_devices_uses_host_path():
+    ivp = _lorenz_ivp(t_end=3.0)
+    f = ODEOperator("RK45", 0.01, rtol=1e-10, atol=1e-13)
+    g = ODEOperator("RK45", 0.05, rtol=1e-4, atol=1e-7)
+    parareal = PararealOperator(f, g, 1e-11, num_time_slices=12)
+    fine = f.solve(ivp).discrete_y()
+    assert np.allclose(
+        parareal.solve(ivp).discrete_y(), fine, atol=1e-6
+    )
+
+
+def test_max_iterations_limits_accuracy():
+    ivp = _diffusion_ivp()
+    f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
+    g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.05)
+    one_iter = PararealOperator(
+        f, g, 0.0, max_iterations=1, num_time_slices=8
+    )
+    full = PararealOperator(
+        f, g, 0.0, max_iterations=8, num_time_slices=8
+    )
+    fine = f.solve(ivp).discrete_y()
+    error_one = np.abs(one_iter.solve(ivp).discrete_y() - fine).max()
+    error_full = np.abs(full.solve(ivp).discrete_y() - fine).max()
+    assert error_full < error_one
+    assert error_full < 1e-8
