@@ -82,9 +82,9 @@ def bench_tpu_parareal():
     n_devices = jax.device_count()
     log(f"devices: {n_devices} ({jax.devices()[0].platform})")
 
-    # warm up / compile the fine path
-    warm_ivp = build_problem(vars(prml), 2.0)
-    f.solve(warm_ivp)
+    # warm up / compile the fine path with the same trace (step count is
+    # static, so a shorter problem would compile a different program)
+    f.solve(ivp)
     start = time.perf_counter()
     fine_solution = f.solve(ivp)
     fine_time = time.perf_counter() - start
@@ -92,7 +92,7 @@ def bench_tpu_parareal():
 
     if n_devices >= 8:
         parareal = PararealOperator(f, g, TOLERANCE, num_time_slices=8)
-        parareal.solve(build_problem(vars(prml), 2.0))  # compile warmup
+        parareal.solve(ivp)  # compile warmup (same trace)
         start = time.perf_counter()
         parareal_solution = parareal.solve(ivp)
         parareal_time = time.perf_counter() - start

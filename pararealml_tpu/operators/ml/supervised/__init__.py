@@ -1,0 +1,8 @@
+from pararealml_tpu.operators.ml.supervised.sklearn_jax_regressor import (
+    SKLearnJaxRegressor,
+)
+from pararealml_tpu.operators.ml.supervised.supervised_ml_operator import (
+    SupervisedMLOperator,
+)
+
+__all__ = ["SKLearnJaxRegressor", "SupervisedMLOperator"]

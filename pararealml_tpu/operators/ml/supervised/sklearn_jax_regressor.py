@@ -1,0 +1,251 @@
+"""A scikit-learn-protocol regressor around a Flax model.
+
+Capability match for /root/reference/pararealml/operators/ml/supervised/
+sklearn_keras_regressor.py:13-214 (``get_params``/``set_params``/``fit``/
+``predict``/``score``, batched prediction with a cap, validation split,
+callbacks) with the Keras engine replaced by a Flax module + optax
+optimizer. Training runs as a jitted ``lax.scan`` over the shuffled
+mini-batches of each epoch, so one device dispatch per epoch; the
+reference's ``lazy_load_to_gpu`` path is unnecessary — the whole dataset
+lives on device and XLA streams batches from HBM.
+"""
+
+from __future__ import annotations
+
+import inspect
+from typing import Any, Callable, Dict, Optional, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+class SKLearnJaxRegressor:
+    """A wrapper for Flax regression models implementing the implicit
+    scikit-learn model interface."""
+
+    def __init__(
+        self,
+        build_fn: Callable[..., nn.Module],
+        batch_size: int = 256,
+        epochs: int = 1000,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        verbose: Union[int, str] = "auto",
+        callbacks: Sequence[Callable[[int, Dict[str, float]], None]] = (),
+        validation_split: float = 0.0,
+        validation_frequency: int = 1,
+        max_predict_batch_size: Optional[int] = None,
+        seed: int = 0,
+        **build_args: Any,
+    ):
+        """
+        :param build_fn: a function returning the Flax module to wrap
+        :param batch_size: the training batch size
+        :param epochs: the number of training epochs
+        :param optimizer: the optax optimizer (Adam(1e-3) by default)
+        :param verbose: 0 silences epoch logging
+        :param callbacks: callables invoked as ``callback(epoch, logs)``
+            after each epoch
+        :param validation_split: the share of the data held out for
+            validation
+        :param validation_frequency: epochs between validation passes
+        :param max_predict_batch_size: cap on the prediction batch size
+        :param seed: the PRNG seed for initialization and shuffling
+        :param build_args: parameters passed through to ``build_fn``
+        """
+        self.build_fn = build_fn
+        self.batch_size = batch_size
+        self.epochs = epochs
+        self.optimizer = optimizer
+        self.verbose = verbose
+        self.callbacks = callbacks
+        self.validation_split = validation_split
+        self.validation_frequency = validation_frequency
+        self.max_predict_batch_size = max_predict_batch_size
+        self.seed = seed
+        self.build_args = build_args
+
+        self._module: Optional[nn.Module] = None
+        self._params = None
+        self._history: Dict[str, list] = {}
+
+    # -- model access ------------------------------------------------------
+
+    @property
+    def module(self) -> Optional[nn.Module]:
+        """The underlying Flax module."""
+        return self._module
+
+    @property
+    def params(self):
+        """The trained parameters."""
+        return self._params
+
+    @params.setter
+    def params(self, params):
+        self._params = params
+
+    @property
+    def model(self):
+        """The (module, params) pair of the fitted model."""
+        return self._module, self._params
+
+    @model.setter
+    def model(self, model):
+        self._module, self._params = model
+
+    @property
+    def history(self) -> Dict[str, list]:
+        """Per-epoch training (and validation) losses."""
+        return self._history
+
+    # -- sklearn protocol --------------------------------------------------
+
+    def get_params(self, **_: Any) -> Dict[str, Any]:
+        params = {
+            "build_fn": self.build_fn,
+            "batch_size": self.batch_size,
+            "epochs": self.epochs,
+            "optimizer": self.optimizer,
+            "verbose": self.verbose,
+            "callbacks": self.callbacks,
+            "validation_split": self.validation_split,
+            "validation_frequency": self.validation_frequency,
+            "max_predict_batch_size": self.max_predict_batch_size,
+            "seed": self.seed,
+        }
+        params.update(self.build_args)
+        return params
+
+    def set_params(self, **parameters: Any) -> "SKLearnJaxRegressor":
+        build_fn_arg_names = list(
+            inspect.signature(self.build_fn).parameters.keys()
+        )
+        for key, value in parameters.items():
+            if hasattr(self, key) and key != "build_args":
+                setattr(self, key, value)
+            elif key in build_fn_arg_names:
+                self.build_args[key] = value
+            else:
+                raise ValueError(f"invalid parameter '{key}'")
+        return self
+
+    def fit(self, x: np.ndarray, y: np.ndarray) -> "SKLearnJaxRegressor":
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+
+        self._module = self.build_fn(**self.build_args)
+        self._jit_apply = None
+        key = jax.random.PRNGKey(self.seed)
+        key, init_key = jax.random.split(key)
+        self._params = self._module.init(init_key, x[:1])
+
+        optimizer = self.optimizer or optax.adam(1e-3)
+        opt_state = optimizer.init(self._params)
+
+        if self.validation_split:
+            key, split_key = jax.random.split(key)
+            permutation = jax.random.permutation(split_key, len(x))
+            n_validation = max(1, int(len(x) * self.validation_split))
+            validation_idx = permutation[:n_validation]
+            train_idx = permutation[n_validation:]
+            x_train, y_train = x[train_idx], y[train_idx]
+            x_validate, y_validate = x[validation_idx], y[validation_idx]
+        else:
+            x_train, y_train = x, y
+            x_validate = y_validate = None
+
+        module = self._module
+        batch_size = min(self.batch_size, len(x_train))
+        n_batches = len(x_train) // batch_size
+
+        def loss_fn(params, xb, yb):
+            prediction = module.apply(params, xb)
+            return jnp.mean(jnp.square(prediction - yb))
+
+        @jax.jit
+        def train_epoch(params, opt_state, shuffle_key):
+            permutation = jax.random.permutation(
+                shuffle_key, len(x_train)
+            )[: n_batches * batch_size]
+            xs = x_train[permutation].reshape(
+                (n_batches, batch_size) + x_train.shape[1:]
+            )
+            ys = y_train[permutation].reshape(
+                (n_batches, batch_size) + y_train.shape[1:]
+            )
+
+            def step(carry, batch):
+                params, opt_state = carry
+                xb, yb = batch
+                loss, grads = jax.value_and_grad(loss_fn)(params, xb, yb)
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, params
+                )
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (xs, ys)
+            )
+            return params, opt_state, jnp.mean(losses)
+
+        validation_loss_fn = jax.jit(loss_fn)
+
+        self._history = {"loss": []}
+        if x_validate is not None:
+            self._history["val_loss"] = []
+
+        params = self._params
+        for epoch in range(self.epochs):
+            key, shuffle_key = jax.random.split(key)
+            params, opt_state, loss = train_epoch(
+                params, opt_state, shuffle_key
+            )
+            logs = {"loss": float(loss)}
+            self._history["loss"].append(float(loss))
+            if (
+                x_validate is not None
+                and (epoch + 1) % self.validation_frequency == 0
+            ):
+                val_loss = float(
+                    validation_loss_fn(params, x_validate, y_validate)
+                )
+                logs["val_loss"] = val_loss
+                self._history["val_loss"].append(val_loss)
+            if self.verbose and self.verbose != "auto":
+                print(f"epoch {epoch + 1}/{self.epochs}: {logs}")
+            for callback in self.callbacks:
+                callback(epoch, logs)
+
+        self._params = params
+        return self
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        if self._module is None:
+            raise ValueError("model has not been fitted")
+        apply = self._apply_fn()
+
+        cap = self.max_predict_batch_size
+        if cap is None or len(x) <= cap:
+            return np.asarray(apply(self._params, jnp.asarray(x)))
+
+        outputs = []
+        for start in range(0, len(x), cap):
+            batch = jnp.asarray(x[start: start + cap])
+            outputs.append(np.asarray(apply(self._params, batch)))
+        return np.concatenate(outputs, axis=0)
+
+    def score(self, x: np.ndarray, y: np.ndarray) -> float:
+        prediction = self.predict(x)
+        return -float(np.mean(np.square(prediction - y)))
+
+    def _apply_fn(self):
+        if not hasattr(self, "_jit_apply") or self._jit_apply is None:
+            module = self._module
+            self._jit_apply = jax.jit(
+                lambda params, inputs: module.apply(params, inputs)
+            )
+        return self._jit_apply

@@ -1,0 +1,119 @@
+import numpy as np
+import pytest
+
+from pararealml_tpu.operators.ml import FNN, SKLearnJaxRegressor
+
+
+def _linear_data(n=512, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.0, 1.0, (n, 3))
+    w = np.array([[1.0, -2.0], [0.5, 0.0], [-1.0, 1.0]])
+    y = x @ w + 0.1
+    return x, y
+
+
+def test_fit_predict_score():
+    import optax
+
+    x, y = _linear_data()
+    model = SKLearnJaxRegressor(
+        lambda: FNN([16, 2]),
+        batch_size=128,
+        epochs=200,
+        verbose=0,
+        optimizer=optax.adam(1e-2),
+    )
+    model.fit(x, y)
+    prediction = model.predict(x)
+    assert prediction.shape == y.shape
+    assert model.score(x, y) > -5e-3
+    assert len(model.history["loss"]) == 200
+    assert model.history["loss"][-1] < model.history["loss"][0]
+
+
+def test_validation_split_and_frequency():
+    x, y = _linear_data()
+    model = SKLearnJaxRegressor(
+        lambda: FNN([8, 2]),
+        batch_size=128,
+        epochs=20,
+        verbose=0,
+        validation_split=0.25,
+        validation_frequency=5,
+    )
+    model.fit(x, y)
+    assert len(model.history["val_loss"]) == 4
+
+
+def test_callbacks_invoked():
+    x, y = _linear_data(64)
+    seen = []
+    model = SKLearnJaxRegressor(
+        lambda: FNN([4, 2]),
+        batch_size=32,
+        epochs=3,
+        verbose=0,
+        callbacks=[lambda epoch, logs: seen.append(epoch)],
+    )
+    model.fit(x, y)
+    assert seen == [0, 1, 2]
+
+
+def test_batched_prediction():
+    x, y = _linear_data(100)
+    model = SKLearnJaxRegressor(
+        lambda: FNN([4, 2]),
+        batch_size=32,
+        epochs=2,
+        verbose=0,
+        max_predict_batch_size=32,
+    )
+    model.fit(x, y)
+    capped = model.predict(x)
+    model.max_predict_batch_size = None
+    uncapped = model.predict(x)
+    assert np.allclose(capped, uncapped, atol=1e-6)
+
+
+def test_get_set_params():
+    def build(width=4):
+        return FNN([width, 1])
+
+    model = SKLearnJaxRegressor(build, epochs=5, width=8)
+    params = model.get_params()
+    assert params["epochs"] == 5
+    assert params["width"] == 8
+
+    model.set_params(epochs=10, width=16)
+    assert model.epochs == 10
+    assert model.build_args["width"] == 16
+    with pytest.raises(ValueError):
+        model.set_params(no_such_param=1)
+
+
+def test_predict_before_fit_raises():
+    model = SKLearnJaxRegressor(lambda: FNN([4, 1]))
+    with pytest.raises(ValueError):
+        model.predict(np.zeros((1, 3)))
+
+
+def test_deeponet_end_to_end():
+    from pararealml_tpu.operators.ml import DeepONet
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1.0, 1.0, (256, 4))  # 3 branch + 1 trunk features
+    y = (x[:, :1] * x[:, 3:]) + x[:, 1:2]
+
+    model = SKLearnJaxRegressor(
+        lambda: DeepONet(
+            branch_net=FNN([16, 8]),
+            trunk_net=FNN([16, 8]),
+            combiner_net=FNN([16, 1]),
+            branch_net_input_size=3,
+        ),
+        batch_size=64,
+        epochs=300,
+        verbose=0,
+    )
+    model.fit(x, y)
+    assert model.score(x, y) > -5e-2

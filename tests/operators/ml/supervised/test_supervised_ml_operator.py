@@ -1,0 +1,286 @@
+import jax
+import numpy as np
+import pytest
+
+from pararealml_tpu import (
+    ConstrainedProblem,
+    ContinuousInitialCondition,
+    DiffusionEquation,
+    GaussianInitialCondition,
+    InitialValueProblem,
+    LotkaVolterraEquation,
+    Mesh,
+    NeumannBoundaryCondition,
+    PopulationGrowthEquation,
+)
+from pararealml_tpu.operators.fdm import (
+    FDMOperator,
+    RK4,
+    ThreePointCentralDifferenceMethod,
+)
+from pararealml_tpu.operators.ml import (
+    FNN,
+    SKLearnJaxRegressor,
+    SupervisedMLOperator,
+)
+from pararealml_tpu.operators.ode import ODEOperator
+
+
+def _scaled_lotka_volterra_ivp(t_end=1.0):
+    cp = ConstrainedProblem(LotkaVolterraEquation(2.0, 4.0, 1.06, 2.0))
+    ic = ContinuousInitialCondition(
+        cp, lambda _: np.array([1.0, 0.15])
+    )
+    return InitialValueProblem(cp, (0.0, t_end), ic)
+
+
+def _diffusion_ivp():
+    mesh = Mesh([(0.0, 1.0)], [0.25])
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 1)), is_static=True
+    )
+    cp = ConstrainedProblem(DiffusionEquation(1, 0.1), mesh, [(bc, bc)])
+    ic = GaussianInitialCondition(
+        cp, [(np.array([0.5]), np.array([[0.1]]))]
+    )
+    return InitialValueProblem(cp, (0.0, 0.5), ic)
+
+
+def test_mode_validation():
+    with pytest.raises(ValueError):
+        SupervisedMLOperator(
+            0.1, None, auto_regressive=False, time_variant=False
+        )
+    with pytest.raises(ValueError):
+        SupervisedMLOperator(
+            0.1, None, time_variant=True, input_d_t=True
+        )
+
+
+def test_solve_requires_model():
+    with pytest.raises(ValueError):
+        SupervisedMLOperator(0.1, None).solve(
+            _scaled_lotka_volterra_ivp()
+        )
+
+
+def test_generate_data_validation():
+    ivp = _scaled_lotka_volterra_ivp()
+    oracle = ODEOperator("RK4", 0.01)
+    op = SupervisedMLOperator(0.1, None)
+    with pytest.raises(ValueError):
+        op.generate_data(ivp, oracle, 0, lambda t, y: y)
+    with pytest.raises(ValueError):
+        op.generate_data(ivp, oracle, 1, lambda t, y: y, n_jobs=0)
+    with pytest.raises(ValueError):
+        op.generate_data(
+            ivp, oracle, 1, lambda t, y: y, n_jobs=2, seeds=[0]
+        )
+    with pytest.raises(ValueError):
+        op.generate_data(
+            ivp, oracle, 1, lambda t, y: np.zeros(5)
+        )
+
+
+def test_ode_data_layout_auto_regressive():
+    ivp = _scaled_lotka_volterra_ivp()
+    oracle = ODEOperator("RK4", 0.01)
+    op = SupervisedMLOperator(0.25, None, auto_regressive=True)
+    inputs, targets = op.generate_data(
+        ivp, oracle, 2, lambda t, y: y
+    )
+    # 2 iterations x 4 steps x 1 row, input = y (2), target = y (2)
+    assert inputs.shape == (8, 2)
+    assert targets.shape == (8, 2)
+    # with identity perturbation, inputs chain through targets
+    assert np.allclose(inputs[1], targets[0])
+
+
+def test_ode_data_layout_time_variant():
+    ivp = _scaled_lotka_volterra_ivp()
+    oracle = ODEOperator("RK4", 0.01)
+    op = SupervisedMLOperator(
+        0.25, None, auto_regressive=False, time_variant=True
+    )
+    inputs, targets = op.generate_data(ivp, oracle, 2, lambda t, y: y)
+    assert inputs.shape == (8, 3)
+    # t column holds the target times
+    assert np.allclose(inputs[:4, 2], [0.25, 0.5, 0.75, 1.0])
+    # non-auto-regressive: every row's state features are the initial y
+    assert np.allclose(inputs[:, :2], inputs[0, :2])
+
+
+def test_ode_data_layout_input_d_t():
+    ivp = _scaled_lotka_volterra_ivp()
+    oracle = ODEOperator("RK4", 0.01)
+    op = SupervisedMLOperator(0.25, None, input_d_t=True)
+    inputs, _ = op.generate_data(ivp, oracle, 1, lambda t, y: y)
+    assert inputs.shape == (4, 3)
+    assert np.allclose(inputs[:, 2], 0.25)
+
+
+def test_pde_data_layout():
+    ivp = _diffusion_ivp()
+    oracle = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), 0.025
+    )
+    op = SupervisedMLOperator(0.25, True, auto_regressive=True)
+    inputs, targets = op.generate_data(ivp, oracle, 1, lambda t, y: y)
+    # 5 mesh points, 2 steps: rows = 2 * 5; features = 5 states + x
+    assert inputs.shape == (10, 6)
+    assert targets.shape == (10, 1)
+    # last column is the mesh coordinates
+    assert np.allclose(inputs[:5, -1], np.linspace(0.0, 1.0, 5))
+
+
+def test_batched_and_sequential_generation_agree():
+    ivp = _scaled_lotka_volterra_ivp()
+    jax_oracle = ODEOperator("RK4", 0.01)
+    op = SupervisedMLOperator(0.25, None, auto_regressive=True)
+
+    batched_inputs, batched_targets = op.generate_data(
+        ivp, jax_oracle, 2, lambda t, y: y
+    )
+    sequential_inputs, sequential_targets = (
+        op._generate_data_sequential(
+            ivp, jax_oracle, 2, lambda t, y: y, False, False
+        )
+    )
+    assert np.allclose(batched_inputs, sequential_inputs, atol=1e-10)
+    assert np.allclose(batched_targets, sequential_targets, atol=1e-10)
+
+
+def test_train_solve_roundtrip_with_flax_model():
+    np.random.seed(0)
+    ivp = _scaled_lotka_volterra_ivp()
+    oracle = ODEOperator("RK45", 0.01, rtol=1e-8, atol=1e-10)
+    op = SupervisedMLOperator(0.1, None, auto_regressive=True)
+    import optax
+
+    model = SKLearnJaxRegressor(
+        lambda: FNN([32, 32, 2]),
+        batch_size=128,
+        epochs=300,
+        verbose=0,
+        seed=0,
+        optimizer=optax.adam(3e-3),
+    )
+    train_score, test_score = op.train(
+        ivp,
+        oracle,
+        model,
+        iterations=20,
+        perturbation_function=lambda t, y: y
+        * np.random.uniform(0.95, 1.05, y.shape),
+    )
+    assert train_score < 5e-3
+    assert test_score < 5e-3
+
+    solution = op.solve(ivp)
+    fine = oracle.solve(ivp).discrete_y()[9::10]
+    assert solution.discrete_y().shape == fine.shape
+    # one-step-trained surrogate stays within a loose envelope over a
+    # short roll-out
+    assert (
+        np.abs(solution.discrete_y() - fine).max()
+        / np.abs(fine).max()
+        < 0.25
+    )
+
+
+def test_train_with_sklearn_model():
+    from sklearn.ensemble import RandomForestRegressor
+
+    np.random.seed(0)
+    ivp = _scaled_lotka_volterra_ivp()
+    oracle = ODEOperator("RK4", 0.01)
+    op = SupervisedMLOperator(0.25, None, auto_regressive=True)
+    train_score, test_score = op.train(
+        ivp,
+        oracle,
+        RandomForestRegressor(max_depth=8, n_estimators=20),
+        iterations=10,
+        perturbation_function=lambda t, y: y
+        * np.random.uniform(0.9, 1.1, y.shape),
+    )
+    assert np.isfinite(train_score) and np.isfinite(test_score)
+    assert op.solve(ivp).discrete_y().shape == (4, 2)
+
+
+def test_trajectory_function_matches_solve():
+    np.random.seed(0)
+    ivp = _scaled_lotka_volterra_ivp()
+    oracle = ODEOperator("RK4", 0.01)
+    op = SupervisedMLOperator(0.25, None, auto_regressive=True)
+    model = SKLearnJaxRegressor(
+        lambda: FNN([16, 2]), batch_size=64, epochs=50, verbose=0
+    )
+    op.train(ivp, oracle, model, 5, lambda t, y: y)
+
+    solution = op.solve(ivp).discrete_y()
+    fn, t = op.trajectory_function(
+        ivp.constrained_problem, (0.0, 1.0)
+    )
+    rollout = np.asarray(jax.jit(fn)(np.array([1.0, 0.15]), 0.0))
+    assert np.allclose(rollout, solution, atol=1e-10)
+    assert np.allclose(t, [0.25, 0.5, 0.75, 1.0])
+
+
+def test_trajectory_function_requires_flax_model():
+    from sklearn.linear_model import LinearRegression
+
+    ivp = _scaled_lotka_volterra_ivp()
+    oracle = ODEOperator("RK4", 0.01)
+    op = SupervisedMLOperator(0.25, None, auto_regressive=True)
+    op.train(ivp, oracle, LinearRegression(), 3, lambda t, y: y)
+    with pytest.raises(ValueError):
+        op.trajectory_function(ivp.constrained_problem, (0.0, 1.0))
+
+
+def test_isolate_perturbations():
+    np.random.seed(0)
+    ivp = _scaled_lotka_volterra_ivp()
+    oracle = ODEOperator("RK4", 0.01)
+    op = SupervisedMLOperator(0.25, None, auto_regressive=True)
+    inputs, _ = op.generate_data(
+        ivp,
+        oracle,
+        2,
+        lambda t, y: y + 100.0,
+        isolate_perturbations=True,
+    )
+    # the chain restarts from the unperturbed states, so inputs stay in
+    # the perturbed-but-unpropagated range (y + 100, not y + 200+)
+    assert inputs[:, :2].max() < 200.0
+
+
+def test_ml_coarse_operator_inside_parareal():
+    from pararealml_tpu.operators.parareal import PararealOperator
+
+    np.random.seed(0)
+    ivp = _scaled_lotka_volterra_ivp(t_end=2.0)
+    oracle = ODEOperator("RK45", 0.005, rtol=1e-8, atol=1e-10)
+    coarse_ml = SupervisedMLOperator(0.25, None, auto_regressive=True)
+    model = SKLearnJaxRegressor(
+        lambda: FNN([32, 32, 2]),
+        batch_size=128,
+        epochs=300,
+        verbose=0,
+        seed=0,
+    )
+    coarse_ml.train(
+        ivp,
+        oracle,
+        model,
+        iterations=20,
+        perturbation_function=lambda t, y: y
+        * np.random.uniform(0.9, 1.1, y.shape),
+    )
+
+    fine = ODEOperator("RK45", 0.005, rtol=1e-10, atol=1e-13)
+    parareal = PararealOperator(
+        fine, coarse_ml, 1e-9, num_time_slices=8
+    )
+    fine_y = fine.solve(ivp).discrete_y()
+    parareal_y = parareal.solve(ivp).discrete_y()
+    assert np.allclose(parareal_y, fine_y, atol=1e-5)
