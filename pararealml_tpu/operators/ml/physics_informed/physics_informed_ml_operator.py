@@ -1,0 +1,426 @@
+"""The physics-informed ML operator.
+
+Capability match for /root/reference/pararealml/operators/ml/
+physics_informed/physics_informed_ml_operator.py:35-331: training a
+physics-informed regressor over variable initial conditions
+(``DataArgs``/``ModelArgs``/``OptimizationArgs`` bundles, validation and
+test sets, auto-regressive-mode validity checks) and roll-out inference.
+
+The Keras ``fit`` generator loop becomes a jitted ``lax.scan`` over the
+stacked batches of each epoch — one device dispatch per epoch — driven
+by optax. A trained operator also exposes ``trajectory_function`` (the
+roll-out as a pure ``lax.scan``), so physics-informed surrogates can act
+as coarse operators inside the compiled shard_map Parareal.
+"""
+
+from __future__ import annotations
+
+from typing import (
+    Any,
+    Dict,
+    Iterable,
+    NamedTuple,
+    Optional,
+    Sequence,
+    Tuple,
+    Union,
+)
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pararealml_tpu.constrained_problem import ConstrainedProblem
+from pararealml_tpu.initial_condition import (
+    VectorizedInitialConditionFunction,
+)
+from pararealml_tpu.initial_value_problem import (
+    InitialValueProblem,
+    TemporalDomainInterval,
+)
+from pararealml_tpu.operator import JaxOperator, discretize_time_domain
+from pararealml_tpu.operators.ml.physics_informed.\
+    collocation_point_sampler import CollocationPointSampler
+from pararealml_tpu.operators.ml.physics_informed.dataset import Dataset
+from pararealml_tpu.operators.ml.physics_informed.\
+    physics_informed_regressor import PhysicsInformedRegressor
+from pararealml_tpu.solution import Solution
+
+
+class DataArgs(NamedTuple):
+    """Arguments for physics-informed dataset generation."""
+
+    y_0_functions: Iterable[VectorizedInitialConditionFunction]
+    n_domain_points: int
+    n_batches: int
+    n_boundary_points: int = 0
+    n_ic_repeats: int = 1
+    shuffle: bool = True
+
+
+class ModelArgs(NamedTuple):
+    """Arguments for the physics-informed regression model."""
+
+    model: nn.Module
+    diff_eq_loss_weight: Union[float, Sequence[float]] = 1.0
+    ic_loss_weight: Union[float, Sequence[float]] = 1.0
+    bc_loss_weight: Union[float, Sequence[float]] = 1.0
+
+
+class OptimizationArgs(NamedTuple):
+    """Arguments for training the physics-informed model."""
+
+    optimizer: Union[str, Dict[str, Any], optax.GradientTransformation]
+    epochs: int
+    validation_frequency: int = 1
+    callbacks: Sequence = ()
+    verbose: Union[str, int] = "auto"
+    seed: int = 0
+
+
+def _resolve_optimizer(optimizer) -> optax.GradientTransformation:
+    if isinstance(optimizer, str):
+        return getattr(optax, optimizer.lower())(1e-3)
+    if isinstance(optimizer, dict):
+        config = dict(optimizer)
+        name = config.pop("class_name", None) or config.pop("name")
+        kwargs = config.pop("config", config)
+        return getattr(optax, name.lower())(**kwargs)
+    return optimizer
+
+
+class PhysicsInformedMLOperator(JaxOperator):
+    """An operator solving IVPs with a trained physics-informed model."""
+
+    def __init__(
+        self,
+        sampler: CollocationPointSampler,
+        d_t: float,
+        vertex_oriented: bool,
+        auto_regressive: bool = False,
+    ):
+        super().__init__(d_t, vertex_oriented)
+        self._sampler = sampler
+        self._auto_regressive = auto_regressive
+        self._model: Optional[PhysicsInformedRegressor] = None
+
+    @property
+    def auto_regressive(self) -> bool:
+        """Whether inference feeds predictions back as initial
+        conditions."""
+        return self._auto_regressive
+
+    @property
+    def model(self) -> Optional[PhysicsInformedRegressor]:
+        """The physics-informed regression model behind the operator."""
+        return self._model
+
+    @model.setter
+    def model(self, model: Optional[PhysicsInformedRegressor]):
+        self._model = model
+
+    # -- inference ---------------------------------------------------------
+
+    def solve(
+        self, ivp: InitialValueProblem, parallel_enabled: bool = True
+    ) -> Solution:
+        if self._model is None or self._model.params is None:
+            raise ValueError("operator has no trained model")
+
+        cp = ivp.constrained_problem
+        diff_eq = cp.differential_equation
+        t = discretize_time_domain(ivp.t_interval, self._d_t)[1:]
+        y_shape = tuple(cp.y_shape(self._vertex_oriented))
+
+        if diff_eq.x_dimension:
+            x = jnp.asarray(
+                cp.mesh.all_index_coordinates(
+                    self._vertex_oriented, flatten=True
+                )
+            )
+            u_row = ivp.initial_condition.y_0(
+                np.asarray(x)
+            ).reshape(1, -1)
+            u = jnp.tile(jnp.asarray(u_row), (len(x), 1))
+        else:
+            x = None
+            u = jnp.asarray([ivp.initial_condition.y_0(None)])
+
+        model = self._model
+        params = model.params
+        infer = jax.jit(
+            lambda params, u, t_col, x: model.apply(params, u, t_col, x)
+        )
+
+        n_rows = u.shape[0]
+        y = np.empty((len(t),) + y_shape)
+        for i, t_i in enumerate(t):
+            t_value = self._d_t if self._auto_regressive else t_i
+            t_col = jnp.full((n_rows, 1), t_value, u.dtype)
+            y_i = infer(params, u, t_col, x)
+            y[i] = np.asarray(y_i).reshape(y_shape)
+            if i < len(t) - 1 and self._auto_regressive:
+                u = (
+                    jnp.tile(y_i.reshape(1, -1), (n_rows, 1))
+                    if diff_eq.x_dimension
+                    else y_i.reshape(u.shape)
+                )
+
+        return Solution(
+            ivp,
+            t,
+            y,
+            vertex_oriented=self._vertex_oriented,
+            d_t=self._d_t,
+        )
+
+    def trajectory_function(self, cp, t_interval):
+        """A pure jittable roll-out of the trained model over the time
+        grid."""
+        if self._model is None or self._model.params is None:
+            raise ValueError("operator has no trained model")
+        model = self._model
+        params = model.params
+        diff_eq = cp.differential_equation
+        y_shape = tuple(cp.y_shape(self._vertex_oriented))
+        t = discretize_time_domain(t_interval, self._d_t)
+        t_offsets = jnp.asarray(t[1:] - t[0])
+
+        if diff_eq.x_dimension:
+            x = jnp.asarray(
+                cp.mesh.all_index_coordinates(
+                    self._vertex_oriented, flatten=True
+                )
+            )
+            n_rows = len(x)
+        else:
+            x = None
+            n_rows = 1
+
+        auto_regressive = self._auto_regressive
+        d_t = self._d_t
+
+        def trajectory(y_0, t_0):
+            u_0 = jnp.ravel(y_0)
+
+            def step(u_flat, t_offset):
+                u = jnp.tile(u_flat[jnp.newaxis], (n_rows, 1))
+                t_value = d_t if auto_regressive else t_0 + t_offset
+                t_col = jnp.full((n_rows, 1), t_value, u.dtype)
+                prediction = model.apply(params, u, t_col, x)
+                next_u = (
+                    jnp.ravel(prediction) if auto_regressive else u_flat
+                )
+                return next_u, prediction.reshape(y_shape)
+
+            _, ys = jax.lax.scan(step, u_0, t_offsets)
+            return ys
+
+        return trajectory, t[1:]
+
+    # -- training ----------------------------------------------------------
+
+    def train(
+        self,
+        cp: ConstrainedProblem,
+        t_interval: TemporalDomainInterval,
+        training_data_args: DataArgs,
+        optimization_args: OptimizationArgs,
+        model_args: Optional[ModelArgs] = None,
+        validation_data_args: Optional[DataArgs] = None,
+        test_data_args: Optional[DataArgs] = None,
+    ) -> Tuple[Dict[str, list], Optional[Dict[str, float]]]:
+        """Trains (and stores) a physics-informed regressor; returns the
+        training history and, if a test set is given, the test metrics."""
+        if model_args is None and self._model is None:
+            raise ValueError(
+                "the model arguments cannot be None if the operator's "
+                "model is None"
+            )
+
+        if self._auto_regressive:
+            self._validate_auto_regressive_mode(cp, t_interval)
+
+        training_iterator = self._create_iterator(
+            cp, t_interval, training_data_args
+        )
+        validation_iterator = self._create_iterator(
+            cp, t_interval, validation_data_args
+        )
+        test_iterator = self._create_iterator(
+            cp, t_interval, test_data_args
+        )
+
+        model = (
+            self._model
+            if model_args is None
+            else PhysicsInformedRegressor(
+                model=model_args.model,
+                cp=cp,
+                diff_eq_loss_weight=model_args.diff_eq_loss_weight,
+                ic_loss_weight=model_args.ic_loss_weight,
+                bc_loss_weight=model_args.bc_loss_weight,
+                vertex_oriented=self._vertex_oriented,
+            )
+        )
+        if model.params is None:
+            model.init_params(
+                jax.random.PRNGKey(optimization_args.seed)
+            )
+
+        optimizer = _resolve_optimizer(optimization_args.optimizer)
+        opt_state = optimizer.init(model.params)
+
+        def loss_fn(params, domain_batch, initial_batch, boundary_batch):
+            loss, metrics = model.compute_batch_loss(
+                params, domain_batch, initial_batch, boundary_batch
+            )
+            return loss, metrics
+
+        @jax.jit
+        def train_epoch(params, opt_state, stacked):
+            domain, initial, boundary = stacked
+
+            def step(carry, batch):
+                params, opt_state = carry
+                domain_batch, initial_batch, boundary_batch = batch
+                (_, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, domain_batch, initial_batch, boundary_batch)
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, params
+                )
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                step, (params, opt_state), (domain, initial, boundary)
+            )
+            return (
+                params,
+                opt_state,
+                jax.tree_util.tree_map(jnp.mean, metrics),
+            )
+
+        @jax.jit
+        def evaluate_epoch(params, stacked):
+            domain, initial, boundary = stacked
+
+            def step(_, batch):
+                domain_batch, initial_batch, boundary_batch = batch
+                _, metrics = loss_fn(
+                    params, domain_batch, initial_batch, boundary_batch
+                )
+                return None, metrics
+
+            _, metrics = jax.lax.scan(
+                step, None, (domain, initial, boundary)
+            )
+            return jax.tree_util.tree_map(jnp.mean, metrics)
+
+        history: Dict[str, list] = {}
+        params = model.params
+        for epoch in range(optimization_args.epochs):
+            stacked = training_iterator.stacked_batches()
+            params, opt_state, metrics = train_epoch(
+                params, opt_state, stacked
+            )
+            logs = {
+                key: np.asarray(value)
+                for key, value in metrics.items()
+            }
+            for key, value in logs.items():
+                history.setdefault(key, []).append(value)
+
+            if (
+                validation_iterator is not None
+                and (epoch + 1) % optimization_args.validation_frequency
+                == 0
+            ):
+                validation_metrics = evaluate_epoch(
+                    params, validation_iterator.stacked_batches()
+                )
+                for key, value in validation_metrics.items():
+                    history.setdefault(f"val_{key}", []).append(
+                        np.asarray(value)
+                    )
+
+            if optimization_args.verbose and (
+                optimization_args.verbose != "auto"
+            ):
+                print(
+                    f"epoch {epoch + 1}/{optimization_args.epochs}: "
+                    f"loss={float(logs['loss']):.6g}"
+                )
+            for callback in optimization_args.callbacks:
+                callback(epoch, logs)
+
+        model.params = params
+        self._model = model
+
+        test_metrics = None
+        if test_iterator is not None:
+            test_metrics = {
+                key: np.asarray(value)
+                for key, value in evaluate_epoch(
+                    params, test_iterator.stacked_batches()
+                ).items()
+            }
+
+        return history, test_metrics
+
+    # -- helpers -----------------------------------------------------------
+
+    def _validate_auto_regressive_mode(
+        self, cp: ConstrainedProblem, t_interval: TemporalDomainInterval
+    ):
+        if t_interval != (0.0, self._d_t):
+            raise ValueError(
+                "in auto-regressive mode, the training time interval "
+                f"{t_interval} must range from 0 to the time step size "
+                f"of the operator ({self._d_t})"
+            )
+        diff_eq = cp.differential_equation
+        t_symbol = diff_eq.symbols.t
+        if any(
+            t_symbol in rhs.free_symbols
+            for rhs in diff_eq.symbolic_equation_system.rhs
+        ):
+            raise ValueError(
+                "auto-regressive mode is not compatible with "
+                "differential equations whose right-hand sides contain "
+                "any t terms"
+            )
+        if (
+            diff_eq.x_dimension
+            and not cp.are_all_boundary_conditions_static
+        ):
+            raise ValueError(
+                "auto-regressive mode is not compatible with dynamic "
+                "boundary conditions"
+            )
+
+    def _create_iterator(
+        self,
+        cp: ConstrainedProblem,
+        t_interval: TemporalDomainInterval,
+        data_args: Optional[DataArgs],
+    ):
+        if not data_args:
+            return None
+        dataset = Dataset(
+            cp=cp,
+            t_interval=t_interval,
+            y_0_functions=data_args.y_0_functions,
+            point_sampler=self._sampler,
+            n_domain_points=data_args.n_domain_points,
+            n_boundary_points=data_args.n_boundary_points,
+            vertex_oriented=self._vertex_oriented,
+        )
+        return dataset.get_iterator(
+            n_batches=data_args.n_batches,
+            n_ic_repeats=data_args.n_ic_repeats,
+            shuffle=data_args.shuffle,
+        )

@@ -1,0 +1,228 @@
+import jax
+import numpy as np
+import optax
+import pytest
+
+from pararealml_tpu import (
+    ConstrainedProblem,
+    ContinuousInitialCondition,
+    ConvectionDiffusionEquation,
+    DiffusionEquation,
+    DirichletBoundaryCondition,
+    InitialValueProblem,
+    Mesh,
+    PopulationGrowthEquation,
+)
+from pararealml_tpu.operators.ml.physics_informed import (
+    DataArgs,
+    DeepONet,
+    FNN,
+    ModelArgs,
+    OptimizationArgs,
+    PhysicsInformedMLOperator,
+    PhysicsInformedRegressor,
+    UniformRandomCollocationPointSampler,
+)
+
+SAMPLER = UniformRandomCollocationPointSampler()
+
+
+def _population_growth_setup():
+    r = 1.0
+    cp = ConstrainedProblem(PopulationGrowthEquation(r))
+    model_args = ModelArgs(
+        model=DeepONet(
+            branch_net=FNN([32, 16]),
+            trunk_net=FNN([32, 16]),
+            combiner_net=FNN([32, 1]),
+            branch_net_input_size=1,
+        )
+    )
+    data_args = DataArgs(
+        y_0_functions=[lambda _: np.array([1.0])],
+        n_domain_points=160,
+        n_batches=1,
+    )
+    return cp, model_args, data_args
+
+
+def test_train_requires_model_args_for_fresh_operator():
+    cp, _, data_args = _population_growth_setup()
+    operator = PhysicsInformedMLOperator(SAMPLER, 0.1, True)
+    with pytest.raises(ValueError):
+        operator.train(
+            cp,
+            (0.0, 1.0),
+            data_args,
+            OptimizationArgs(optimizer="adam", epochs=1, verbose=0),
+        )
+
+
+def test_solve_requires_trained_model():
+    cp, _, _ = _population_growth_setup()
+    ic = ContinuousInitialCondition(cp, lambda _: np.array([1.0]))
+    ivp = InitialValueProblem(cp, (0.0, 1.0), ic)
+    with pytest.raises(ValueError):
+        PhysicsInformedMLOperator(SAMPLER, 0.1, True).solve(ivp)
+
+
+def test_auto_regressive_validity_checks():
+    operator = PhysicsInformedMLOperator(
+        SAMPLER, 0.1, True, auto_regressive=True
+    )
+    cp, model_args, data_args = _population_growth_setup()
+    opt_args = OptimizationArgs(optimizer="adam", epochs=1, verbose=0)
+
+    # time interval must be (0, d_t)
+    with pytest.raises(ValueError):
+        operator.train(cp, (0.0, 1.0), data_args, opt_args, model_args)
+
+    # dynamic BCs are rejected
+    mesh = Mesh([(0.0, 1.0)], [0.5])
+    bc = DirichletBoundaryCondition(
+        lambda x, t: np.full((len(x), 1), t)
+    )
+    dynamic_cp = ConstrainedProblem(
+        DiffusionEquation(1), mesh, [(bc, bc)]
+    )
+    pde_data_args = DataArgs(
+        y_0_functions=[lambda x: np.zeros_like(x)],
+        n_domain_points=9,
+        n_batches=1,
+        n_boundary_points=3,
+    )
+    with pytest.raises(ValueError):
+        operator.train(
+            dynamic_cp, (0.0, 0.1), pde_data_args, opt_args, model_args
+        )
+
+
+def test_population_growth_matches_analytic_solution():
+    np.random.seed(0)
+    cp, model_args, data_args = _population_growth_setup()
+    operator = PhysicsInformedMLOperator(SAMPLER, 0.1, True)
+    history, test_metrics = operator.train(
+        cp,
+        (0.0, 1.0),
+        data_args,
+        OptimizationArgs(
+            optimizer=optax.adam(3e-3), epochs=500, verbose=0
+        ),
+        model_args,
+        test_data_args=data_args,
+    )
+    assert history["loss"][-1] < 1e-3
+    assert test_metrics is not None and "loss" in test_metrics
+
+    ic = ContinuousInitialCondition(cp, lambda _: np.array([1.0]))
+    ivp = InitialValueProblem(cp, (0.0, 1.0), ic)
+    solution = operator.solve(ivp)
+    exact = np.exp(solution.t_coordinates)
+    assert np.abs(solution.discrete_y()[:, 0] - exact).max() < 0.01
+
+
+def test_pde_training_with_boundary_conditions():
+    np.random.seed(1)
+    mesh = Mesh([(0.0, 1.0)], [0.1])
+    bc = DirichletBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 1)), is_static=True
+    )
+    cp = ConstrainedProblem(DiffusionEquation(1, 0.2), mesh, [(bc, bc)])
+
+    operator = PhysicsInformedMLOperator(SAMPLER, 0.05, True)
+    data_args = DataArgs(
+        y_0_functions=[lambda x: np.sin(np.pi * x)],
+        n_domain_points=100,
+        n_boundary_points=20,
+        n_batches=1,
+    )
+    model_args = ModelArgs(
+        model=DeepONet(
+            branch_net=FNN([32, 16]),
+            trunk_net=FNN([32, 16]),
+            combiner_net=FNN([32, 1]),
+            branch_net_input_size=11,
+        ),
+        ic_loss_weight=10.0,
+        bc_loss_weight=10.0,
+    )
+    history, _ = operator.train(
+        cp,
+        (0.0, 0.5),
+        data_args,
+        OptimizationArgs(
+            optimizer=optax.adam(3e-3), epochs=600, verbose=0, seed=1
+        ),
+        model_args,
+    )
+    assert history["loss"][-1] < 5e-3
+    assert "dirichlet_bc_loss" in history
+
+    ic = ContinuousInitialCondition(cp, lambda x: np.sin(np.pi * x))
+    ivp = InitialValueProblem(cp, (0.0, 0.5), ic)
+    solution = operator.solve(ivp)
+    x = mesh.vertex_axis_coordinates[0]
+    exact = np.exp(
+        -0.2 * np.pi**2 * solution.t_coordinates[:, None]
+    ) * np.sin(np.pi * x)[None, :]
+    assert np.abs(solution.discrete_y()[..., 0] - exact).max() < 0.05
+
+
+def test_trajectory_function_matches_solve():
+    np.random.seed(0)
+    cp, model_args, data_args = _population_growth_setup()
+    operator = PhysicsInformedMLOperator(SAMPLER, 0.2, True)
+    operator.train(
+        cp,
+        (0.0, 1.0),
+        data_args,
+        OptimizationArgs(
+            optimizer=optax.adam(3e-3), epochs=50, verbose=0
+        ),
+        model_args,
+    )
+    ic = ContinuousInitialCondition(cp, lambda _: np.array([1.0]))
+    ivp = InitialValueProblem(cp, (0.0, 1.0), ic)
+    solution = operator.solve(ivp).discrete_y()
+
+    fn, t = operator.trajectory_function(cp, (0.0, 1.0))
+    rollout = np.asarray(jax.jit(fn)(np.array([1.0]), 0.0))
+    assert np.allclose(rollout, solution, atol=1e-6)
+
+
+def test_validation_history_and_retraining():
+    np.random.seed(0)
+    cp, model_args, data_args = _population_growth_setup()
+    operator = PhysicsInformedMLOperator(SAMPLER, 0.1, True)
+    history, _ = operator.train(
+        cp,
+        (0.0, 1.0),
+        data_args,
+        OptimizationArgs(
+            optimizer="adam",
+            epochs=4,
+            validation_frequency=2,
+            verbose=0,
+        ),
+        model_args,
+        validation_data_args=data_args,
+    )
+    assert len(history["loss"]) == 4
+    assert len(history["val_loss"]) == 2
+
+    # continued training without model args reuses the stored model
+    history_2, _ = operator.train(
+        cp,
+        (0.0, 1.0),
+        data_args,
+        OptimizationArgs(optimizer="adam", epochs=2, verbose=0),
+    )
+    assert len(history_2["loss"]) == 2
+
+
+def test_regressor_loss_weights_validation():
+    cp, model_args, _ = _population_growth_setup()
+    with pytest.raises(ValueError):
+        PhysicsInformedRegressor(
+            model=model_args.model, cp=cp, diff_eq_loss_weight=[1.0, 2.0]
+        )
