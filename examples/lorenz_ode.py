@@ -1,0 +1,18 @@
+import _common  # noqa: F401
+import numpy as np
+
+from pararealml_tpu import *
+from pararealml_tpu.operators.ode import *
+
+diff_eq = LorenzEquation()
+cp = ConstrainedProblem(diff_eq)
+ic = ContinuousInitialCondition(cp, lambda _: np.ones(3))
+ivp = InitialValueProblem(cp, (0.0, 50.0), ic)
+
+solver = ODEOperator("RK45", 1e-4, rtol=1e-8, atol=1e-8)
+solution = solver.solve(ivp)
+
+for i, plot in enumerate(
+    solution.generate_plots(legend_location="upper right")
+):
+    plot.save(f"lorenz_ode_{i}").close()

@@ -1,0 +1,20 @@
+import _common  # noqa: F401
+import numpy as np
+
+from pararealml_tpu import *
+from pararealml_tpu.operators.ode import *
+from pararealml_tpu.operators.parareal import *
+
+diff_eq = LorenzEquation()
+cp = ConstrainedProblem(diff_eq)
+ic = ContinuousInitialCondition(cp, lambda _: np.ones(3))
+ivp = InitialValueProblem(cp, (0.0, 40.0), ic)
+
+f = ODEOperator("RK45", 1e-6)
+g = ODEOperator("RK45", 1e-5)
+p = PararealOperator(f, g, 0.5)
+
+solution = p.solve(ivp)
+
+for i, plot in enumerate(solution.generate_plots()):
+    plot.save(f"lorenz_parareal_{i}").close()

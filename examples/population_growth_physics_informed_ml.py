@@ -1,0 +1,58 @@
+import _common  # noqa: F401
+import numpy as np
+import optax
+
+from pararealml_tpu import *
+from pararealml_tpu.operators.fdm import *
+from pararealml_tpu.operators.ml.physics_informed import *
+
+diff_eq = PopulationGrowthEquation(2.5)
+cp = ConstrainedProblem(diff_eq)
+t_interval = (0.0, 1.0)
+
+sampler = UniformRandomCollocationPointSampler()
+piml = PhysicsInformedMLOperator(sampler, 0.001, True)
+training_y_0_functions = [
+    lambda _, _y_0=y_0: np.array([_y_0])
+    for y_0 in np.arange(0.3, 1.8, 0.1)
+]
+validation_y_0_functions = [
+    lambda _: np.array([0.7]),
+    lambda _: np.array([1.3]),
+]
+piml.train(
+    cp,
+    t_interval,
+    training_data_args=DataArgs(
+        y_0_functions=training_y_0_functions,
+        n_domain_points=100,
+        n_batches=3,
+        n_ic_repeats=3,
+    ),
+    validation_data_args=DataArgs(
+        y_0_functions=validation_y_0_functions,
+        n_domain_points=50,
+        n_batches=1,
+    ),
+    model_args=ModelArgs(
+        model=DeepONet(
+            branch_net=FNN([100] * 6),
+            trunk_net=FNN([100] * 6),
+            combiner_net=FNN([diff_eq.y_dimension]),
+            branch_net_input_size=int(np.prod(cp.y_vertices_shape)),
+        ),
+    ),
+    optimization_args=OptimizationArgs(
+        optimizer=optax.adam(
+            optax.exponential_decay(2e-3, 50, 0.95)
+        ),
+        epochs=500,
+        verbose=0,
+    ),
+)
+
+ic = ContinuousInitialCondition(cp, lambda _: np.array([1.0]))
+ivp = InitialValueProblem(cp, t_interval, ic)
+solution = piml.solve(ivp)
+for i, plot in enumerate(solution.generate_plots()):
+    plot.save(f"population_growth_piml_{i}").close()

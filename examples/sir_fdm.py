@@ -1,0 +1,20 @@
+import _common  # noqa: F401
+import numpy as np
+
+from pararealml_tpu import *
+from pararealml_tpu.operators.fdm import *
+
+diff_eq = SIREquation()
+cp = ConstrainedProblem(diff_eq)
+ic = ContinuousInitialCondition(
+    cp, lambda _: np.array([999.0, 1.0, 0.0])
+)
+ivp = InitialValueProblem(cp, (0.0, 150.0), ic)
+
+solver = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.1)
+solution = solver.solve(ivp)
+
+for i, plot in enumerate(
+    solution.generate_plots(legend_location="upper right")
+):
+    plot.save(f"sir_fdm_{i}").close()

@@ -1,0 +1,29 @@
+import _common  # noqa: F401
+import numpy as np
+
+from pararealml_tpu import *
+from pararealml_tpu.operators.fdm import *
+
+diff_eq = WaveEquation(1)
+mesh = Mesh([(0.0, 1.0)], [0.01])
+bcs = [
+    (
+        DirichletBoundaryCondition(
+            lambda x, t: np.zeros((len(x), 2)), is_static=True
+        ),
+    )
+    * 2
+]
+cp = ConstrainedProblem(diff_eq, mesh, bcs)
+ic = GaussianInitialCondition(
+    cp,
+    [(np.array([0.5]), np.array([[0.01]]))] * 2,
+    [1.0, 0.0],
+)
+ivp = InitialValueProblem(cp, (0.0, 2.0), ic)
+
+solver = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.0005)
+solution = solver.solve(ivp)
+
+for i, plot in enumerate(solution.generate_plots()):
+    plot.save(f"wave_1d_fdm_{i}").close()

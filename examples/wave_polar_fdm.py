@@ -1,0 +1,33 @@
+import _common  # noqa: F401
+import numpy as np
+
+from pararealml_tpu import *
+from pararealml_tpu.operators.fdm import *
+
+diff_eq = WaveEquation(2)
+mesh = Mesh(
+    [(1.0, 5.0), (0.0, 2.0 * np.pi)],
+    [0.1, np.pi / 50.0],
+    CoordinateSystem.POLAR,
+)
+bcs = [
+    (
+        DirichletBoundaryCondition(
+            lambda x, t: np.zeros((len(x), 2)), is_static=True
+        ),
+    )
+    * 2
+] * 2
+cp = ConstrainedProblem(diff_eq, mesh, bcs)
+ic = GaussianInitialCondition(
+    cp,
+    [(np.array([-3.0, 0.0]), 0.1 * np.eye(2))] * 2,
+    [1.0, 0.0],
+)
+ivp = InitialValueProblem(cp, (0.0, 5.0), ic)
+
+solver = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.0025)
+solution = solver.solve(ivp)
+
+for i, plot in enumerate(solution.generate_plots()):
+    plot.save(f"wave_polar_fdm_{i}").close()
