@@ -1,0 +1,34 @@
+.PHONY: install lint type-check format format-check test coverage bench run
+
+install:
+	pip install -e .
+
+lint:
+	flake8 pararealml_tpu tests
+
+type-check:
+	mypy pararealml_tpu
+
+format:
+	black pararealml_tpu tests examples
+	isort pararealml_tpu tests examples
+
+format-check:
+	black --check pararealml_tpu tests examples
+	isort --check pararealml_tpu tests examples
+
+test:
+	python -m pytest -v tests/
+
+coverage:
+	python -m pytest --cov=pararealml_tpu --cov-report=xml tests/
+
+bench:
+	python bench.py
+
+# Runs an example, e.g. `make run example=lorenz_ode`.
+# Unlike the reference's mpiexec launcher, time parallelism needs no
+# process fan-out: the Parareal operator shards over all visible
+# devices inside one program.
+run:
+	cd examples && python $(example).py

@@ -9,7 +9,7 @@ cp = ConstrainedProblem(diff_eq)
 ic = ContinuousInitialCondition(cp, lambda _: np.ones(3))
 ivp = InitialValueProblem(cp, (0.0, 50.0), ic)
 
-solver = ODEOperator("RK45", 1e-4, rtol=1e-8, atol=1e-8)
+solver = ODEOperator("DOP853", 1e-4)
 solution = solver.solve(ivp)
 
 for i, plot in enumerate(

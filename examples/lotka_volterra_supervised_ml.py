@@ -14,7 +14,7 @@ cp = ConstrainedProblem(diff_eq)
 ic = ContinuousInitialCondition(cp, lambda _: np.array([100.0, 15.0]))
 ivp = InitialValueProblem(cp, (0.0, 10.0), ic)
 
-ode_op = ODEOperator("RK45", 1e-3, rtol=1e-8, atol=1e-8)
+ode_op = ODEOperator("DOP853", 1e-3)
 ode_sol = ode_op.solve(ivp)
 ode_sol_y = ode_sol.discrete_y()
 v_min, v_max = np.min(ode_sol_y), np.max(ode_sol_y)

@@ -114,6 +114,7 @@ _RK23 = _RKTableau(
 
 _ADAPTIVE_TABLEAUS = {"RK45": _RK45, "RK23": _RK23}
 _FIXED_STEP_METHODS = ("RK4", "Midpoint", "Euler")
+_DOP853 = "DOP853"
 
 _SAFETY = 0.9
 _MIN_FACTOR = 0.2
@@ -281,6 +282,204 @@ def _build_adaptive_integrator(
     return integrate
 
 
+def _build_dop853_integrator(
+    fn: Callable,
+    t_offsets: np.ndarray,
+    rtol: float,
+    atol: float,
+    max_step: float,
+    first_step: Optional[float],
+    max_steps: int = 1_000_000,
+):
+    """Builds a jit-traceable adaptive Dormand-Prince 8(5,3) integrator
+    with the degree-7 dense-output interpolant.
+
+    The published Hairer coefficient tables are loaded as numerical data
+    from SciPy's ``dop853_coefficients`` module; the stepping, the
+    combined 5th/3rd-order error norm, and the interpolant construction
+    follow the published DOP853 algorithm, compiled into a single
+    ``lax.while_loop``.
+    """
+    from scipy.integrate._ivp import dop853_coefficients as dop
+
+    n_stages = dop.N_STAGES  # 12
+    n_stages_extended = dop.N_STAGES_EXTENDED  # 16
+    interp_power = dop.INTERPOLATOR_POWER  # 7
+    a_matrix = np.asarray(dop.A)
+    b_vec = np.asarray(dop.B)
+    c_vec = np.asarray(dop.C)
+    e3_vec = np.asarray(dop.E3)
+    e5_vec = np.asarray(dop.E5)
+    d_matrix = np.asarray(dop.D)
+    error_exponent = -1.0 / 8.0
+
+    n_out = len(t_offsets)
+    t_span = float(t_offsets[-1])
+
+    def integrate(y0: jax.Array, t0: jax.Array):
+        dtype = jnp.result_type(y0)
+        y0 = jnp.asarray(y0, dtype)
+        t0 = jnp.asarray(t0, dtype)
+        t_out = t0 + jnp.asarray(t_offsets, dtype)
+        t_bound = t0 + t_span
+        eps = jnp.asarray(1e-10 * max(1.0, abs(t_span)), dtype)
+        n_dim = y0.shape[0]
+
+        f0 = fn(t0, y0)
+        if first_step is None:
+            h0 = _initial_step_size(
+                fn, t0, y0, f0, max_step, rtol, atol, error_exponent
+            )
+        else:
+            h0 = jnp.asarray(first_step, dtype)
+        h0 = jnp.minimum(h0, jnp.asarray(t_span, dtype))
+
+        a_mat = jnp.asarray(a_matrix, dtype)
+        b = jnp.asarray(b_vec, dtype)
+        e3 = jnp.asarray(e3_vec, dtype)
+        e5 = jnp.asarray(e5_vec, dtype)
+        d_mat = jnp.asarray(d_matrix, dtype)
+
+        def attempt_step(t, y, f, h):
+            ks = [f]
+            for s in range(1, n_stages):
+                dy = h * sum(
+                    a_matrix[s, j] * ks[j]
+                    for j in range(s)
+                    if a_matrix[s, j] != 0.0
+                )
+                ks.append(fn(t + c_vec[s] * h, y + dy))
+            k12 = jnp.stack(ks)  # (12, n)
+            y_new = y + h * jnp.tensordot(b, k12, axes=1)
+            f_new = fn(t + h, y_new)
+            k13 = jnp.concatenate([k12, f_new[jnp.newaxis]])  # (13, n)
+
+            scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+            err5 = jnp.tensordot(e5, k13, axes=1) / scale
+            err3 = jnp.tensordot(e3, k13, axes=1) / scale
+            err5_norm_2 = jnp.sum(jnp.square(err5))
+            err3_norm_2 = jnp.sum(jnp.square(err3))
+            denom = err5_norm_2 + 0.01 * err3_norm_2
+            error_norm = jnp.where(
+                denom > 0.0,
+                jnp.abs(h)
+                * err5_norm_2
+                / jnp.sqrt(jnp.maximum(denom, 1e-300) * n_dim),
+                jnp.asarray(0.0, dtype),
+            )
+            return y_new, f_new, k13, error_norm
+
+        def fill_outputs(carry):
+            t, t_new, h, y, y_new, f_new, k13, out_idx, ys = carry
+
+            def compute_and_fill(args):
+                out_idx, ys = args
+                # extended stages for the dense-output interpolant
+                k_rows = [k13[s] for s in range(n_stages)]
+                k_rows.append(k13[n_stages])  # f_new at row 12
+                for s in range(n_stages + 1, n_stages_extended):
+                    dy = h * sum(
+                        a_matrix[s, j] * k_rows[j]
+                        for j in range(s)
+                        if a_matrix[s, j] != 0.0
+                    )
+                    k_rows.append(fn(t + c_vec[s] * h, y + dy))
+                k_ext = jnp.stack(k_rows)  # (16, n)
+
+                f_old = k_ext[0]
+                delta_y = y_new - y
+                f_rows = [
+                    delta_y,
+                    h * f_old - delta_y,
+                    2.0 * delta_y - h * (f_new + f_old),
+                ]
+                f_tail = h * jnp.tensordot(d_mat, k_ext, axes=1)
+                interp_f = jnp.concatenate(
+                    [jnp.stack(f_rows), f_tail]
+                )  # (7, n)
+
+                def cond(c):
+                    idx, _ = c
+                    return (idx < n_out) & (t_out[idx] <= t_new + eps)
+
+                def body(c):
+                    idx, ys_acc = c
+                    x = (t_out[idx] - t) / h
+                    y_interp = jnp.zeros_like(y)
+                    for i in range(interp_power):
+                        y_interp = y_interp + interp_f[
+                            interp_power - 1 - i
+                        ]
+                        y_interp = y_interp * (
+                            x if i % 2 == 0 else 1.0 - x
+                        )
+                    y_interp = y_interp + y
+                    return idx + 1, ys_acc.at[idx].set(y_interp)
+
+                return jax.lax.while_loop(cond, body, (out_idx, ys))
+
+            need_fill = (out_idx < n_out) & (
+                t_out[jnp.minimum(out_idx, n_out - 1)] <= t_new + eps
+            )
+            return jax.lax.cond(
+                need_fill,
+                compute_and_fill,
+                lambda args: args,
+                (out_idx, ys),
+            )
+
+        def loop_cond(state):
+            _, _, _, _, out_idx, _, n_steps, status = state
+            return (out_idx < n_out) & (status == 0) & (
+                n_steps < max_steps
+            )
+
+        def loop_body(state):
+            t, y, f, h, out_idx, ys, n_steps, status = state
+            h = jnp.minimum(h, jnp.maximum(t_bound - t, eps))
+            y_new, f_new, k13, error_norm = attempt_step(t, y, f, h)
+            accepted = error_norm < 1.0
+
+            factor = jnp.where(
+                error_norm == 0.0,
+                _MAX_FACTOR,
+                jnp.clip(
+                    _SAFETY * error_norm**error_exponent,
+                    _MIN_FACTOR,
+                    _MAX_FACTOR,
+                ),
+            )
+            h_next = jnp.minimum(h * factor, max_step)
+
+            t_new = t + h
+            out_idx_new, ys_new = jax.lax.cond(
+                accepted,
+                fill_outputs,
+                lambda c: (c[7], c[8]),
+                (t, t_new, h, y, y_new, f_new, k13, out_idx, ys),
+            )
+
+            return (
+                jnp.where(accepted, t_new, t),
+                jnp.where(accepted, y_new, y),
+                jnp.where(accepted, f_new, f),
+                h_next,
+                out_idx_new,
+                ys_new,
+                n_steps + 1,
+                status,
+            )
+
+        ys_init = jnp.zeros((n_out,) + y0.shape, dtype)
+        final = jax.lax.while_loop(
+            loop_cond, loop_body, (t0, y0, f0, h0, 0, ys_init, 0, 0)
+        )
+        _, _, _, _, out_idx, ys, _, _ = final
+        return ys, jnp.where(out_idx < n_out, 1, 0)
+
+    return integrate
+
+
 def _build_fixed_step_integrator(
     fn: Callable, method: str, t_offsets: np.ndarray
 ):
@@ -342,10 +541,11 @@ class ODEOperator(JaxOperator):
         if (
             method not in _ADAPTIVE_TABLEAUS
             and method not in _FIXED_STEP_METHODS
+            and method != _DOP853
         ):
             raise ValueError(
                 f"unsupported method '{method}'; expected one of "
-                f"{sorted(_ADAPTIVE_TABLEAUS) + list(_FIXED_STEP_METHODS)}"
+                f"{sorted(_ADAPTIVE_TABLEAUS) + [_DOP853] + list(_FIXED_STEP_METHODS)}"
             )
         super().__init__(d_t, None)
         self._method = method
@@ -354,6 +554,28 @@ class ODEOperator(JaxOperator):
         self._atol = atol
         self._rtol = rtol
         self._compiled_cache = {}
+
+    def _build_integrator(self, fn: Callable, t_offsets) -> Callable:
+        if self._method in _ADAPTIVE_TABLEAUS:
+            return _build_adaptive_integrator(
+                fn,
+                _ADAPTIVE_TABLEAUS[self._method],
+                t_offsets,
+                self._rtol,
+                self._atol,
+                self._max_step,
+                self._first_step,
+            )
+        if self._method == _DOP853:
+            return _build_dop853_integrator(
+                fn,
+                t_offsets,
+                self._rtol,
+                self._atol,
+                self._max_step,
+                self._first_step,
+            )
+        return _build_fixed_step_integrator(fn, self._method, t_offsets)
 
     def _make_rhs_function(self, diff_eq) -> Callable:
         sym = diff_eq.symbols
@@ -381,21 +603,7 @@ class ODEOperator(JaxOperator):
             )
         t_offsets = t[1:] - t[0]
         fn = self._make_rhs_function(diff_eq)
-
-        if self._method in _ADAPTIVE_TABLEAUS:
-            integrate = _build_adaptive_integrator(
-                fn,
-                _ADAPTIVE_TABLEAUS[self._method],
-                t_offsets,
-                self._rtol,
-                self._atol,
-                self._max_step,
-                self._first_step,
-            )
-        else:
-            integrate = _build_fixed_step_integrator(
-                fn, self._method, t_offsets
-            )
+        integrate = self._build_integrator(fn, t_offsets)
 
         def trajectory(y0, t0):
             ys, _ = integrate(y0, t0)
@@ -421,21 +629,9 @@ class ODEOperator(JaxOperator):
         cache_key = (id(diff_eq), t_offsets)
         if cache_key not in self._compiled_cache:
             fn = self._make_rhs_function(diff_eq)
-            if self._method in _ADAPTIVE_TABLEAUS:
-                integrate = _build_adaptive_integrator(
-                    fn,
-                    _ADAPTIVE_TABLEAUS[self._method],
-                    t[1:] - t[0],
-                    self._rtol,
-                    self._atol,
-                    self._max_step,
-                    self._first_step,
-                )
-            else:
-                integrate = _build_fixed_step_integrator(
-                    fn, self._method, t[1:] - t[0]
-                )
-            self._compiled_cache[cache_key] = jax.jit(integrate)
+            self._compiled_cache[cache_key] = jax.jit(
+                self._build_integrator(fn, t[1:] - t[0])
+            )
 
         integrate = self._compiled_cache[cache_key]
         y0 = jnp.asarray(ivp.initial_condition.discrete_y_0())

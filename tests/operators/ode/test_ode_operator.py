@@ -157,3 +157,51 @@ def test_trajectory_function_reusable_across_start_times():
         np.asarray(y_from_0), np.asarray(y_from_5), rtol=1e-9
     )
     assert np.allclose(np.asarray(y_from_0)[-1, 0], np.e, rtol=1e-6)
+
+
+def test_dop853_matches_scipy_reference():
+    from scipy.integrate import solve_ivp
+
+    cp = ConstrainedProblem(LorenzEquation())
+    ic = ContinuousInitialCondition(cp, lambda _: np.ones(3))
+    ivp = InitialValueProblem(cp, (0.0, 2.0), ic)
+
+    solution = ODEOperator(
+        "DOP853", 0.01, rtol=1e-9, atol=1e-12
+    ).solve(ivp)
+
+    def lorenz_rhs(_, y):
+        return np.array(
+            [
+                10.0 * (y[1] - y[0]),
+                y[0] * (28.0 - y[2]) - y[1],
+                y[0] * y[1] - (8.0 / 3.0) * y[2],
+            ]
+        )
+
+    reference = solve_ivp(
+        lorenz_rhs,
+        (0.0, 2.0),
+        np.ones(3),
+        "DOP853",
+        t_eval=solution.t_coordinates,
+        rtol=1e-13,
+        atol=1e-13,
+    )
+    assert np.allclose(
+        solution.discrete_y(), reference.y.T, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_dop853_population_growth_analytic():
+    r, y_0 = 0.5, 2.0
+    cp = ConstrainedProblem(PopulationGrowthEquation(r))
+    ic = ContinuousInitialCondition(cp, lambda _: np.array([y_0]))
+    ivp = InitialValueProblem(cp, (0.0, 4.0), ic)
+    solution = ODEOperator(
+        "DOP853", 0.1, rtol=1e-10, atol=1e-12
+    ).solve(ivp)
+    t = solution.t_coordinates
+    assert np.allclose(
+        solution.discrete_y()[:, 0], y_0 * np.exp(r * t), rtol=1e-8
+    )
