@@ -150,6 +150,25 @@ class PhysicsInformedRegressor:
     def __call__(self, params, u, t, x) -> jax.Array:
         return self.apply(params, u, t, x)
 
+    def save(self, path: str) -> None:
+        """Saves the model parameters to ``path``."""
+        if self._params is None:
+            raise ValueError("model has no parameters")
+        from pararealml_tpu.utils.checkpoint import save_pytree
+
+        save_pytree(path, self._params)
+
+    def load(self, path: str) -> None:
+        """Restores parameters saved with :meth:`save`."""
+        from pararealml_tpu.utils.checkpoint import load_pytree
+
+        template = (
+            self._params
+            if self._params is not None
+            else self.init_params(jax.random.PRNGKey(0))
+        )
+        self._params = load_pytree(path, template)
+
     # -- loss --------------------------------------------------------------
 
     def compute_batch_loss(

@@ -242,6 +242,26 @@ class SKLearnJaxRegressor:
         prediction = self.predict(x)
         return -float(np.mean(np.square(prediction - y)))
 
+    def save(self, path: str) -> None:
+        """Saves the fitted parameters to ``path``."""
+        if self._params is None:
+            raise ValueError("model has not been fitted")
+        from pararealml_tpu.utils.checkpoint import save_pytree
+
+        save_pytree(path, self._params)
+
+    def load(self, path: str, x_sample: np.ndarray) -> None:
+        """Restores parameters saved with :meth:`save`; ``x_sample`` is a
+        sample input batch used to rebuild the module structure."""
+        from pararealml_tpu.utils.checkpoint import load_pytree
+
+        self._module = self.build_fn(**self.build_args)
+        self._jit_apply = None
+        template = self._module.init(
+            jax.random.PRNGKey(self.seed), jnp.asarray(x_sample[:1])
+        )
+        self._params = load_pytree(path, template)
+
     def _apply_fn(self):
         if not hasattr(self, "_jit_apply") or self._jit_apply is None:
             module = self._module

@@ -9,7 +9,6 @@ Cartesian coordinate-grid conversion. Everything here is host-side.
 
 from __future__ import annotations
 
-import warnings
 from typing import Callable, List, Optional, Tuple, Union
 
 import matplotlib.pyplot as plt
@@ -541,9 +540,8 @@ class StreamPlot(AnimatedPlot):
                 ax.set_ylabel("y")
 
         def update_plot(time_step: int):
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore")
-                ax.patches.clear()
+            for patch in list(ax.patches):
+                patch.remove()
             self._stream_plot.lines.remove()
             self._stream_plot = ax.streamplot(
                 x_0, x_1, y_0[time_step, ...], y_1[time_step, ...],
