@@ -71,10 +71,22 @@ class FDMOperator(JaxOperator):
         integrator: NumericalIntegrator,
         differentiator: NumericalDifferentiator,
         d_t: float,
+        fused_kernels: bool = True,
     ):
+        """
+        :param integrator: the time integrator to use
+        :param differentiator: the spatial differentiator to use
+        :param d_t: the temporal step size
+        :param fused_kernels: whether to use hand-fused Pallas TPU
+            kernels for step computations on the problem classes they
+            cover (currently single-component 2D Cartesian diffusion with
+            static boundary conditions under RK4 in float32); the generic
+            jnp path is used otherwise
+        """
         super().__init__(d_t, True)
         self._integrator = integrator
         self._differentiator = differentiator
+        self._fused_kernels = fused_kernels
         self._compiled_cache = {}
 
     def solve(
@@ -105,24 +117,11 @@ class FDMOperator(JaxOperator):
             round(float(t[0]), 12) if dynamic else None,
         )
         if cache_key not in self._compiled_cache:
-            step_fn = self._build_step_function(
-                cp, float(t[0]), steps, static_only=not dynamic
-            )
-
-            def solve_fn(y_init, t_start):
-                xs = (
-                    jnp.arange(steps),
-                    t_start + self._d_t * jnp.arange(steps),
+            self._compiled_cache[cache_key] = jax.jit(
+                self._build_trajectory_fn(
+                    cp, float(t[0]), steps, static_only=not dynamic
                 )
-
-                def body(y, x):
-                    y_next = step_fn(y, x[0], x[1])
-                    return y_next, y_next
-
-                _, ys = jax.lax.scan(body, y_init, xs)
-                return ys
-
-            self._compiled_cache[cache_key] = jax.jit(solve_fn)
+            )
 
         ys = self._compiled_cache[cache_key](y_0, t[0])
         return Solution(
@@ -142,26 +141,57 @@ class FDMOperator(JaxOperator):
             )
         t = discretize_time_domain(t_interval, self._d_t)
         steps = len(t) - 1
-        step_fn = self._build_step_function(
+        trajectory = self._build_trajectory_fn(
             cp, float(t[0]), steps, static_only=True
         )
+        return trajectory, t[1:]
 
-        def trajectory(y_0, t_0):
+    # -- step construction -------------------------------------------------
+
+    def _build_trajectory_fn(
+        self,
+        cp: ConstrainedProblem,
+        t_0: float,
+        steps: int,
+        static_only: bool,
+    ) -> Callable:
+        """Builds ``fn(y_0, t_0) -> ys`` for the whole trajectory: the
+        fused multi-step Pallas kernel when applicable, otherwise a
+        ``lax.scan`` over the per-step function."""
+        if self._fused_kernels and static_only:
+            from pararealml_tpu.ops.fused_diffusion import (
+                build_fused_diffusion_rk4_trajectory,
+                fused_diffusion_step_applicable,
+            )
+
+            if fused_diffusion_step_applicable(cp, self._integrator):
+                fused_trajectory = build_fused_diffusion_rk4_trajectory(
+                    cp,
+                    self._d_t,
+                    steps,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                return lambda y_init, t_start: fused_trajectory(y_init)
+
+        step_fn = self._build_step_function(
+            cp, t_0, steps, static_only=static_only
+        )
+        d_t = self._d_t
+
+        def trajectory(y_init, t_start):
             xs = (
                 jnp.arange(steps),
-                t_0 + self._d_t * jnp.arange(steps),
+                t_start + d_t * jnp.arange(steps),
             )
 
             def body(y, x):
                 y_next = step_fn(y, x[0], x[1])
                 return y_next, y_next
 
-            _, ys = jax.lax.scan(body, y_0, xs)
+            _, ys = jax.lax.scan(body, y_init, xs)
             return ys
 
-        return trajectory, t[1:]
-
-    # -- step construction -------------------------------------------------
+        return trajectory
 
     def _build_step_function(
         self,
@@ -172,6 +202,24 @@ class FDMOperator(JaxOperator):
     ) -> Callable:
         """Builds ``step(y, i, t_i) -> y_next`` for one time step, with
         all constraint data resolved to traceable tensors."""
+        if self._fused_kernels and static_only:
+            from pararealml_tpu.ops.fused_diffusion import (
+                build_fused_diffusion_rk4_step,
+                fused_diffusion_step_applicable,
+            )
+
+            if fused_diffusion_step_applicable(cp, self._integrator):
+                fused_step = build_fused_diffusion_rk4_step(
+                    cp,
+                    self._d_t,
+                    interpret=jax.default_backend() != "tpu",
+                )
+
+                def step_fused(y, i, t_i):
+                    return fused_step(y)
+
+                return step_fused
+
         diff_eq = cp.differential_equation
         eq_sys = diff_eq.symbolic_equation_system
         mapper = FDMSymbolMapper(cp, self._differentiator)
