@@ -171,12 +171,18 @@ class PararealOperator(Operator):
             and not cp.are_all_boundary_conditions_static
         ):
             return False
-        device_count = (
+        return n % self._mesh_device_count(n) == 0
+
+    def _mesh_device_count(self, n: int) -> int:
+        """The number of devices the ``time`` mesh axis spans: at most
+        one per slice; when there are more slices than devices, each
+        device batches ``n / devices`` fine solves through ``vmap``."""
+        available = (
             len(self._devices)
             if self._devices is not None
             else jax.device_count()
         )
-        return n <= device_count
+        return min(n, available)
 
     # -- compiled shard_map path -------------------------------------------
 
@@ -187,16 +193,40 @@ class PararealOperator(Operator):
         vertex_oriented = self._vertex_oriented
         t_interval = ivp.t_interval
 
-        sub_interval = (t_interval[0], t_interval[0] + slice_duration)
-        fine_fn, _ = self._f.trajectory_function(cp, sub_interval)
-        coarse_fn, _ = self._g.trajectory_function(cp, sub_interval)
+        n_devices_for_build = self._mesh_device_count(n)
+        needs_vmap = n // n_devices_for_build > 1
 
+        def build_trajectory(operator):
+            # hand-fused Pallas kernels (DMA + scratch) do not support
+            # vmap batching; fall back to the generic path when slices
+            # are batched per device
+            sub_interval = (
+                t_interval[0],
+                t_interval[0] + slice_duration,
+            )
+            if needs_vmap and getattr(
+                operator, "_fused_kernels", False
+            ):
+                operator._fused_kernels = False
+                try:
+                    return operator.trajectory_function(
+                        cp, sub_interval
+                    )[0]
+                finally:
+                    operator._fused_kernels = True
+            return operator.trajectory_function(cp, sub_interval)[0]
+
+        fine_fn = build_trajectory(self._f)
+        coarse_fn = build_trajectory(self._g)
+
+        n_devices = self._mesh_device_count(n)
+        slices_per_device = n // n_devices
         devices = (
             self._devices
             if self._devices is not None
-            else jax.devices()[:n]
+            else jax.devices()[:n_devices]
         )
-        mesh = Mesh(np.asarray(devices[:n]), ("time",))
+        mesh = Mesh(np.asarray(devices[:n_devices]), ("time",))
 
         iterations = min(n, self._max_iterations)
         tolerances = self._tolerance_vector(
@@ -226,9 +256,21 @@ class PararealOperator(Operator):
         def coarse_end(y_start, slice_index):
             return coarse_fn(y_start, t_0 + slice_index * delta)[-1]
 
+        fine_steps = self._fine_steps(slice_duration)
+        if slices_per_device == 1:
+            # one slice per device: no batching, so fused Pallas fine
+            # solvers stay usable
+            def batched_fine(y_starts, t_starts):
+                return fine_fn(y_starts[0], t_starts[0])[jnp.newaxis]
+
+        else:
+            batched_fine = jax.vmap(fine_fn)
+
         def program(y_init):
-            slice_index = jax.lax.axis_index("time")
-            t_slice = t_0 + slice_index * delta
+            device_index = jax.lax.axis_index("time")
+            first_slice = device_index * slices_per_device
+            local_slice_offsets = jnp.arange(slices_per_device)
+            t_slices = t_0 + (first_slice + local_slice_offsets) * delta
 
             # initial coarse sweep, replicated on every device
             def sweep(y, j):
@@ -243,20 +285,28 @@ class PararealOperator(Operator):
             )
 
             fine_placeholder = jnp.zeros(
-                (self._fine_steps(slice_duration),) + y_shape,
+                (slices_per_device, fine_steps) + y_shape,
                 y_init.dtype,
             )
+
+            def local_slice(array):
+                return jax.lax.dynamic_slice_in_dim(
+                    array, first_slice, slices_per_device, 0
+                )
 
             def iteration(i, carry):
                 def body(carry):
                     y_borders, coarse_ends, _, _ = carry
-                    sub_y_fine = fine_fn(y_borders[slice_index], t_slice)
-                    correction = (
-                        sub_y_fine[-1] - coarse_ends[slice_index]
+                    # this device's fine solves, batched through vmap
+                    sub_y_fine = batched_fine(
+                        local_slice(y_borders[:-1]), t_slices
+                    )
+                    local_corrections = (
+                        sub_y_fine[:, -1] - local_slice(coarse_ends)
                     )
                     corrections = jax.lax.all_gather(
-                        correction, "time"
-                    )
+                        local_corrections, "time"
+                    ).reshape((n,) + y_shape)
                     old_ends = y_borders[1:]
 
                     def corrective_sweep(j, state):
@@ -303,11 +353,15 @@ class PararealOperator(Operator):
                 ),
             )
 
-            # shift the local fine trajectory onto the corrected border
-            sub_y_fine = sub_y_fine + (
-                y_borders[slice_index + 1] - sub_y_fine[-1]
+            # shift the local fine trajectories onto the corrected
+            # borders
+            shifts = (
+                local_slice(y_borders[1:]) - sub_y_fine[:, -1]
             )
-            return sub_y_fine
+            sub_y_fine = sub_y_fine + shifts[:, jnp.newaxis]
+            return sub_y_fine.reshape(
+                (slices_per_device * fine_steps,) + y_shape
+            )
 
         sharded_program = shard_map(
             program,

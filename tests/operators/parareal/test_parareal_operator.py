@@ -155,3 +155,40 @@ def test_max_iterations_limits_accuracy():
     error_full = np.abs(full.solve(ivp).discrete_y() - fine).max()
     assert error_full < error_one
     assert error_full < 1e-8
+
+
+def test_vmap_batched_slices_on_fewer_devices():
+    import jax
+
+    ivp = _lorenz_ivp(t_end=4.0)
+    f = ODEOperator("RK45", 0.005, rtol=1e-10, atol=1e-13)
+    g = ODEOperator("RK45", 0.005, rtol=1e-4, atol=1e-7)
+    # 16 slices on 8 devices: 2 fine solves batched per device
+    parareal = PararealOperator(f, g, 1e-11, num_time_slices=16)
+    fine = f.solve(ivp).discrete_y()
+    assert np.allclose(
+        parareal.solve(ivp).discrete_y(), fine, atol=1e-6
+    )
+
+    # 8 slices on a single device: pure-vmap parallel-in-time
+    single_device = PararealOperator(
+        f, g, 1e-11, num_time_slices=8, devices=[jax.devices()[0]]
+    )
+    assert np.allclose(
+        single_device.solve(ivp).discrete_y(), fine, atol=1e-6
+    )
+
+
+def test_vmap_batched_pde_parareal():
+    import jax
+
+    ivp = _diffusion_ivp()
+    f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
+    g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.05)
+    parareal = PararealOperator(
+        f, g, 1e-8, num_time_slices=8, devices=[jax.devices()[0]]
+    )
+    fine = f.solve(ivp).discrete_y()
+    assert np.allclose(
+        parareal.solve(ivp).discrete_y(), fine, atol=1e-5
+    )
