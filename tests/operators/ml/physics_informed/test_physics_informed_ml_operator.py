@@ -226,3 +226,51 @@ def test_regressor_loss_weights_validation():
         PhysicsInformedRegressor(
             model=model_args.model, cp=cp, diff_eq_loss_weight=[1.0, 2.0]
         )
+
+
+def test_pinn_coarse_operator_inside_parareal():
+    """The north-star composition: a trained physics-informed surrogate
+    as the coarse operator inside the fully compiled Parareal."""
+    from pararealml_tpu.operators.ode import ODEOperator
+    from pararealml_tpu.operators.parareal import PararealOperator
+
+    np.random.seed(0)
+    r = 1.0
+    cp = ConstrainedProblem(PopulationGrowthEquation(r))
+    operator = PhysicsInformedMLOperator(
+        SAMPLER, 0.25, True, auto_regressive=True
+    )
+    training_y_0_functions = [
+        lambda _, _y_0=y_0: np.array([_y_0])
+        for y_0 in np.arange(0.5, 3.5, 0.25)
+    ]
+    operator.train(
+        cp,
+        (0.0, 0.25),
+        DataArgs(
+            y_0_functions=training_y_0_functions,
+            n_domain_points=50,
+            n_batches=1,
+        ),
+        OptimizationArgs(
+            optimizer=optax.adam(3e-3), epochs=400, verbose=0
+        ),
+        ModelArgs(
+            model=DeepONet(
+                branch_net=FNN([32, 16]),
+                trunk_net=FNN([32, 16]),
+                combiner_net=FNN([32, 1]),
+                branch_net_input_size=1,
+            )
+        ),
+    )
+
+    fine = ODEOperator("RK45", 0.005, rtol=1e-10, atol=1e-13)
+    parareal = PararealOperator(
+        fine, operator, 1e-9, num_time_slices=8
+    )
+    ic = ContinuousInitialCondition(cp, lambda _: np.array([1.0]))
+    ivp = InitialValueProblem(cp, (0.0, 2.0), ic)
+    fine_y = fine.solve(ivp).discrete_y()
+    parareal_y = parareal.solve(ivp).discrete_y()
+    assert np.allclose(parareal_y, fine_y, atol=1e-5)
