@@ -10,8 +10,8 @@ cp = ConstrainedProblem(diff_eq)
 ic = ContinuousInitialCondition(cp, lambda _: np.ones(3))
 ivp = InitialValueProblem(cp, (0.0, 40.0), ic)
 
-f = ODEOperator("RK45", 1e-6)
-g = ODEOperator("RK45", 1e-5)
+f = ODEOperator("RK45", 1e-5)
+g = ODEOperator("RK45", 1e-4)
 p = PararealOperator(f, g, 0.5)
 
 solution = p.solve(ivp)

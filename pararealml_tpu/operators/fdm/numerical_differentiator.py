@@ -466,7 +466,14 @@ class NumericalDifferentiator:
         vector_laplacian_ind: int,
         derivative_boundary_constraints=None,
     ) -> jax.Array:
-        """One component of the vector Laplacian of the vector field y."""
+        """One component of the vector Laplacian of the vector field y.
+
+        Note: in spherical coordinates the reference assigns the three
+        component formulas cyclically mis-rotated across the indices
+        (numerical_differentiator.py:773-841 puts the r-component
+        expression under index 1); this implementation uses the standard
+        assignment (r, azimuthal theta, polar phi at indices 0, 1, 2).
+        """
         self._check_vector_field(y, mesh)
         if not 0 <= vector_laplacian_ind < mesh.dimensions:
             raise ValueError(
