@@ -263,18 +263,32 @@ def build_fused_diffusion_rk4_trajectory(
         ghost_col_mask = ghost_col_mask_ref[:]
         ghost_col_vals = ghost_col_vals_ref[:]
 
-        row_index = jax.lax.broadcasted_iota(
-            jnp.int32, (padded_height, padded_width), 0
-        )
-        col_index = jax.lax.broadcasted_iota(
-            jnp.int32, (padded_height, padded_width), 1
-        )
-        interior = (row_index < height) & (col_index < width)
-
         def apply_dirichlet(state):
             return jnp.where(dir_mask, dir_vals, state)
 
+        zero_row = jnp.zeros((1, padded_width), dtype)
+        zero_col = jnp.zeros((padded_height, 1), dtype)
+        row_pad = jnp.zeros(
+            (padded_height - height, padded_width), dtype
+        )
+        col_pad = jnp.zeros((padded_height, padded_width - width), dtype)
+
         def laplacian(state):
+            # shifted copies with implicit zero ghosts; the Neumann
+            # ghost contributions are added back as single-row/column
+            # corrections afterwards (full-grid masked selects are an
+            # order of magnitude more VPU work than 1D fixes), and the
+            # padding block is zeroed so the padding region of the state
+            # stays identically zero and never feeds back through the
+            # shifts
+            above = jnp.concatenate([zero_row, state[:-1, :]], axis=0)
+            below = jnp.concatenate([state[1:, :], zero_row], axis=0)
+            left = jnp.concatenate([zero_col, state[:, :-1]], axis=1)
+            right = jnp.concatenate([state[:, 1:], zero_col], axis=1)
+            lap = (above - 2.0 * state + below) * inv_dx0_sqr + (
+                left - 2.0 * state + right
+            ) * inv_dx1_sqr
+
             ghost_top = jnp.where(
                 ghost_row_mask[0],
                 state[1, :] - two_dx0 * ghost_row_vals[0],
@@ -285,17 +299,15 @@ def build_fused_diffusion_rk4_trajectory(
                 state[height - 2, :] + two_dx0 * ghost_row_vals[1],
                 0.0,
             )
-            above = jnp.where(
-                row_index == 0,
-                ghost_top[jnp.newaxis, :],
-                jnp.roll(state, 1, axis=0),
-            )
-            below = jnp.where(
-                row_index == height - 1,
-                ghost_bottom[jnp.newaxis, :],
-                jnp.roll(state, -1, axis=0),
-            )
-            lap = (above - 2.0 * state + below) * inv_dx0_sqr
+            row_parts = [
+                lap[0:1, :] + ghost_top[jnp.newaxis] * inv_dx0_sqr,
+                lap[1: height - 1, :],
+                lap[height - 1: height, :]
+                + ghost_bottom[jnp.newaxis] * inv_dx0_sqr,
+            ]
+            if padded_height > height:
+                row_parts.append(row_pad)
+            lap = jnp.concatenate(row_parts, axis=0)
 
             ghost_left = jnp.where(
                 ghost_col_mask[0],
@@ -307,18 +319,16 @@ def build_fused_diffusion_rk4_trajectory(
                 state[:, width - 2] + two_dx1 * ghost_col_vals[1],
                 0.0,
             )
-            left = jnp.where(
-                col_index == 0,
-                ghost_left[:, jnp.newaxis],
-                jnp.roll(state, 1, axis=1),
-            )
-            right = jnp.where(
-                col_index == width - 1,
-                ghost_right[:, jnp.newaxis],
-                jnp.roll(state, -1, axis=1),
-            )
-            lap = lap + (left - 2.0 * state + right) * inv_dx1_sqr
-            return jnp.where(interior, d * lap, 0.0)
+            col_parts = [
+                lap[:, 0:1] + ghost_left[:, jnp.newaxis] * inv_dx1_sqr,
+                lap[:, 1: width - 1],
+                lap[:, width - 1: width]
+                + ghost_right[:, jnp.newaxis] * inv_dx1_sqr,
+            ]
+            if padded_width > width:
+                col_parts.append(col_pad)
+            lap = jnp.concatenate(col_parts, axis=1)
+            return d * lap
 
         def rk4(state):
             k1 = d_t * laplacian(state)
