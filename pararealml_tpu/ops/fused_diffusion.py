@@ -36,7 +36,7 @@ _MAX_VMEM_CELLS = 512 * 1024
 
 
 def fused_diffusion_step_applicable(
-    cp: ConstrainedProblem, integrator, dtype=jnp.float32
+    cp: ConstrainedProblem, integrator
 ) -> bool:
     """Whether the fused kernel reproduces the generic path exactly for
     this problem."""
@@ -56,7 +56,7 @@ def fused_diffusion_step_applicable(
     )
 
 
-def _face_vectors(pair, length: int, axis_in_face: int):
+def _face_vectors(pair, length: int):
     """Extracts the dense (mask, values) vectors of both sides of a
     boundary constraint pair (zero-mask when a side is None)."""
     sides = []
@@ -180,10 +180,10 @@ def _constraint_tensors(cp: ConstrainedProblem):
 
     d_y = cp.static_boundary_vertex_constraints.d_y
     (row_lo_mask, row_lo_vals), (row_hi_mask, row_hi_vals) = (
-        _face_vectors(d_y[0], width, 0)
+        _face_vectors(d_y[0], width)
     )
     (col_lo_mask, col_lo_vals), (col_hi_mask, col_hi_vals) = (
-        _face_vectors(d_y[1], height, 1)
+        _face_vectors(d_y[1], height)
     )
     return dict(
         dir_mask=jnp.asarray(dir_mask),
