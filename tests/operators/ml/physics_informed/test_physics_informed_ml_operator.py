@@ -6,7 +6,6 @@ import pytest
 from pararealml_tpu import (
     ConstrainedProblem,
     ContinuousInitialCondition,
-    ConvectionDiffusionEquation,
     DiffusionEquation,
     DirichletBoundaryCondition,
     InitialValueProblem,

@@ -11,7 +11,6 @@ from pararealml_tpu import (
     LotkaVolterraEquation,
     Mesh,
     NeumannBoundaryCondition,
-    PopulationGrowthEquation,
 )
 from pararealml_tpu.operators.fdm import (
     FDMOperator,
