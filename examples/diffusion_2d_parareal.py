@@ -1,3 +1,6 @@
+# Reproduces the corresponding reference example's problem
+# configuration (/root/reference/examples/) so results and
+# tolerances are directly comparable.
 import _common  # noqa: F401
 import numpy as np
 

@@ -79,8 +79,9 @@ class FDMOperator(JaxOperator):
         :param d_t: the temporal step size
         :param fused_kernels: whether to use hand-fused Pallas TPU
             kernels for step computations on the problem classes they
-            cover (currently single-component 2D Cartesian diffusion with
-            static boundary conditions under RK4 in float32); the generic
+            cover (currently single-component 2D Cartesian diffusion
+            and convection-diffusion with static boundary conditions
+            under RK4 in float32); the generic
             jnp path is used otherwise
         """
         super().__init__(d_t, True)

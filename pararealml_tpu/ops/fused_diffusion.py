@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernel for the 2D diffusion RK4 step.
+"""Fused Pallas TPU kernels for 2D diffusion-family RK4 steps.
 
 The generic FDM path builds each Laplacian from padded/concatenated
 shifted arrays; XLA materializes many of those intermediates, so a full
@@ -10,15 +10,15 @@ write of the result, which is the speed-of-light traffic for a stencil
 time step.
 
 Applicability (checked by :func:`fused_diffusion_step_applicable`): a
-single-component 2D Cartesian ``DiffusionEquation`` problem with static
-boundary conditions, solved with RK4 — the reference's flagship
+single-component 2D Cartesian ``DiffusionEquation`` or
+``ConvectionDiffusionEquation`` problem with static boundary conditions,
+solved with RK4 — the reference's flagship
 benchmark configuration (examples/diffusion_2d_parareal.py). Everything
 else falls back to the fully general jnp path.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -27,7 +27,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from pararealml_tpu.constrained_problem import ConstrainedProblem
-from pararealml_tpu.differential_equation import DiffusionEquation
+from pararealml_tpu.differential_equation import (
+    ConvectionDiffusionEquation,
+    DiffusionEquation,
+)
 from pararealml_tpu.mesh import CoordinateSystem
 
 # VMEM is ~16 MB per core; the kernel holds roughly 6 live (H, W) f32
@@ -45,7 +48,9 @@ def fused_diffusion_step_applicable(
     diff_eq = cp.differential_equation
     return (
         not jax.config.read("jax_enable_x64")
-        and isinstance(diff_eq, DiffusionEquation)
+        and isinstance(
+            diff_eq, (DiffusionEquation, ConvectionDiffusionEquation)
+        )
         and isinstance(integrator, RK4)
         and diff_eq.x_dimension == 2
         and diff_eq.y_dimension == 1
@@ -71,94 +76,6 @@ def _face_vectors(pair, length: int):
             values = np.asarray(side_constraint.values).reshape(length)
             sides.append((mask, values))
     return sides
-
-
-def _diffusion_rk4_kernel(
-    y_ref,
-    dir_mask_ref,
-    dir_vals_ref,
-    ghost_row_mask_ref,  # (2, W): axis-0 lower/upper Neumann masks
-    ghost_row_vals_ref,  # (2, W)
-    ghost_col_mask_ref,  # (2, H)
-    ghost_col_vals_ref,  # (2, H)
-    out_ref,
-    *,
-    d: float,
-    d_t: float,
-    d_x0: float,
-    d_x1: float,
-    height: int,
-    width: int,
-):
-    y = y_ref[:]
-    dir_mask = dir_mask_ref[:]
-    dir_vals = dir_vals_ref[:]
-    ghost_row_mask = ghost_row_mask_ref[:]
-    ghost_row_vals = ghost_row_vals_ref[:]
-    ghost_col_mask = ghost_col_mask_ref[:]
-    ghost_col_vals = ghost_col_vals_ref[:]
-
-    row_index = jax.lax.broadcasted_iota(
-        jnp.int32, (height, width), 0
-    )
-    col_index = jax.lax.broadcasted_iota(
-        jnp.int32, (height, width), 1
-    )
-    inv_dx0_sqr = 1.0 / (d_x0 * d_x0)
-    inv_dx1_sqr = 1.0 / (d_x1 * d_x1)
-
-    def apply_dirichlet(state):
-        return jnp.where(dir_mask, dir_vals, state)
-
-    def laplacian(state):
-        # axis 0 (rows): shifted copies with Neumann ghost rows — ghost
-        # = inner-adjacent value offset by +/- 2*d_x * constrained
-        # normal derivative where constrained, zero elsewhere
-        above = jnp.roll(state, 1, axis=0)
-        below = jnp.roll(state, -1, axis=0)
-        ghost_top = jnp.where(
-            ghost_row_mask[0],
-            state[1, :] - 2.0 * d_x0 * ghost_row_vals[0],
-            0.0,
-        )
-        ghost_bottom = jnp.where(
-            ghost_row_mask[1],
-            state[height - 2, :] + 2.0 * d_x0 * ghost_row_vals[1],
-            0.0,
-        )
-        above = jnp.where(row_index == 0, ghost_top[None, :], above)
-        below = jnp.where(
-            row_index == height - 1, ghost_bottom[None, :], below
-        )
-        lap = (above - 2.0 * state + below) * inv_dx0_sqr
-
-        # axis 1 (columns)
-        left = jnp.roll(state, 1, axis=1)
-        right = jnp.roll(state, -1, axis=1)
-        ghost_left = jnp.where(
-            ghost_col_mask[0],
-            state[:, 1] - 2.0 * d_x1 * ghost_col_vals[0],
-            0.0,
-        )
-        ghost_right = jnp.where(
-            ghost_col_mask[1],
-            state[:, width - 2] + 2.0 * d_x1 * ghost_col_vals[1],
-            0.0,
-        )
-        left = jnp.where(col_index == 0, ghost_left[:, None], left)
-        right = jnp.where(
-            col_index == width - 1, ghost_right[:, None], right
-        )
-        lap = lap + (left - 2.0 * state + right) * inv_dx1_sqr
-        return d * lap
-
-    k1 = d_t * laplacian(y)
-    k2 = d_t * laplacian(apply_dirichlet(y + 0.5 * k1))
-    k3 = d_t * laplacian(apply_dirichlet(y + 0.5 * k2))
-    k4 = d_t * laplacian(apply_dirichlet(y + k3))
-    out_ref[:] = apply_dirichlet(
-        y + (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
-    )
 
 
 def _constraint_tensors(cp: ConstrainedProblem):
@@ -239,8 +156,15 @@ def build_fused_diffusion_rk4_trajectory(
     padded_width = -(-width // 128) * 128
 
     d = float(diffusion_coefficient)
+    if isinstance(diff_eq, ConvectionDiffusionEquation):
+        velocity = tuple(float(v) for v in diff_eq._velocity)
+    else:
+        velocity = (0.0, 0.0)
+    has_convection = any(v != 0.0 for v in velocity)
     inv_dx0_sqr = 1.0 / float(d_x0) ** 2
     inv_dx1_sqr = 1.0 / float(d_x1) ** 2
+    inv_two_dx0 = 1.0 / (2.0 * float(d_x0))
+    inv_two_dx1 = 1.0 / (2.0 * float(d_x1))
     two_dx0 = 2.0 * float(d_x0)
     two_dx1 = 2.0 * float(d_x1)
 
@@ -328,7 +252,54 @@ def build_fused_diffusion_rk4_trajectory(
             if padded_width > width:
                 col_parts.append(col_pad)
             lap = jnp.concatenate(col_parts, axis=1)
-            return d * lap
+            rhs_value = d * lap
+
+            if has_convection:
+                # central first derivatives with the generic path's
+                # semantics: zero halos, boundary values overridden by
+                # the constrained normal derivative where one exists
+                gradient_0 = (below - above) * inv_two_dx0
+                gradient_0_parts = [
+                    jnp.where(
+                        ghost_row_mask[0],
+                        ghost_row_vals[0],
+                        gradient_0[0:1, :],
+                    ),
+                    gradient_0[1: height - 1, :],
+                    jnp.where(
+                        ghost_row_mask[1],
+                        ghost_row_vals[1],
+                        gradient_0[height - 1: height, :],
+                    ),
+                ]
+                if padded_height > height:
+                    gradient_0_parts.append(row_pad)
+                gradient_0 = jnp.concatenate(gradient_0_parts, axis=0)
+
+                gradient_1 = (right - left) * inv_two_dx1
+                gradient_1_parts = [
+                    jnp.where(
+                        ghost_col_mask[0],
+                        ghost_col_vals[0],
+                        gradient_1[:, 0],
+                    )[:, jnp.newaxis],
+                    gradient_1[:, 1: width - 1],
+                    jnp.where(
+                        ghost_col_mask[1],
+                        ghost_col_vals[1],
+                        gradient_1[:, width - 1],
+                    )[:, jnp.newaxis],
+                ]
+                if padded_width > width:
+                    gradient_1_parts.append(col_pad)
+                gradient_1 = jnp.concatenate(gradient_1_parts, axis=1)
+
+                rhs_value = (
+                    rhs_value
+                    - velocity[0] * gradient_0
+                    - velocity[1] * gradient_1
+                )
+            return rhs_value
 
         def rk4(state):
             k1 = d_t * laplacian(state)
@@ -444,48 +415,18 @@ def build_fused_diffusion_rk4_step(
     diffusion_coefficient: Optional[float] = None,
     interpret: bool = False,
 ):
-    """Builds ``step(y) -> y_next`` computing one fused RK4 diffusion
-    step; ``y`` has shape ``mesh.vertices_shape + (1,)``.
-
-    Set ``interpret=True`` to run the kernel in the Pallas interpreter
-    (for CPU testing).
-    """
-    diff_eq = cp.differential_equation
-    if diffusion_coefficient is None:
-        diffusion_coefficient = diff_eq._d
-    mesh = cp.mesh
-    height, width = mesh.vertices_shape
-    d_x0, d_x1 = mesh.d_x
-    dtype = jnp.float32
-    constants = _constraint_tensors(cp)
-
-    kernel = functools.partial(
-        _diffusion_rk4_kernel,
-        d=float(diffusion_coefficient),
-        d_t=float(d_t),
-        d_x0=float(d_x0),
-        d_x1=float(d_x1),
-        height=height,
-        width=width,
-    )
-
-    call = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((height, width), dtype),
+    """Builds ``step(y) -> y_next`` computing one fused RK4 step (the
+    single-step specialization of
+    :func:`build_fused_diffusion_rk4_trajectory`)."""
+    trajectory = build_fused_diffusion_rk4_trajectory(
+        cp,
+        d_t,
+        1,
+        diffusion_coefficient=diffusion_coefficient,
         interpret=interpret,
     )
 
-    def step(y: jax.Array) -> jax.Array:
-        y_2d = jnp.asarray(y, dtype).reshape(height, width)
-        out = call(
-            y_2d,
-            constants["dir_mask"],
-            constants["dir_vals"],
-            constants["ghost_row_mask"],
-            constants["ghost_row_vals"],
-            constants["ghost_col_mask"],
-            constants["ghost_col_vals"],
-        )
-        return out.reshape(height, width, 1).astype(y.dtype)
+    def step(y):
+        return trajectory(y)[0]
 
     return step

