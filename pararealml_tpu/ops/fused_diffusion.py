@@ -33,9 +33,11 @@ from pararealml_tpu.differential_equation import (
 )
 from pararealml_tpu.mesh import CoordinateSystem
 
-# VMEM is ~16 MB per core; the kernel holds roughly 6 live (H, W) f32
-# arrays plus slack.
-_MAX_VMEM_CELLS = 512 * 1024
+# VMEM is ~16 MB per core and the kernel holds ~10 live padded (H, W)
+# f32 arrays (state, shifts, stages, double-buffered scratch); grids up
+# to ~500x500 compile and run (empirically validated on v5e), larger
+# ones fall back to the generic path.
+_MAX_VMEM_CELLS = 504 * 512
 
 
 def fused_diffusion_step_applicable(
@@ -57,8 +59,13 @@ def fused_diffusion_step_applicable(
         and cp.mesh is not None
         and cp.mesh.coordinate_system_type == CoordinateSystem.CARTESIAN
         and cp.are_all_boundary_conditions_static
-        and int(np.prod(cp.mesh.vertices_shape)) <= _MAX_VMEM_CELLS
+        and _padded_cells(cp.mesh.vertices_shape) <= _MAX_VMEM_CELLS
     )
+
+
+def _padded_cells(shape) -> int:
+    height, width = shape
+    return (-(-height // 8) * 8) * (-(-width // 128) * 128)
 
 
 def _face_vectors(pair, length: int):
