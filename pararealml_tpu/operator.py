@@ -62,6 +62,7 @@ class JaxOperator(Operator):
         self,
         cp,
         t_interval: TemporalDomainInterval,
+        allow_fused: bool = True,
     ) -> Tuple[Callable[[jax.Array, jax.Array], jax.Array], np.ndarray]:
         """Returns ``(fn, t_coordinates)`` where ``fn(y_0, t_0)`` maps the
         (flattened-over-grid) initial state and the traced interval start
@@ -72,6 +73,11 @@ class JaxOperator(Operator):
         ``t_interval[0]`` (excluding the initial time). The function must
         be traceable for any ``t_0`` so Parareal can reuse one compiled
         instance for every time slice.
+
+        :param allow_fused: whether hand-fused kernels may be used; a
+            caller that needs to transform the function in ways fused
+            kernels do not support (e.g. ``vmap`` batching) passes
+            ``False``; operators without fused paths ignore it
         """
         raise NotImplementedError
 

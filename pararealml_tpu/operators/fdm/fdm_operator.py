@@ -112,25 +112,34 @@ class FDMOperator(JaxOperator):
             )
             y_0 = apply_constraints_along_last_axis(init_constraints, y_0)
 
+        # the cached problem object is stored alongside the compiled
+        # function, both to pin its id (CPython may otherwise reuse the
+        # address for a new problem, silently returning a stale solver)
+        # and to guard against id collisions explicitly
         cache_key = (
             id(cp),
             steps,
             round(float(t[0]), 12) if dynamic else None,
         )
-        if cache_key not in self._compiled_cache:
-            self._compiled_cache[cache_key] = jax.jit(
-                self._build_trajectory_fn(
-                    cp, float(t[0]), steps, static_only=not dynamic
-                )
+        entry = self._compiled_cache.get(cache_key)
+        if entry is None or entry[0] is not cp:
+            entry = (
+                cp,
+                jax.jit(
+                    self._build_trajectory_fn(
+                        cp, float(t[0]), steps, static_only=not dynamic
+                    )
+                ),
             )
+            self._compiled_cache[cache_key] = entry
 
-        ys = self._compiled_cache[cache_key](y_0, t[0])
+        ys = entry[1](y_0, t[0])
         return Solution(
             ivp, t[1:], np.asarray(ys), vertex_oriented=True, d_t=self._d_t
         )
 
     def trajectory_function(
-        self, cp, t_interval
+        self, cp, t_interval, allow_fused: bool = True
     ) -> Tuple[Callable, np.ndarray]:
         if (
             cp.differential_equation.x_dimension
@@ -143,7 +152,11 @@ class FDMOperator(JaxOperator):
         t = discretize_time_domain(t_interval, self._d_t)
         steps = len(t) - 1
         trajectory = self._build_trajectory_fn(
-            cp, float(t[0]), steps, static_only=True
+            cp,
+            float(t[0]),
+            steps,
+            static_only=True,
+            allow_fused=allow_fused,
         )
         return trajectory, t[1:]
 
@@ -155,11 +168,12 @@ class FDMOperator(JaxOperator):
         t_0: float,
         steps: int,
         static_only: bool,
+        allow_fused: bool = True,
     ) -> Callable:
         """Builds ``fn(y_0, t_0) -> ys`` for the whole trajectory: the
         fused multi-step Pallas kernel when applicable, otherwise a
         ``lax.scan`` over the per-step function."""
-        if self._fused_kernels and static_only:
+        if self._fused_kernels and allow_fused and static_only:
             from pararealml_tpu.ops.fused_diffusion import (
                 build_fused_diffusion_rk4_trajectory,
                 fused_diffusion_step_applicable,

@@ -590,7 +590,7 @@ class ODEOperator(JaxOperator):
         return d_y_over_d_t
 
     def trajectory_function(
-        self, cp, t_interval
+        self, cp, t_interval, allow_fused: bool = True
     ) -> Tuple[Callable, np.ndarray]:
         diff_eq = cp.differential_equation
         if diff_eq.x_dimension != 0:
@@ -626,14 +626,20 @@ class ODEOperator(JaxOperator):
             )
         t_offsets = tuple(np.round(t[1:] - t[0], 12))
 
+        # the equation object is stored with the compiled function to
+        # pin its id (CPython address reuse could otherwise alias a new
+        # equation onto a stale compiled solver) and to guard explicitly
         cache_key = (id(diff_eq), t_offsets)
-        if cache_key not in self._compiled_cache:
+        entry = self._compiled_cache.get(cache_key)
+        if entry is None or entry[0] is not diff_eq:
             fn = self._make_rhs_function(diff_eq)
-            self._compiled_cache[cache_key] = jax.jit(
-                self._build_integrator(fn, t[1:] - t[0])
+            entry = (
+                diff_eq,
+                jax.jit(self._build_integrator(fn, t[1:] - t[0])),
             )
+            self._compiled_cache[cache_key] = entry
 
-        integrate = self._compiled_cache[cache_key]
+        integrate = entry[1]
         y0 = jnp.asarray(ivp.initial_condition.discrete_y_0())
         ys, status = integrate(y0, t[0])
         status = int(status)

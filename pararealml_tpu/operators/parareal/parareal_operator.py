@@ -198,23 +198,15 @@ class PararealOperator(Operator):
 
         def build_trajectory(operator):
             # hand-fused Pallas kernels (DMA + scratch) do not support
-            # vmap batching; fall back to the generic path when slices
-            # are batched per device
+            # vmap batching; request the generic path when slices are
+            # batched per device
             sub_interval = (
                 t_interval[0],
                 t_interval[0] + slice_duration,
             )
-            if needs_vmap and getattr(
-                operator, "_fused_kernels", False
-            ):
-                operator._fused_kernels = False
-                try:
-                    return operator.trajectory_function(
-                        cp, sub_interval
-                    )[0]
-                finally:
-                    operator._fused_kernels = True
-            return operator.trajectory_function(cp, sub_interval)[0]
+            return operator.trajectory_function(
+                cp, sub_interval, allow_fused=not needs_vmap
+            )[0]
 
         fine_fn = build_trajectory(self._f)
         coarse_fn = build_trajectory(self._g)

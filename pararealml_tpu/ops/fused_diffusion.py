@@ -48,11 +48,13 @@ def fused_diffusion_step_applicable(
     from pararealml_tpu.operators.fdm.numerical_integrator import RK4
 
     diff_eq = cp.differential_equation
+    # exact-type check: a user subclass may override the symbolic
+    # equation system (e.g. add a reaction term) that the fused kernel
+    # would silently ignore
     return (
         not jax.config.read("jax_enable_x64")
-        and isinstance(
-            diff_eq, (DiffusionEquation, ConvectionDiffusionEquation)
-        )
+        and type(diff_eq)
+        in (DiffusionEquation, ConvectionDiffusionEquation)
         and isinstance(integrator, RK4)
         and diff_eq.x_dimension == 2
         and diff_eq.y_dimension == 1

@@ -289,3 +289,29 @@ def test_trajectory_function_rejects_dynamic_bcs():
     op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.1)
     with pytest.raises(ValueError):
         op.trajectory_function(cp, (0.0, 1.0))
+
+
+def test_compiled_cache_ignores_stale_id_collisions():
+    # an entry cached under a colliding id but for a DIFFERENT problem
+    # object must be rebuilt, not reused (the reference rebuilds its
+    # closures per solve, fdm_operator.py:48-77)
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.25, 0.25])
+    bcs = [(_zero_neumann(1),) * 2] * 2
+    cp_a = ConstrainedProblem(DiffusionEquation(2, 0.01), mesh, bcs)
+    cp_b = ConstrainedProblem(DiffusionEquation(2, 10.0), mesh, bcs)
+    ic = GaussianInitialCondition(
+        cp_b, [(np.full(2, 0.5), 0.05 * np.eye(2))], [1.0]
+    )
+    ivp_b = InitialValueProblem(cp_b, (0.0, 0.02), ic)
+
+    op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
+    steps = 2
+
+    def poisoned(y_0, t_0):  # pragma: no cover - must never run
+        raise AssertionError("stale cache entry was reused")
+
+    op._compiled_cache[(id(cp_b), steps, None)] = (cp_a, poisoned)
+    y = op.solve(ivp_b).discrete_y()
+    assert np.all(np.isfinite(y))
+    # the rebuilt entry now pins cp_b
+    assert op._compiled_cache[(id(cp_b), steps, None)][0] is cp_b

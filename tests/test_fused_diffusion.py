@@ -188,7 +188,11 @@ def test_fused_convection_diffusion_matches_generic():
     cp = ConstrainedProblem(
         ConvectionDiffusionEquation(2, [0.8, -0.4], 0.3), mesh, bcs
     )
-    assert fused_diffusion_step_applicable(cp, RK4()) or True
+    jax.config.update("jax_enable_x64", False)
+    try:
+        assert fused_diffusion_step_applicable(cp, RK4())
+    finally:
+        jax.config.update("jax_enable_x64", True)
 
     ic = GaussianInitialCondition(
         cp, [(np.full(2, 2.0), 0.5 * np.eye(2))], [10.0]
@@ -212,3 +216,25 @@ def test_fused_convection_diffusion_matches_generic():
     )
     ys_generic = np.asarray(generic_fn(y.astype(np.float64), 0.0))
     assert np.allclose(ys_fused, ys_generic, atol=1e-4, rtol=1e-4)
+
+
+def test_applicability_gate_rejects_diffusion_subclass():
+    # a subclass may override the symbolic equation system (e.g. add a
+    # reaction term) that the fused kernel would silently drop
+    from pararealml_tpu import DiffusionEquation as _DiffusionEquation
+
+    class ReactionDiffusionEquation(_DiffusionEquation):
+        pass
+
+    mesh = Mesh([(0.0, 4.0), (0.0, 4.0)], [0.25, 0.25])
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 1)), is_static=True
+    )
+    cp = ConstrainedProblem(
+        ReactionDiffusionEquation(2), mesh, [(bc, bc)] * 2
+    )
+    jax.config.update("jax_enable_x64", False)
+    try:
+        assert not fused_diffusion_step_applicable(cp, RK4())
+    finally:
+        jax.config.update("jax_enable_x64", True)
