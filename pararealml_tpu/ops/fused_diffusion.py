@@ -43,7 +43,8 @@ _MAX_VMEM_CELLS = 504 * 512
 def fused_diffusion_step_applicable(
     cp: ConstrainedProblem, integrator
 ) -> bool:
-    """Whether the fused kernel reproduces the generic path exactly for
+    """Whether a fused kernel (whole-grid-in-VMEM for small grids,
+    block-tiled for large ones) reproduces the generic path exactly for
     this problem."""
     from pararealml_tpu.operators.fdm.numerical_integrator import RK4
 
@@ -51,7 +52,7 @@ def fused_diffusion_step_applicable(
     # exact-type check: a user subclass may override the symbolic
     # equation system (e.g. add a reaction term) that the fused kernel
     # would silently ignore
-    return (
+    if not (
         not jax.config.read("jax_enable_x64")
         and type(diff_eq)
         in (DiffusionEquation, ConvectionDiffusionEquation)
@@ -61,7 +62,19 @@ def fused_diffusion_step_applicable(
         and cp.mesh is not None
         and cp.mesh.coordinate_system_type == CoordinateSystem.CARTESIAN
         and cp.are_all_boundary_conditions_static
-        and _padded_cells(cp.mesh.vertices_shape) <= _MAX_VMEM_CELLS
+    ):
+        return False
+    if _padded_cells(cp.mesh.vertices_shape) <= _MAX_VMEM_CELLS:
+        return True
+
+    from pararealml_tpu.ops.tiled_diffusion import (
+        dirichlet_is_face_only,
+        make_tile_plan,
+    )
+
+    return (
+        make_tile_plan(*cp.mesh.vertices_shape) is not None
+        and dirichlet_is_face_only(cp)
     )
 
 
@@ -153,6 +166,20 @@ def build_fused_diffusion_rk4_trajectory(
         diffusion_coefficient = diff_eq._d
     mesh = cp.mesh
     height, width = mesh.vertices_shape
+
+    if _padded_cells(mesh.vertices_shape) > _MAX_VMEM_CELLS:
+        # beyond VMEM: the overlapped row-tiling kernel
+        from pararealml_tpu.ops.tiled_diffusion import (
+            build_tiled_diffusion_rk4_trajectory,
+        )
+
+        return build_tiled_diffusion_rk4_trajectory(
+            cp,
+            d_t,
+            n_steps,
+            diffusion_coefficient=diffusion_coefficient,
+            interpret=interpret,
+        )
     d_x0, d_x1 = mesh.d_x
     constants = _constraint_tensors(cp)
     dtype = jnp.float32

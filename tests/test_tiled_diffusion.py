@@ -1,0 +1,120 @@
+import jax
+import numpy as np
+import pytest
+
+from pararealml_tpu import (
+    ConstrainedProblem,
+    ConvectionDiffusionEquation,
+    DiffusionEquation,
+    DirichletBoundaryCondition,
+    GaussianInitialCondition,
+    Mesh,
+    NeumannBoundaryCondition,
+)
+from pararealml_tpu.operators.fdm import (
+    FDMOperator,
+    RK4,
+    ThreePointCentralDifferenceMethod,
+)
+from pararealml_tpu.ops import fused_diffusion_step_applicable
+from pararealml_tpu.ops.tiled_diffusion import (
+    build_tiled_diffusion_rk4_trajectory,
+    dirichlet_is_face_only,
+    make_tile_plan,
+)
+
+
+def _build_cp(h_extent, w_extent, d_x, convection=False, flux=0.0):
+    if convection:
+        diff_eq = ConvectionDiffusionEquation(2, [0.8, -0.4], 0.3)
+    else:
+        diff_eq = DiffusionEquation(2, 0.3)
+    mesh = Mesh([(0.0, h_extent), (0.0, w_extent)], [d_x, d_x])
+    bcs = [
+        (
+            DirichletBoundaryCondition(
+                lambda x, t: np.full((len(x), 1), 1.5), is_static=True
+            ),
+        )
+        * 2,
+        (
+            NeumannBoundaryCondition(
+                lambda x, t: np.full((len(x), 1), flux), is_static=True
+            ),
+        )
+        * 2,
+    ]
+    return ConstrainedProblem(diff_eq, mesh, bcs)
+
+
+@pytest.mark.parametrize(
+    "h_extent,w_extent,d_x,convection,flux",
+    [
+        # (17, 33) grid: the clamped last tile has a single valid row
+        # and overlaps both global boundary rows
+        (4.0, 8.0, 0.25, False, 0.0),
+        (8.0, 4.0, 0.25, True, 0.2),
+        (10.0, 10.0, 0.125, False, 0.1),
+    ],
+)
+def test_tiled_trajectory_matches_generic(
+    h_extent, w_extent, d_x, convection, flux
+):
+    cp = _build_cp(h_extent, w_extent, d_x, convection, flux)
+    assert make_tile_plan(*cp.mesh.vertices_shape) is not None
+    ic = GaussianInitialCondition(
+        cp,
+        [(np.array([h_extent / 2, w_extent / 2]), np.eye(2))],
+        [20.0],
+    )
+    y = np.asarray(ic.discrete_y_0(True), np.float32)
+    d_t, steps = 0.005, 5
+
+    tiled = build_tiled_diffusion_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    ys_tiled = np.asarray(tiled(y))
+
+    generic_op = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        d_t,
+        fused_kernels=False,
+    )
+    generic_fn, _ = generic_op.trajectory_function(
+        cp, (0.0, steps * d_t)
+    )
+    ys_generic = np.asarray(generic_fn(y.astype(np.float64), 0.0))
+
+    assert ys_tiled.shape == ys_generic.shape
+    assert np.allclose(ys_tiled, ys_generic, atol=1e-4, rtol=1e-4)
+
+
+def test_tile_plan_geometry():
+    plan = make_tile_plan(641, 641)
+    assert plan is not None
+    # aligned, gap-free cover of the grid
+    assert all(s % 8 == 0 for s in plan.starts)
+    assert plan.starts[0] == 0
+    for prev, nxt in zip(plan.starts, plan.starts[1:]):
+        assert nxt <= prev + plan.block
+    assert plan.starts[-1] + plan.block == plan.h_traj >= 641
+    # far outside the supported range
+    assert make_tile_plan(10_000, 10_000) is None
+
+
+def test_applicability_extends_beyond_vmem_cap():
+    # 1025x1025 >> the whole-grid-in-VMEM cap; the tiled kernel must
+    # keep the fused path applicable (VERDICT.md item 3)
+    cp = _build_cp(10.0, 10.0, 10.0 / 1024.0)
+    assert cp.mesh.vertices_shape == (1025, 1025)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        assert fused_diffusion_step_applicable(cp, RK4())
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def test_dirichlet_face_only_detection():
+    cp = _build_cp(4.0, 8.0, 0.25)
+    assert dirichlet_is_face_only(cp)
