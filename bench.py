@@ -1,18 +1,32 @@
 """Benchmark driver.
 
 Measures the framework's headline performance on the hardware available
-to this process and prints ONE JSON line:
+to this process and prints ONE JSON line with the primary metric (plus
+an ``extra`` object carrying the secondary figures):
 
-- With >= 8 devices (TPU pod slice or virtual CPU mesh): the north-star
-  metric — Parareal speedup over the sequential fine FDM solve on the
-  reference's own diffusion_2d configuration
-  (/root/reference/examples/diffusion_2d_parareal.py), 8 time slices.
-- With a single device: the sequential fine FDM solve wall-clock speedup
-  over the reference's NumPy implementation running the identical
-  problem in-process (the reference publishes no numbers, SURVEY.md §6,
-  so the live reference run IS the baseline).
+- ``parareal_speedup...``: the north-star metric — Parareal speedup
+  over the sequential fine FDM solve on the reference's own
+  diffusion_2d configuration (/root/reference/examples/
+  diffusion_2d_parareal.py), 8 time slices. With >= 8 devices the
+  slices are sharded one per device; on a single chip they are
+  vmap-batched onto the one device (the time axis is still solved in
+  parallel — across the vector lanes instead of across chips).
+- ``extra.fine_fdm_speedup_vs_reference_numpy``: the sequential fine
+  FDM solve against the reference's NumPy implementation running the
+  identical problem in-process (the reference publishes no numbers,
+  SURVEY.md §6, so the live reference run IS the baseline).
+- ``extra.large_grid_*``: a 641x641 configuration where compute
+  dominates loop overhead — fused-tiled-kernel speedup over the
+  generic XLA path and achieved HBM traffic vs the chip's peak.
 
-All diagnostics go to stderr; stdout carries exactly one JSON line.
+Timing methodology: ``block_until_ready`` under-blocks through the
+remote-TPU tunnel used in this environment (it acks enqueue, not
+completion), so every measurement times to a *fetched scalar* — the
+benched function is wrapped to return a reduction of its result, and
+the wall clock stops when that scalar's value is on the host. The
+tunnel's scalar round-trip latency is measured separately and
+subtracted. All diagnostics go to stderr; stdout carries exactly one
+JSON line.
 """
 
 import json
@@ -21,16 +35,20 @@ import time
 
 import numpy as np
 
+V5E_HBM_PEAK_GB_S = 819.0  # v5e HBM bandwidth (public spec)
+
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def build_problem(module, t_end):
+def build_problem(module, t_end, d_x=0.5, extent=10.0, d=1.0):
     """Builds the reference diffusion_2d_parareal problem with the given
     package namespace (works for both implementations)."""
-    diff_eq = module["DiffusionEquation"](2)
-    mesh = module["Mesh"]([(0.0, 10.0), (0.0, 10.0)], [0.5, 0.5])
+    diff_eq = module["DiffusionEquation"](2, d)
+    mesh = module["Mesh"](
+        [(0.0, extent), (0.0, extent)], [d_x, d_x]
+    )
     bcs = [
         (
             module["DirichletBoundaryCondition"](
@@ -52,7 +70,7 @@ def build_problem(module, t_end):
     cp = module["ConstrainedProblem"](diff_eq, mesh, bcs)
     ic = module["GaussianInitialCondition"](
         cp,
-        [(np.array([5.0, 5.0]), np.eye(2))],
+        [(np.full(2, extent / 2.0), np.eye(2))],
         [1000.0],
     )
     return module["InitialValueProblem"](cp, (0.0, t_end), ic)
@@ -62,14 +80,44 @@ T_END = 40.0
 FINE_D_T = 0.001
 COARSE_D_T = 0.01
 TOLERANCE = 0.0025
+N_SLICES = 8
 
 
-def bench_tpu_parareal():
-    """Times the full solver computation with the result materialized in
-    device memory (``block_until_ready``), the analog of the reference's
-    wall-clock with the result materialized in host RAM. The device->host
-    copy is excluded: in this environment it crosses a network tunnel to
-    the remote TPU, which no deployment topology has."""
+class DeviceTimer:
+    """Times jitted device computations to a fetched scalar, minus the
+    host<->device scalar round-trip."""
+
+    def __init__(self):
+        import jax
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        probe = jax.jit(lambda y: jnp.sum(y))
+        z = jnp.ones((8, 128), jnp.float32)
+        float(probe(z))
+        samples = []
+        for _ in range(5):
+            start = time.perf_counter()
+            float(probe(z))
+            samples.append(time.perf_counter() - start)
+        self.round_trip = min(samples)
+        log(f"scalar round-trip: {self.round_trip * 1e3:.1f} ms")
+
+    def time(self, fn, *args, reps: int = 3) -> float:
+        """fn must return a scalar jax array; returns best-of wall time
+        to the fetched value, round-trip subtracted."""
+        float(fn(*args))  # warmup / compile
+        best = float("inf")
+        for _ in range(reps):
+            start = time.perf_counter()
+            float(fn(*args))
+            best = min(best, time.perf_counter() - start)
+        return max(best - self.round_trip, 1e-9)
+
+
+def bench_parareal(timer):
+    """The Parareal-vs-sequential-fine headline on the reference's own
+    diffusion_2d configuration."""
     import jax
     import jax.numpy as jnp
 
@@ -86,62 +134,123 @@ def bench_tpu_parareal():
     f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), FINE_D_T)
     g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), COARSE_D_T)
 
-    n_devices = jax.device_count()
-    log(f"devices: {n_devices} ({jax.devices()[0].platform})")
-
-    fine_fn, _ = f.trajectory_function(cp, (0.0, T_END))
-    fine_fn = jax.jit(fine_fn)
     y_0 = jnp.asarray(ivp.initial_condition.discrete_y_0(True))
-    fine_fn(y_0, 0.0).block_until_ready()  # compile warmup
-    start = time.perf_counter()
-    fine_y = fine_fn(y_0, 0.0)
-    fine_y.block_until_ready()
-    fine_time = time.perf_counter() - start
-    log(f"fine FDM solve (device-complete): {fine_time:.3f}s")
-    fine_solution = None
 
-    if n_devices >= 8:
-        parareal = PararealOperator(f, g, TOLERANCE, num_time_slices=8)
-        parareal.solve(ivp)  # compile warmup (same trace)
-        start = time.perf_counter()
-        parareal_solution = parareal.solve(ivp)
-        parareal_time = time.perf_counter() - start
-        log(f"parareal solve: {parareal_time:.3f}s")
-        max_diff = float(
-            np.abs(
-                parareal_solution.discrete_y() - np.asarray(fine_y)
-            ).max()
-        )
-        log(f"parareal vs fine max abs diff: {max_diff:.3e}")
-        speedup = fine_time / parareal_time
-        print(
-            json.dumps(
-                {
-                    "metric": "parareal_speedup_vs_sequential_fine_fdm"
-                    "_diffusion_2d",
-                    "value": round(speedup, 3),
-                    "unit": "x",
-                    "vs_baseline": round(speedup / 8.0, 3),
-                }
+    # sequential fine solve on the same compiled path the Parareal's
+    # fine solves use (generic; the fused kernel's extra edge is
+    # reported by the large-grid benchmark)
+    generic_f = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), FINE_D_T,
+        fused_kernels=False,
+    )
+    fine_fn, _ = generic_f.trajectory_function(cp, (0.0, T_END))
+    fine_scalar = jax.jit(lambda y: jnp.sum(fine_fn(y, 0.0)[-1]))
+    fine_time = timer.time(fine_scalar, y_0)
+    log(f"sequential fine FDM solve: {fine_time:.3f}s")
+
+    # fused sequential fine solve (the fastest single-chip baseline)
+    fused_fn, _ = f.trajectory_function(cp, (0.0, T_END))
+    fused_scalar = jax.jit(lambda y: jnp.sum(fused_fn(y, 0.0)[-1]))
+    fused_time = timer.time(fused_scalar, y_0)
+    log(f"sequential fine FDM solve (fused kernel): {fused_time:.3f}s")
+
+    parareal = PararealOperator(f, g, TOLERANCE, num_time_slices=N_SLICES)
+    parareal_fn, _ = parareal.trajectory_function(cp, (0.0, T_END))
+    parareal_scalar = jax.jit(
+        lambda y: jnp.sum(parareal_fn(y, jnp.asarray(0.0, y.dtype))[-1])
+    )
+
+    # correctness: full trajectories compared on device
+    fine_full = jax.jit(fine_fn)
+    diff_fn = jax.jit(
+        lambda y: jnp.max(
+            jnp.abs(
+                parareal_fn(y, jnp.asarray(0.0, y.dtype))
+                - fine_full(y, 0.0)
             )
         )
-        return
-
-    # single chip: compare the sequential fine solve against the
-    # reference NumPy implementation on the identical problem
-    ref_time = bench_reference_fine()
-    speedup = ref_time / fine_time
-    print(
-        json.dumps(
-            {
-                "metric": "fine_fdm_diffusion_2d_speedup_vs_reference"
-                "_numpy",
-                "value": round(speedup, 3),
-                "unit": "x",
-                "vs_baseline": round(speedup, 3),
-            }
-        )
     )
+    max_diff = float(diff_fn(y_0))
+    log(f"parareal vs fine max abs diff: {max_diff:.3e}")
+
+    parareal_time = timer.time(parareal_scalar, y_0)
+    log(
+        f"parareal solve ({N_SLICES} slices on "
+        f"{jax.device_count()} device(s)): {parareal_time:.3f}s; "
+        f"sequential fine: {fine_time:.3f}s"
+    )
+    speedup = fine_time / parareal_time
+    return {
+        "speedup": speedup,
+        "fine_time_s": fine_time,
+        "fused_fine_time_s": fused_time,
+        "parareal_time_s": parareal_time,
+        "max_diff_vs_fine": max_diff,
+    }
+
+
+def bench_large_grid(timer):
+    """Fused tiled kernel vs generic path at 641x641, with achieved HBM
+    traffic vs peak."""
+    import jax
+    import jax.numpy as jnp
+
+    import pararealml_tpu as prml
+    from pararealml_tpu.operators.fdm import (
+        FDMOperator,
+        RK4,
+        ThreePointCentralDifferenceMethod,
+    )
+    from pararealml_tpu.ops.tiled_diffusion import make_tile_plan
+
+    n = 641
+    steps = 500
+    d_t = 1e-4
+    ivp = build_problem(
+        vars(prml), steps * d_t, d_x=10.0 / (n - 1), d=0.05
+    )
+    cp = ivp.constrained_problem
+    y_0 = jnp.asarray(
+        np.asarray(ivp.initial_condition.discrete_y_0(True), np.float32)
+    )
+
+    fused_op = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), d_t
+    )
+    generic_op = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), d_t,
+        fused_kernels=False,
+    )
+    fused_fn, _ = fused_op.trajectory_function(cp, (0.0, steps * d_t))
+    generic_fn, _ = generic_op.trajectory_function(
+        cp, (0.0, steps * d_t)
+    )
+    fused_scalar = jax.jit(lambda y: jnp.sum(fused_fn(y, 0.0)[-1]))
+    generic_scalar = jax.jit(lambda y: jnp.sum(generic_fn(y, 0.0)[-1]))
+
+    fused_time = timer.time(fused_scalar, y_0)
+    generic_time = timer.time(generic_scalar, y_0)
+
+    state_bytes = n * n * 4
+    plan = make_tile_plan(n, n)
+    # modeled tiled-kernel traffic: halo'd read + state write + traj
+    # write per step
+    traffic = steps * state_bytes * (plan.tile_h / plan.block + 2.0)
+    achieved_gb_s = traffic / fused_time / 1e9
+    log(
+        f"large grid {n}x{n}, {steps} steps: fused {fused_time:.3f}s "
+        f"({achieved_gb_s:.0f} GB/s, "
+        f"{achieved_gb_s / V5E_HBM_PEAK_GB_S:.1%} of v5e peak), "
+        f"generic {generic_time:.3f}s "
+        f"-> {generic_time / fused_time:.2f}x"
+    )
+    return {
+        "fused_speedup_vs_generic": generic_time / fused_time,
+        "achieved_hbm_gb_s": achieved_gb_s,
+        "hbm_peak_fraction": achieved_gb_s / V5E_HBM_PEAK_GB_S,
+        "fused_time_s": fused_time,
+        "generic_time_s": generic_time,
+    }
 
 
 def bench_reference_fine() -> float:
@@ -153,13 +262,14 @@ def bench_reference_fine() -> float:
     sys.path.insert(0, "/root/reference")
     try:
         import pararealml as ref
+
+        namespace = dict(vars(ref))
         from pararealml.operators.fdm import (
             FDMOperator as RefFDMOperator,
             RK4 as RefRK4,
             ThreePointCentralDifferenceMethod as RefDiff,
         )
 
-        namespace = dict(vars(ref))
         ref_t_end = 4.0
         ivp = build_problem(namespace, ref_t_end)
         op = RefFDMOperator(RefRK4(), RefDiff(), FINE_D_T)
@@ -172,9 +282,60 @@ def bench_reference_fine() -> float:
             f"-> {scaled:.3f}s extrapolated to T={T_END}"
         )
         return scaled
+    except Exception as error:  # reference not mounted / incompatible
+        log(f"reference benchmark unavailable: {error!r}")
+        return float("nan")
     finally:
         sys.path.remove("/root/reference")
 
 
+def main():
+    import jax
+
+    n_devices = jax.device_count()
+    log(f"devices: {n_devices} ({jax.devices()[0].platform})")
+    timer = DeviceTimer()
+
+    parareal = bench_parareal(timer)
+    large = bench_large_grid(timer)
+    ref_time = bench_reference_fine()
+
+    extra = {
+        "devices": n_devices,
+        "fine_fdm_speedup_vs_reference_numpy": (
+            round(ref_time / parareal["fine_time_s"], 3)
+            if np.isfinite(ref_time)
+            else None
+        ),
+        "fused_sequential_fine_time_s": round(
+            parareal["fused_fine_time_s"], 4
+        ),
+        "parareal_max_diff_vs_fine": parareal["max_diff_vs_fine"],
+        "large_grid_fused_speedup_vs_generic": round(
+            large["fused_speedup_vs_generic"], 3
+        ),
+        "large_grid_achieved_hbm_gb_s": round(
+            large["achieved_hbm_gb_s"], 1
+        ),
+        "large_grid_hbm_peak_fraction": round(
+            large["hbm_peak_fraction"], 4
+        ),
+    }
+    speedup = parareal["speedup"]
+    suffix = "" if n_devices >= N_SLICES else "_single_chip_vmap"
+    print(
+        json.dumps(
+            {
+                "metric": "parareal_speedup_vs_sequential_fine_fdm"
+                f"_diffusion_2d{suffix}",
+                "value": round(speedup, 3),
+                "unit": "x",
+                "vs_baseline": round(speedup / 8.0, 3),
+                "extra": extra,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    bench_tpu_parareal()
+    main()

@@ -189,7 +189,8 @@ class FDMOperator(JaxOperator):
                 return lambda y_init, t_start: fused_trajectory(y_init)
 
         step_fn = self._build_step_function(
-            cp, t_0, steps, static_only=static_only
+            cp, t_0, steps, static_only=static_only,
+            allow_fused=allow_fused,
         )
         d_t = self._d_t
 
@@ -214,10 +215,11 @@ class FDMOperator(JaxOperator):
         t_0: float,
         steps: int,
         static_only: bool,
+        allow_fused: bool = True,
     ) -> Callable:
         """Builds ``step(y, i, t_i) -> y_next`` for one time step, with
         all constraint data resolved to traceable tensors."""
-        if self._fused_kernels and static_only:
+        if self._fused_kernels and allow_fused and static_only:
             from pararealml_tpu.ops.fused_diffusion import (
                 build_fused_diffusion_rk4_step,
                 fused_diffusion_step_applicable,

@@ -48,7 +48,7 @@ TerminationCondition = Union[
 ]
 
 
-class PararealOperator(Operator):
+class PararealOperator(JaxOperator):
     """A parallel-in-time solver framework composing a fine and a coarse
     operator over the slices of the time domain."""
 
@@ -82,6 +82,7 @@ class PararealOperator(Operator):
         self._max_iterations = max_iterations
         self._devices = list(devices) if devices is not None else None
         self._num_time_slices = num_time_slices
+        self._compiled_cache = {}
 
     @property
     def f(self) -> Operator:
@@ -193,19 +194,61 @@ class PararealOperator(Operator):
         vertex_oriented = self._vertex_oriented
         t_interval = ivp.t_interval
 
+        y_0 = jnp.asarray(
+            ivp.initial_condition.discrete_y_0(vertex_oriented)
+        )
+
+        program = self._compiled_program(cp, n, slice_duration, y_0)
+        y_fine = program(
+            y_0, jnp.asarray(t_interval[0], y_0.dtype)
+        )
+
+        t = discretize_time_domain(t_interval, self._f.d_t)[1:]
+        return Solution(
+            ivp,
+            t,
+            np.asarray(y_fine),
+            vertex_oriented=vertex_oriented,
+            d_t=self._f.d_t,
+        )
+
+    def _compiled_program(self, cp, n: int, slice_duration: float, y_0):
+        """Returns the jitted ``(y_0, t_0) -> y_fine`` shard_map Parareal
+        program, cached per problem/decomposition (the problem object is
+        stored to pin its id against CPython address reuse)."""
+        cache_key = (
+            id(cp),
+            n,
+            round(float(slice_duration), 12),
+            str(jnp.result_type(y_0)),
+        )
+        entry = self._compiled_cache.get(cache_key)
+        if entry is None or entry[0] is not cp:
+            entry = (
+                cp,
+                self._build_compiled_program(
+                    cp, n, slice_duration, y_0
+                ),
+            )
+            self._compiled_cache[cache_key] = entry
+        return entry[1]
+
+    def _build_compiled_program(
+        self, cp, n: int, slice_duration: float, y_0
+    ):
         n_devices_for_build = self._mesh_device_count(n)
         needs_vmap = n // n_devices_for_build > 1
 
         def build_trajectory(operator):
             # hand-fused Pallas kernels (DMA + scratch) do not support
             # vmap batching; request the generic path when slices are
-            # batched per device
-            sub_interval = (
-                t_interval[0],
-                t_interval[0] + slice_duration,
-            )
+            # batched per device. The sub-trajectory functions take the
+            # absolute slice start time as a traced argument, so the
+            # interval here only fixes the duration.
             return operator.trajectory_function(
-                cp, sub_interval, allow_fused=not needs_vmap
+                cp,
+                (0.0, slice_duration),
+                allow_fused=not needs_vmap,
             )[0]
 
         fine_fn = build_trajectory(self._f)
@@ -224,12 +267,8 @@ class PararealOperator(Operator):
         tolerances = self._tolerance_vector(
             cp.differential_equation.y_dimension
         )
-        t_0 = float(t_interval[0])
         delta = float(slice_duration)
 
-        y_0 = jnp.asarray(ivp.initial_condition.discrete_y_0(
-            vertex_oriented
-        ))
         y_shape = y_0.shape
 
         def termination(old_ends, new_ends):
@@ -245,7 +284,7 @@ class PararealOperator(Operator):
                 max_rms < jnp.asarray(tolerances, diff.dtype)
             )
 
-        def coarse_end(y_start, slice_index):
+        def coarse_end(y_start, slice_index, t_0):
             return coarse_fn(y_start, t_0 + slice_index * delta)[-1]
 
         fine_steps = self._fine_steps(slice_duration)
@@ -258,7 +297,7 @@ class PararealOperator(Operator):
         else:
             batched_fine = jax.vmap(fine_fn)
 
-        def program(y_init):
+        def program(y_init, t_0):
             device_index = jax.lax.axis_index("time")
             first_slice = device_index * slices_per_device
             local_slice_offsets = jnp.arange(slices_per_device)
@@ -266,7 +305,7 @@ class PararealOperator(Operator):
 
             # initial coarse sweep, replicated on every device
             def sweep(y, j):
-                y_end = coarse_end(y, j)
+                y_end = coarse_end(y, j, t_0)
                 return y_end, y_end
 
             _, coarse_ends = jax.lax.scan(
@@ -303,7 +342,7 @@ class PararealOperator(Operator):
 
                     def corrective_sweep(j, state):
                         y_borders, coarse_ends = state
-                        re_predicted = coarse_end(y_borders[j], j)
+                        re_predicted = coarse_end(y_borders[j], j, t_0)
                         new_coarse_end = jnp.where(
                             j > i, re_predicted, coarse_ends[j]
                         )
@@ -358,20 +397,45 @@ class PararealOperator(Operator):
         sharded_program = shard_map(
             program,
             mesh=mesh,
-            in_specs=P(),
+            in_specs=(P(), P()),
             out_specs=P("time"),
             check_rep=False,
         )
-        y_fine = jax.jit(sharded_program)(y_0)
+        return jax.jit(sharded_program)
 
-        t = discretize_time_domain(t_interval, self._f.d_t)[1:]
-        return Solution(
-            ivp,
-            t,
-            np.asarray(y_fine),
-            vertex_oriented=vertex_oriented,
-            d_t=self._f.d_t,
+    def trajectory_function(
+        self, cp, t_interval, allow_fused: bool = True
+    ):
+        """The whole Parareal solve as one jittable ``(y_0, t_0) -> ys``
+        program over the device mesh, so Parareal composes into larger
+        compiled programs (and nests, like the reference's
+        operator-in-operator composition,
+        /root/reference/pararealml/operators/parareal/
+        parareal_operator.py:13-46)."""
+        n = self._num_time_slices
+        if n is None:
+            n = (
+                len(self._devices)
+                if self._devices is not None
+                else jax.device_count()
+            )
+        if not self._can_compile(cp, n):
+            raise ValueError(
+                "this Parareal configuration cannot be expressed as a "
+                "single compiled program (callable termination "
+                "condition, non-jax operators, or dynamic boundary "
+                "conditions)"
+            )
+        slice_duration = (t_interval[1] - t_interval[0]) / n
+        y_shape = tuple(cp.y_shape(True)) if (
+            cp.differential_equation.x_dimension
+        ) else (cp.differential_equation.y_dimension,)
+        y_probe = jnp.zeros(y_shape)
+        program = self._compiled_program(
+            cp, n, slice_duration, y_probe
         )
+        t = discretize_time_domain(t_interval, self._f.d_t)
+        return program, t[1:]
 
     def _fine_steps(self, slice_duration: float) -> int:
         return round(slice_duration / self._f.d_t)
