@@ -205,3 +205,60 @@ def test_dop853_population_growth_analytic():
     assert np.allclose(
         solution.discrete_y()[:, 0], y_0 * np.exp(r * t), rtol=1e-8
     )
+
+
+def test_radau_stiff_van_der_pol_matches_scipy():
+    from scipy.integrate import solve_ivp
+
+    from pararealml_tpu import VanDerPolEquation
+
+    mu = 1000.0
+    cp = ConstrainedProblem(VanDerPolEquation(mu))
+    ic = ContinuousInitialCondition(cp, lambda x: np.array([2.0, 0.0]))
+    t_end = 100.0
+    ivp = InitialValueProblem(cp, (0.0, t_end), ic)
+
+    solution = ODEOperator(
+        "Radau", 5.0, rtol=1e-8, atol=1e-10
+    ).solve(ivp)
+
+    reference = solve_ivp(
+        lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
+        (0.0, t_end),
+        [2.0, 0.0],
+        method="Radau",
+        t_eval=solution.t_coordinates,
+        rtol=1e-8,
+        atol=1e-10,
+    )
+    assert np.allclose(
+        solution.discrete_y(), reference.y.T, atol=1e-6
+    )
+
+
+def test_radau_population_growth_analytic():
+    r, y_0 = 1.5, 2.0
+    cp = ConstrainedProblem(PopulationGrowthEquation(r))
+    ic = ContinuousInitialCondition(cp, lambda x: np.array([y_0]))
+    ivp = InitialValueProblem(cp, (0.0, 2.0), ic)
+    solution = ODEOperator(
+        "Radau", 0.1, rtol=1e-8, atol=1e-10
+    ).solve(ivp)
+    t = solution.t_coordinates
+    assert np.allclose(
+        solution.discrete_y()[:, 0], y_0 * np.exp(r * t), rtol=1e-6
+    )
+
+
+def test_radau_trajectory_function_is_jittable():
+    import jax
+    import jax.numpy as jnp
+
+    cp = ConstrainedProblem(PopulationGrowthEquation(1.0))
+    op = ODEOperator("Radau", 0.1, rtol=1e-7, atol=1e-9)
+    fn, t = op.trajectory_function(cp, (0.0, 1.0))
+    ys = jax.jit(fn)(jnp.array([1.0]), jnp.asarray(0.0))
+    assert ys.shape == (len(t), 1)
+    assert np.allclose(
+        np.asarray(ys)[:, 0], np.exp(t), rtol=1e-6
+    )
