@@ -271,3 +271,144 @@ def test_neumann_halos_in_second_derivative():
     x = mesh.vertex_coordinate_grids[0][..., None]
     second = DIFF.hessian(x.copy(), mesh, 0, 0, d_y_bcs)
     assert np.allclose(np.asarray(second), 0.0)
+
+
+# -- spherical analytic oracles ---------------------------------------------
+# Fields are defined by their Cartesian components (where vector calculus
+# is trivial) and converted to spherical components through the local unit
+# vectors, so every expected value has a closed form independent of the
+# implementation. These keep the spherical operators covered in CI without
+# the reference parity harness (VERDICT.md round 1, item 5).
+
+
+def _spherical_mesh(d=0.025):
+    return Mesh(
+        [(1.0, 2.0), (0.5, 1.5), (0.6, 1.4)],
+        [2 * d, 2 * d, d],
+        CoordinateSystem.SPHERICAL,
+    )
+
+
+def _spherical_basis(mesh):
+    """Unit vectors e_r, e_theta (azimuthal), e_phi (polar) as arrays of
+    shape (3=component, *grid, 3=cartesian)."""
+    grids = mesh.vertex_coordinate_grids
+    theta, phi = grids[1], grids[2]
+    sin_t, cos_t = np.sin(theta), np.cos(theta)
+    sin_p, cos_p = np.sin(phi), np.cos(phi)
+    e_r = np.stack([sin_p * cos_t, sin_p * sin_t, cos_p], -1)
+    e_theta = np.stack([-sin_t, cos_t, np.zeros_like(theta)], -1)
+    e_phi = np.stack([cos_p * cos_t, cos_p * sin_t, -sin_p], -1)
+    return np.stack([e_r, e_theta, e_phi])
+
+
+def _spherical_cartesian_points(mesh):
+    grids = mesh.vertex_coordinate_grids
+    r, theta, phi = grids
+    sin_p = np.sin(phi)
+    return (
+        r * sin_p * np.cos(theta),
+        r * sin_p * np.sin(theta),
+        r * np.cos(phi),
+    )
+
+
+def test_spherical_gradient():
+    mesh = _spherical_mesh()
+    grids = mesh.vertex_coordinate_grids
+    r, phi = grids[0], grids[2]
+    # f = z = r cos(phi): cartesian gradient is (0, 0, 1), so the
+    # spherical components are e_i . z_hat
+    f = (r * np.cos(phi))[..., None]
+    basis = _spherical_basis(mesh)
+    for axis in range(3):
+        gradient = DIFF.gradient(f.copy(), mesh, axis)
+        expected = basis[axis][..., 2:]
+        assert np.allclose(
+            _interior(gradient, 3), _interior(expected, 3), atol=1e-3
+        ), axis
+
+
+def test_spherical_hessian_of_r_squared_is_identity():
+    mesh = _spherical_mesh()
+    r = mesh.vertex_coordinate_grids[0][..., None]
+    # the covariant Hessian of |x|^2 is 2*I in every coordinate system
+    f = r**2
+    for i in range(3):
+        for j in range(3):
+            hessian = DIFF.hessian(f, mesh, i, j)
+            expected = 2.0 if i == j else 0.0
+            assert np.allclose(
+                _interior(hessian, 3), expected, atol=2e-2
+            ), (i, j)
+
+
+def test_spherical_hessian_of_linear_function_vanishes():
+    mesh = _spherical_mesh()
+    grids = mesh.vertex_coordinate_grids
+    f = (grids[0] * np.cos(grids[2]))[..., None]  # f = z
+    for i in range(3):
+        for j in range(3):
+            hessian = DIFF.hessian(f, mesh, i, j)
+            assert np.allclose(
+                _interior(hessian, 3), 0.0, atol=2e-2
+            ), (i, j)
+
+
+def test_spherical_divergence():
+    mesh = _spherical_mesh()
+    x, y, z = _spherical_cartesian_points(mesh)
+    basis = _spherical_basis(mesh)
+    # A_cart = (x^2, y^2, z^2): div A = 2(x + y + z)
+    a_cart = np.stack([x**2, y**2, z**2], -1)
+    a_sph = np.stack(
+        [np.sum(basis[i] * a_cart, -1) for i in range(3)], -1
+    )
+    divergence = DIFF.divergence(a_sph, mesh)
+    expected = (2 * (x + y + z))[..., None]
+    assert np.allclose(
+        _interior(divergence, 3), _interior(expected, 3),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_spherical_curl():
+    mesh = _spherical_mesh()
+    x, y, _ = _spherical_cartesian_points(mesh)
+    basis = _spherical_basis(mesh)
+    # A_cart = (-y, x, 0): curl A = (0, 0, 2)
+    a_cart = np.stack([-y, x, np.zeros_like(x)], -1)
+    a_sph = np.stack(
+        [np.sum(basis[i] * a_cart, -1) for i in range(3)], -1
+    )
+    curl_cart = np.array([0.0, 0.0, 2.0])
+    for ind in range(3):
+        curl = DIFF.curl(a_sph, mesh, ind)
+        expected = (basis[ind] @ curl_cart)[..., None]
+        assert np.allclose(
+            _interior(curl, 3), _interior(expected, 3), atol=5e-3
+        ), ind
+
+
+def test_spherical_vector_laplacian():
+    mesh = _spherical_mesh()
+    x, y, z = _spherical_cartesian_points(mesh)
+    basis = _spherical_basis(mesh)
+    # A_cart = (x^2, y^2, z^2): vector Laplacian is (2, 2, 2) since the
+    # Cartesian vector Laplacian acts componentwise
+    a_cart = np.stack([x**2, y**2, z**2], -1)
+    a_sph = np.stack(
+        [np.sum(basis[i] * a_cart, -1) for i in range(3)], -1
+    )
+    lap_cart = np.array([2.0, 2.0, 2.0])
+    for ind in range(3):
+        vector_laplacian = DIFF.vector_laplacian(a_sph, mesh, ind)
+        expected = (basis[ind] @ lap_cart)[..., None]
+        # second derivatives of trig-modulated components: the interior
+        # of the interior avoids halo pollution of chained stencils
+        inner = tuple([slice(2, -2)] * 3)
+        assert np.allclose(
+            np.asarray(vector_laplacian)[inner],
+            expected[inner],
+            atol=2e-2,
+        ), ind

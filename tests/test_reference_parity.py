@@ -128,8 +128,10 @@ def test_differentiator_ops_match_reference(reference):
             # (numerical_differentiator.py:773-841 — e.g. index 1 pairs
             # lap(y_theta) with the r-component corrections), so its
             # outputs match no standard formula. This implementation
-            # uses the textbook assignment, validated by the analytic
-            # oracles in test_numerical_differentiator.py instead.
+            # uses the textbook assignment, validated by
+            # test_numerical_differentiator.py::
+            # test_spherical_vector_laplacian against a coordinate-free
+            # Cartesian oracle (runs in CI without this harness).
             continue
 
         for index in range(dims):
