@@ -160,6 +160,66 @@ class FDMOperator(JaxOperator):
         )
         return trajectory, t[1:]
 
+    def indexed_trajectory_function(
+        self,
+        cp,
+        t_0: float,
+        slice_duration: float,
+        n_slices: int,
+        allow_fused: bool = True,
+    ) -> Callable:
+        """A jittable ``fn(y_0, slice_index) -> ys`` solving one
+        time slice of the decomposed domain ``[t_0, t_0 + n_slices *
+        slice_duration]``.
+
+        Unlike :meth:`trajectory_function`, this supports dynamic
+        boundary conditions: the constraints are pre-evaluated host-side
+        on the half-step grid of the *whole* domain (matching the
+        reference's per-``t`` evaluation,
+        /root/reference/pararealml/operators/fdm/fdm_operator.py:199-231)
+        and each slice's steps index into that stack, so the compiled
+        Parareal can take any slice with a traced slice index.
+        """
+        steps_per_slice = round(slice_duration / self._d_t)
+        if not np.isclose(
+            slice_duration, self._d_t * steps_per_slice
+        ) or steps_per_slice == 0:
+            raise ValueError(
+                f"operator time step size ({self._d_t}) must be a "
+                f"divisor of the slice duration ({slice_duration})"
+            )
+        total_steps = steps_per_slice * n_slices
+        dynamic = (
+            cp.differential_equation.x_dimension
+            and not cp.are_all_boundary_conditions_static
+        )
+        step_fn = self._build_step_function(
+            cp,
+            float(t_0),
+            total_steps,
+            static_only=not dynamic,
+            allow_fused=allow_fused and not dynamic,
+        )
+        d_t = self._d_t
+        t_start = float(t_0)
+
+        def trajectory(y_init, slice_index):
+            base = slice_index * steps_per_slice
+            offsets = jnp.arange(steps_per_slice)
+            xs = (
+                base + offsets,
+                t_start + d_t * (base + offsets),
+            )
+
+            def body(y, x):
+                y_next = step_fn(y, x[0], x[1])
+                return y_next, y_next
+
+            _, ys = jax.lax.scan(body, y_init, xs)
+            return ys
+
+        return trajectory
+
     # -- step construction -------------------------------------------------
 
     def _build_trajectory_fn(

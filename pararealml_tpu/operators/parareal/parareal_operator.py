@@ -167,12 +167,21 @@ class PararealOperator(JaxOperator):
             and isinstance(self._g, JaxOperator)
         ):
             return False
-        if (
-            cp.differential_equation.x_dimension
-            and not cp.are_all_boundary_conditions_static
+        if self._has_dynamic_bcs(cp) and not (
+            hasattr(self._f, "indexed_trajectory_function")
+            and hasattr(self._g, "indexed_trajectory_function")
         ):
+            # dynamic boundary conditions need operators that can
+            # pre-evaluate constraints over the whole decomposed domain
             return False
         return n % self._mesh_device_count(n) == 0
+
+    @staticmethod
+    def _has_dynamic_bcs(cp) -> bool:
+        return bool(
+            cp.differential_equation.x_dimension
+            and not cp.are_all_boundary_conditions_static
+        )
 
     def _mesh_device_count(self, n: int) -> int:
         """The number of devices the ``time`` mesh axis spans: at most
@@ -197,8 +206,28 @@ class PararealOperator(JaxOperator):
         y_0 = jnp.asarray(
             ivp.initial_condition.discrete_y_0(vertex_oriented)
         )
+        dynamic = self._has_dynamic_bcs(cp)
+        if dynamic:
+            from pararealml_tpu.constraint import (
+                apply_constraints_along_last_axis,
+            )
 
-        program = self._compiled_program(cp, n, slice_duration, y_0)
+            init_constraints = cp.create_y_vertex_constraints(
+                cp.create_boundary_constraints(
+                    True, t_interval[0]
+                ).y
+            )
+            y_0 = apply_constraints_along_last_axis(
+                init_constraints, y_0
+            )
+
+        program = self._compiled_program(
+            cp,
+            n,
+            slice_duration,
+            y_0,
+            t_start=float(t_interval[0]) if dynamic else None,
+        )
         y_fine = program(
             y_0, jnp.asarray(t_interval[0], y_0.dtype)
         )
@@ -212,47 +241,90 @@ class PararealOperator(JaxOperator):
             d_t=self._f.d_t,
         )
 
-    def _compiled_program(self, cp, n: int, slice_duration: float, y_0):
+    def _compiled_program(
+        self,
+        cp,
+        n: int,
+        slice_duration: float,
+        y_0,
+        t_start: Optional[float] = None,
+    ):
         """Returns the jitted ``(y_0, t_0) -> y_fine`` shard_map Parareal
         program, cached per problem/decomposition (the problem object is
-        stored to pin its id against CPython address reuse)."""
+        stored to pin its id against CPython address reuse).
+
+        ``t_start`` is only set for dynamic-boundary-condition problems,
+        whose constraints must be pre-evaluated host-side at absolute
+        times (the program's traced ``t_0`` is then ignored).
+        """
         cache_key = (
             id(cp),
             n,
             round(float(slice_duration), 12),
             str(jnp.result_type(y_0)),
+            round(t_start, 12) if t_start is not None else None,
         )
         entry = self._compiled_cache.get(cache_key)
         if entry is None or entry[0] is not cp:
             entry = (
                 cp,
                 self._build_compiled_program(
-                    cp, n, slice_duration, y_0
+                    cp, n, slice_duration, y_0, t_start
                 ),
             )
             self._compiled_cache[cache_key] = entry
         return entry[1]
 
     def _build_compiled_program(
-        self, cp, n: int, slice_duration: float, y_0
+        self, cp, n: int, slice_duration: float, y_0,
+        t_start: Optional[float] = None,
     ):
         n_devices_for_build = self._mesh_device_count(n)
         needs_vmap = n // n_devices_for_build > 1
+        delta = float(slice_duration)
 
-        def build_trajectory(operator):
-            # hand-fused Pallas kernels (DMA + scratch) do not support
-            # vmap batching; request the generic path when slices are
-            # batched per device. The sub-trajectory functions take the
-            # absolute slice start time as a traced argument, so the
-            # interval here only fixes the duration.
-            return operator.trajectory_function(
-                cp,
-                (0.0, slice_duration),
+        if t_start is not None:
+            # dynamic boundary conditions: slice-indexed trajectory
+            # functions over constraints pre-evaluated on the whole
+            # domain's half-step grid
+            fine_ifn = self._f.indexed_trajectory_function(
+                cp, t_start, slice_duration, n,
                 allow_fused=not needs_vmap,
-            )[0]
+            )
+            coarse_ifn = self._g.indexed_trajectory_function(
+                cp, t_start, slice_duration, n,
+                allow_fused=not needs_vmap,
+            )
 
-        fine_fn = build_trajectory(self._f)
-        coarse_fn = build_trajectory(self._g)
+            def fine_call(y_start, slice_index, t_0):
+                return fine_ifn(y_start, slice_index)
+
+            def coarse_call(y_start, slice_index, t_0):
+                return coarse_ifn(y_start, slice_index)
+
+        else:
+
+            def build_trajectory(operator):
+                # hand-fused Pallas kernels (DMA + scratch) do not
+                # support vmap batching; request the generic path when
+                # slices are batched per device. The sub-trajectory
+                # functions take the absolute slice start time as a
+                # traced argument, so the interval here only fixes the
+                # duration.
+                return operator.trajectory_function(
+                    cp,
+                    (0.0, slice_duration),
+                    allow_fused=not needs_vmap,
+                )[0]
+
+            fine_fn = build_trajectory(self._f)
+            coarse_fn = build_trajectory(self._g)
+
+            def fine_call(y_start, slice_index, t_0):
+                return fine_fn(y_start, t_0 + slice_index * delta)
+
+            def coarse_call(y_start, slice_index, t_0):
+                return coarse_fn(y_start, t_0 + slice_index * delta)
 
         n_devices = self._mesh_device_count(n)
         slices_per_device = n // n_devices
@@ -267,7 +339,6 @@ class PararealOperator(JaxOperator):
         tolerances = self._tolerance_vector(
             cp.differential_equation.y_dimension
         )
-        delta = float(slice_duration)
 
         y_shape = y_0.shape
 
@@ -285,23 +356,29 @@ class PararealOperator(JaxOperator):
             )
 
         def coarse_end(y_start, slice_index, t_0):
-            return coarse_fn(y_start, t_0 + slice_index * delta)[-1]
+            return coarse_call(y_start, slice_index, t_0)[-1]
 
         fine_steps = self._fine_steps(slice_duration)
         if slices_per_device == 1:
             # one slice per device: no batching, so fused Pallas fine
             # solvers stay usable
-            def batched_fine(y_starts, t_starts):
-                return fine_fn(y_starts[0], t_starts[0])[jnp.newaxis]
+            def batched_fine(y_starts, slice_indices, t_0):
+                return fine_call(
+                    y_starts[0], slice_indices[0], t_0
+                )[jnp.newaxis]
 
         else:
-            batched_fine = jax.vmap(fine_fn)
+
+            def batched_fine(y_starts, slice_indices, t_0):
+                return jax.vmap(fine_call, in_axes=(0, 0, None))(
+                    y_starts, slice_indices, t_0
+                )
 
         def program(y_init, t_0):
             device_index = jax.lax.axis_index("time")
             first_slice = device_index * slices_per_device
             local_slice_offsets = jnp.arange(slices_per_device)
-            t_slices = t_0 + (first_slice + local_slice_offsets) * delta
+            local_slice_indices = first_slice + local_slice_offsets
 
             # initial coarse sweep, replicated on every device
             def sweep(y, j):
@@ -330,7 +407,9 @@ class PararealOperator(JaxOperator):
                     y_borders, coarse_ends, _, _ = carry
                     # this device's fine solves, batched through vmap
                     sub_y_fine = batched_fine(
-                        local_slice(y_borders[:-1]), t_slices
+                        local_slice(y_borders[:-1]),
+                        local_slice_indices,
+                        t_0,
                     )
                     local_corrections = (
                         sub_y_fine[:, -1] - local_slice(coarse_ends)
@@ -419,12 +498,13 @@ class PararealOperator(JaxOperator):
                 if self._devices is not None
                 else jax.device_count()
             )
-        if not self._can_compile(cp, n):
+        if not self._can_compile(cp, n) or self._has_dynamic_bcs(cp):
             raise ValueError(
                 "this Parareal configuration cannot be expressed as a "
-                "single compiled program (callable termination "
+                "single reusable compiled program (callable termination "
                 "condition, non-jax operators, or dynamic boundary "
-                "conditions)"
+                "conditions, which depend on the absolute start time; "
+                "use solve() for dynamic boundary conditions)"
             )
         slice_duration = (t_interval[1] - t_interval[0]) / n
         y_shape = tuple(cp.y_shape(True)) if (

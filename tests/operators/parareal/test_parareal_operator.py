@@ -192,3 +192,67 @@ def test_vmap_batched_pde_parareal():
     assert np.allclose(
         parareal.solve(ivp).discrete_y(), fine, atol=1e-5
     )
+
+
+def _dynamic_bc_diffusion_ivp(t_end=1.0):
+    from pararealml_tpu import DirichletBoundaryCondition
+
+    mesh = Mesh([(0.0, 2.0), (0.0, 2.0)], [0.25, 0.25])
+    bcs = [
+        (
+            DirichletBoundaryCondition(
+                lambda x, t: np.full((len(x), 1), np.sin(t))
+            ),
+            DirichletBoundaryCondition(
+                lambda x, t: np.full((len(x), 1), 0.5 * t)
+            ),
+        ),
+        (
+            NeumannBoundaryCondition(
+                lambda x, t: np.zeros((len(x), 1)), is_static=True
+            ),
+        )
+        * 2,
+    ]
+    cp = ConstrainedProblem(DiffusionEquation(2, 0.5), mesh, bcs)
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 1.0), 0.2 * np.eye(2))], [2.0]
+    )
+    return InitialValueProblem(cp, (0.0, t_end), ic)
+
+
+def test_dynamic_bc_parareal_takes_compiled_path_and_matches_fine():
+    # dynamic boundary conditions no longer force the host fallback:
+    # constraints are pre-evaluated on the whole domain's half-step
+    # grid and each slice indexes its window (VERDICT.md item 6)
+    ivp = _dynamic_bc_diffusion_ivp()
+    cp = ivp.constrained_problem
+    f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.005)
+    g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.025)
+    parareal = PararealOperator(f, g, 1e-6, num_time_slices=4)
+
+    assert parareal._can_compile(cp, 4)
+
+    fine = f.solve(ivp).discrete_y()
+    result = parareal.solve(ivp).discrete_y()
+    assert result.shape == fine.shape
+    assert np.allclose(result, fine, atol=1e-4)
+    # the boundary values must track the time-dependent conditions
+    t = np.arange(0.005, 1.0025, 0.005)
+    assert np.allclose(result[:, 0, 1:-1, 0], np.sin(t)[:, None],
+                       atol=1e-6)
+    assert np.allclose(result[:, -1, 1:-1, 0], 0.5 * t[:, None],
+                       atol=1e-6)
+
+
+def test_dynamic_bc_parareal_vmap_batched():
+    ivp = _dynamic_bc_diffusion_ivp()
+    f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.0125)
+    g = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), 0.03125
+    )
+    # 16 slices on at most 8 devices -> vmap batching with dynamic BCs
+    parareal = PararealOperator(f, g, 1e-6, num_time_slices=16)
+    fine = f.solve(ivp).discrete_y()
+    result = parareal.solve(ivp).discrete_y()
+    assert np.allclose(result, fine, atol=1e-4)
