@@ -26,6 +26,7 @@ implementation with identical semantics.
 from __future__ import annotations
 
 import sys
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Optional, Sequence, Union
 
 import jax
@@ -282,6 +283,10 @@ class PararealOperator(JaxOperator):
         n_devices_for_build = self._mesh_device_count(n)
         needs_vmap = n // n_devices_for_build > 1
         delta = float(slice_duration)
+        # across hosts the time-sharded output is not addressable from
+        # any single process; replicate it like the reference's final
+        # MPI Allgather
+        replicate_output = jax.process_count() > 1
 
         if t_start is not None:
             # dynamic boundary conditions: slice-indexed trajectory
@@ -469,15 +474,23 @@ class PararealOperator(JaxOperator):
                 local_slice(y_borders[1:]) - sub_y_fine[:, -1]
             )
             sub_y_fine = sub_y_fine + shifts[:, jnp.newaxis]
-            return sub_y_fine.reshape(
+            local = sub_y_fine.reshape(
                 (slices_per_device * fine_steps,) + y_shape
             )
+            if replicate_output:
+                # multi-host: every process needs the full trajectory
+                # host-side, mirroring the reference's final MPI
+                # Allgather (parareal_operator.py:193)
+                return jax.lax.all_gather(local, "time").reshape(
+                    (n * fine_steps,) + y_shape
+                )
+            return local
 
         sharded_program = shard_map(
             program,
             mesh=mesh,
             in_specs=(P(), P()),
-            out_specs=P("time"),
+            out_specs=P() if replicate_output else P("time"),
             check_rep=False,
         )
         return jax.jit(sharded_program)
@@ -553,16 +566,26 @@ class PararealOperator(JaxOperator):
         y_coarse_ends = coarse_solution[coarse_step_indices]
         y_borders = np.concatenate([y_0[np.newaxis], y_coarse_ends])
 
+        def fine_solve(k, y_start):
+            return self._f.solve(
+                sub_ivp(k, y_start), False
+            ).discrete_y(vertex_oriented)
+
         sub_trajectories = [None] * n
         for i in range(min(n, self._max_iterations)):
-            corrections = np.empty_like(y_coarse_ends)
-            for k in range(n):
-                sub_trajectories[k] = self._f.solve(
-                    sub_ivp(k, y_borders[k]), False
-                ).discrete_y(vertex_oriented)
-                corrections[k] = (
-                    sub_trajectories[k][-1] - y_coarse_ends[k]
+            # all fine solves of an iteration are independent; dispatch
+            # them concurrently (the reference's equivalent path is
+            # always rank-parallel, parareal_operator.py:163)
+            with ThreadPoolExecutor(max_workers=n) as executor:
+                sub_trajectories = list(
+                    executor.map(fine_solve, range(n), y_borders[:-1])
                 )
+            corrections = np.stack(
+                [
+                    sub_trajectories[k][-1] - y_coarse_ends[k]
+                    for k in range(n)
+                ]
+            )
 
             old_ends = np.copy(y_borders[1:])
             for j in range(i, n):
