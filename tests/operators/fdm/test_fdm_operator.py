@@ -21,6 +21,7 @@ from pararealml_tpu import (
     WaveEquation,
 )
 from pararealml_tpu.operators.fdm import (
+    BackwardEulerMethod,
     CrankNicolsonMethod,
     FDMOperator,
     ForwardEulerMethod,
@@ -315,3 +316,110 @@ def test_compiled_cache_ignores_stale_id_collisions():
     assert np.all(np.isfinite(y))
     # the rebuilt entry now pins cp_b
     assert op._compiled_cache[(id(cp_b), steps, None)][0] is cp_b
+
+
+def _trapezoidal_mass(y):
+    """Trapezoidal-weighted vertex sum (the invariant of zero-flux
+    central-difference diffusion): boundary vertices weigh 1/2 per
+    axis they terminate."""
+    weights = np.ones(y.shape[:-1])
+    for axis in range(weights.ndim):
+        index = [slice(None)] * weights.ndim
+        for edge in (0, -1):
+            index[axis] = edge
+            weights[tuple(index)] *= 0.5
+    return float((weights[..., None] * y).sum())
+
+
+@pytest.mark.parametrize(
+    "integrator_factory", [CrankNicolsonMethod, BackwardEulerMethod]
+)
+def test_implicit_integrator_with_neumann_diffusion(integrator_factory):
+    # implicit time stepping inside the FDM operator must preserve the
+    # zero-flux invariant (mass conservation) and stay close to the
+    # explicit RK4 solution
+    mesh = Mesh([(0.0, 2.0), (0.0, 2.0)], [0.2, 0.2])
+    bcs = [(_zero_neumann(1),) * 2] * 2
+    cp = ConstrainedProblem(DiffusionEquation(2, 0.5), mesh, bcs)
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 1.0), 0.1 * np.eye(2))], [5.0]
+    )
+    ivp = InitialValueProblem(cp, (0.0, 0.2), ic)
+
+    implicit_op = FDMOperator(
+        integrator_factory(), ThreePointCentralDifferenceMethod(), 0.01
+    )
+    explicit_op = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), 0.01
+    )
+    y_implicit = implicit_op.solve(ivp).discrete_y()
+    y_explicit = explicit_op.solve(ivp).discrete_y()
+
+    y_0 = np.asarray(ic.discrete_y_0(True))
+    # the conserved discrete quantity under zero-flux central
+    # differences is the trapezoidal-weighted sum
+    assert np.isclose(
+        _trapezoidal_mass(y_implicit[-1]),
+        _trapezoidal_mass(y_0),
+        rtol=1e-4,
+    )
+    if integrator_factory is BackwardEulerMethod:
+        # first order: assert the deviation from RK4 shrinks ~linearly
+        # with the step size rather than pinning a tight tolerance
+        fine_op = FDMOperator(
+            integrator_factory(),
+            ThreePointCentralDifferenceMethod(),
+            0.0025,
+        )
+        y_fine = fine_op.solve(ivp).discrete_y()
+        coarse_error = np.abs(y_implicit[-1] - y_explicit[-1]).max()
+        fine_error = np.abs(y_fine[-1] - y_explicit[-1]).max()
+        assert fine_error < 0.4 * coarse_error
+        assert coarse_error < 0.15
+    else:
+        assert np.allclose(y_implicit, y_explicit, atol=5e-3)
+    assert np.all(np.isfinite(y_implicit))
+
+
+def test_implicit_integrator_with_dirichlet_boundaries():
+    mesh = Mesh([(0.0, 1.0)], [0.05])
+    bc = DirichletBoundaryCondition(
+        lambda x, t: np.full((len(x), 1), 1.0), is_static=True
+    )
+    cp = ConstrainedProblem(DiffusionEquation(1, 0.3), mesh, [(bc, bc)])
+    ic = ContinuousInitialCondition(
+        cp, lambda x: 1.0 + np.sin(np.pi * x)
+    )
+    ivp = InitialValueProblem(cp, (0.0, 1.0), ic)
+    op = FDMOperator(
+        CrankNicolsonMethod(), ThreePointCentralDifferenceMethod(), 0.01
+    )
+    y = op.solve(ivp).discrete_y()
+    # sin mode decays as exp(-d pi^2 t) toward the boundary value 1
+    x = np.linspace(0.0, 1.0, 21)
+    t_end = 1.0
+    expected = 1.0 + np.sin(np.pi * x) * np.exp(
+        -0.3 * np.pi**2 * t_end
+    )
+    assert np.allclose(y[-1, :, 0], expected, atol=5e-3)
+    assert np.allclose(y[:, 0, 0], 1.0) and np.allclose(y[:, -1, 0], 1.0)
+
+
+def test_3d_diffusion_conserves_mass():
+    mesh = Mesh([(0.0, 1.0)] * 3, [0.125] * 3)
+    bcs = [(_zero_neumann(1),) * 2] * 3
+    cp = ConstrainedProblem(DiffusionEquation(3, 0.2), mesh, bcs)
+    ic = GaussianInitialCondition(
+        cp, [(np.full(3, 0.5), 0.05 * np.eye(3))], [1.0]
+    )
+    ivp = InitialValueProblem(cp, (0.0, 0.1), ic)
+    op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.0025)
+    y = op.solve(ivp).discrete_y()
+    y_0 = np.asarray(ic.discrete_y_0(True))
+    assert y.shape == (40, 9, 9, 9, 1)
+    assert np.isclose(
+        _trapezoidal_mass(y[-1]), _trapezoidal_mass(y_0), rtol=1e-4
+    )
+    # the peak must decay monotonically under pure diffusion
+    peaks = y.max(axis=(1, 2, 3, 4))
+    assert np.all(np.diff(peaks) < 0)

@@ -135,3 +135,85 @@ def test_quiver_plot_2d_and_3d(tmp_path):
 
     with pytest.raises(ValueError):
         QuiverPlot(np.random.rand(2, 3, 3, 1), mesh_2d, True)
+
+
+def test_space_line_plot_validation():
+    mesh_2d = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.5, 0.5])
+    with pytest.raises(ValueError):  # wrong x dimension
+        SpaceLinePlot(np.random.rand(4, 3, 3, 1), mesh_2d, True)
+    mesh = Mesh([(0.0, 1.0)], [0.25])
+    with pytest.raises(ValueError):  # wrong y rank
+        SpaceLinePlot(np.random.rand(4, 5), mesh, True)
+    with pytest.raises(ValueError):  # wrong y dimension
+        SpaceLinePlot(np.random.rand(4, 5, 2), mesh, True)
+
+
+def test_contour_plot_validation():
+    mesh_1d = Mesh([(0.0, 1.0)], [0.25])
+    with pytest.raises(ValueError):  # wrong x dimension
+        ContourPlot(np.random.rand(3, 5, 1), mesh_1d, True)
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.5, 0.5])
+    with pytest.raises(ValueError):  # wrong y rank
+        ContourPlot(np.random.rand(3, 3, 3), mesh, True)
+    with pytest.raises(ValueError):  # mismatched mesh shape
+        ContourPlot(np.random.rand(3, 4, 4, 1), mesh, True)
+
+
+def test_surface_plot_validation():
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.5, 0.5])
+    with pytest.raises(ValueError):
+        SurfacePlot(np.random.rand(3, 3, 3, 2), mesh, True)
+    with pytest.raises(ValueError):
+        SurfacePlot(np.random.rand(3, 2, 2, 1), mesh, True)
+
+
+def test_scatter_plot_validation():
+    mesh_2d = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.5, 0.5])
+    with pytest.raises(ValueError):  # wrong x dimension
+        ScatterPlot(np.random.rand(2, 3, 3, 1), mesh_2d, True)
+    mesh = Mesh([(0.0, 1.0)] * 3, [0.5] * 3)
+    with pytest.raises(ValueError):  # wrong y dimension
+        ScatterPlot(np.random.rand(2, 3, 3, 3, 2), mesh, True)
+
+
+def test_stream_plot_validation():
+    mesh_3d = Mesh([(0.0, 1.0)] * 3, [0.5] * 3)
+    with pytest.raises(ValueError):  # wrong x dimension
+        StreamPlot(np.random.rand(2, 3, 3, 3, 3), mesh_3d, True)
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.25, 0.25])
+    with pytest.raises(ValueError):  # wrong y dimension (not a 2-field)
+        StreamPlot(np.random.rand(2, 5, 5, 1), mesh, True)
+    with pytest.raises(ValueError):  # mismatched mesh shape
+        StreamPlot(np.random.rand(2, 4, 4, 2), mesh, True)
+
+
+def test_spherical_quiver_plot(tmp_path):
+    mesh = Mesh(
+        [(0.5, 1.0), (0.0, np.pi), (0.1, np.pi / 2)],
+        [0.25, np.pi / 2, np.pi / 8],
+        CoordinateSystem.SPHERICAL,
+    )
+    y = np.random.rand(2, *mesh.vertices_shape, 3)
+    plot = QuiverPlot(y, mesh, True, n_frames=2)
+    plot.save(str(tmp_path / "quiver_spherical"))
+    plot.close()
+    assert (tmp_path / "quiver_spherical.gif").exists()
+
+
+def test_cell_oriented_plots(tmp_path):
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.25, 0.25])
+    y = np.random.rand(2, *mesh.cells_shape, 1)
+    plot = ContourPlot(y, mesh, False, n_frames=2)
+    plot.save(str(tmp_path / "contour_cells"))
+    plot.close()
+    assert (tmp_path / "contour_cells.gif").exists()
+
+
+def test_animated_plot_frame_subsampling(tmp_path):
+    mesh = Mesh([(0.0, 1.0)], [0.25])
+    # 20 time steps rendered as 4 frames
+    y = np.random.rand(20, 5, 1)
+    plot = SpaceLinePlot(y, mesh, True, n_frames=4)
+    plot.save(str(tmp_path / "subsampled"))
+    plot.close()
+    assert (tmp_path / "subsampled.gif").exists()
