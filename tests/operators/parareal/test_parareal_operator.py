@@ -256,3 +256,24 @@ def test_dynamic_bc_parareal_vmap_batched():
     fine = f.solve(ivp).discrete_y()
     result = parareal.solve(ivp).discrete_y()
     assert np.allclose(result, fine, atol=1e-4)
+
+
+def test_stiff_radau_parareal_matches_fine_solve():
+    # parallel-in-time solution of a stiff problem with implicit
+    # adaptive Radau as both fine and coarse operator (the reference
+    # reaches this configuration through SciPy's stiff solvers)
+    from pararealml_tpu import VanDerPolEquation
+
+    cp = ConstrainedProblem(VanDerPolEquation(50.0))
+    ic = ContinuousInitialCondition(cp, lambda _: np.array([2.0, 0.0]))
+    ivp = InitialValueProblem(cp, (0.0, 8.0), ic)
+
+    f = ODEOperator("Radau", 0.1, rtol=1e-9, atol=1e-10)
+    g = ODEOperator("Radau", 0.5, rtol=1e-4, atol=1e-6)
+    parareal = PararealOperator(f, g, 1e-7, num_time_slices=8)
+    assert parareal._can_compile(cp, 8)
+
+    fine = f.solve(ivp).discrete_y()
+    result = parareal.solve(ivp).discrete_y()
+    assert result.shape == fine.shape
+    assert np.allclose(result, fine, atol=1e-5)
