@@ -291,7 +291,9 @@ class AutoDifferentiator:
 
         ind = vector_laplacian_ind
         laplacian = self.batch_laplacian(
-            x, lambda x_: y_fn(x_)[:, ind: ind + 1]
+            x,
+            lambda x_: y_fn(x_)[:, ind: ind + 1],
+            coordinate_system_type,
         )
         cs = coordinate_system_type
         if cs == CoordinateSystem.CARTESIAN:

@@ -152,6 +152,17 @@ def test_batch_vector_laplacian_polar():
     )
     assert np.allclose(out, -1.0 / np.asarray(x[:, :1]) ** 2)
 
+    # non-constant radial field A = (r^2, 0): the scalar part must use
+    # the POLAR Laplacian (lap(r^2) = 4), so the r component is
+    # 4 - r^2/r^2 = 3 (regression for a dropped coordinate system)
+    y_fn_r2 = lambda x_: jnp.concatenate(  # noqa: E731
+        [x_[:, :1] ** 2, jnp.zeros_like(x_[:, :1])], axis=1
+    )
+    out = AD.batch_vector_laplacian(
+        x, y_fn_r2, 0, CoordinateSystem.POLAR
+    )
+    assert np.allclose(out, 3.0, atol=1e-6)
+
 
 def test_batch_vector_laplacian_cartesian_matches_scalar():
     x = _random_x(16, 2)
@@ -164,3 +175,123 @@ def test_batch_vector_laplacian_cartesian_matches_scalar():
             x, lambda x_, _i=ind: y_fn(x_)[:, _i: _i + 1]
         )
         assert np.allclose(np.asarray(vector), np.asarray(scalar))
+
+
+# -- spherical oracles --------------------------------------------------------
+# Vector fields defined by Cartesian components (where the calculus is
+# trivial), converted to spherical components through the local unit
+# vectors — exact up to autodiff precision, mirroring the FDM spherical
+# oracles in tests/operators/fdm/test_numerical_differentiator.py.
+
+
+def _spherical_x(n=24, seed=3):
+    rng = np.random.default_rng(seed)
+    r = rng.uniform(0.5, 2.0, (n, 1))
+    theta = rng.uniform(0.2, 1.3, (n, 1))
+    phi = rng.uniform(0.4, 1.2, (n, 1))
+    return jnp.asarray(np.concatenate([r, theta, phi], axis=1))
+
+
+def _spherical_basis_fn(x):
+    theta, phi = x[:, 1:2], x[:, 2:]
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    sin_p, cos_p = jnp.sin(phi), jnp.cos(phi)
+    e_r = jnp.concatenate([sin_p * cos_t, sin_p * sin_t, cos_p], axis=1)
+    e_theta = jnp.concatenate(
+        [-sin_t, cos_t, jnp.zeros_like(theta)], axis=1
+    )
+    e_phi = jnp.concatenate(
+        [cos_p * cos_t, cos_p * sin_t, -sin_p], axis=1
+    )
+    return e_r, e_theta, e_phi
+
+
+def _cartesian_points_fn(x):
+    r, theta, phi = x[:, :1], x[:, 1:2], x[:, 2:]
+    sin_p = jnp.sin(phi)
+    return (
+        r * sin_p * jnp.cos(theta),
+        r * sin_p * jnp.sin(theta),
+        r * jnp.cos(phi),
+    )
+
+
+def _spherical_field_fn(cartesian_field):
+    """Wraps a cartesian vector field (x,y,z) -> (Ax,Ay,Az) as a
+    function of spherical inputs returning spherical components."""
+
+    def y_fn(x):
+        xc, yc, zc = _cartesian_points_fn(x)
+        a_cart = jnp.concatenate(cartesian_field(xc, yc, zc), axis=1)
+        basis = _spherical_basis_fn(x)
+        return jnp.concatenate(
+            [jnp.sum(e * a_cart, axis=1, keepdims=True) for e in basis],
+            axis=1,
+        )
+
+    return y_fn
+
+
+def test_batch_gradient_spherical():
+    x = _spherical_x()
+    # f = z = r cos(phi); cartesian gradient (0, 0, 1)
+    y_fn = lambda x_: x_[:, :1] * jnp.cos(x_[:, 2:])  # noqa: E731
+    e_r, e_theta, e_phi = _spherical_basis_fn(x)
+    for axis, e in ((0, e_r), (1, e_theta), (2, e_phi)):
+        out = AD.batch_gradient(
+            x, y_fn, axis, CoordinateSystem.SPHERICAL
+        )
+        assert np.allclose(out, e[:, 2:], atol=1e-6), axis
+
+
+def test_batch_hessian_spherical_of_r_squared():
+    x = _spherical_x()
+    y_fn = lambda x_: x_[:, :1] ** 2  # noqa: E731
+    for i in range(3):
+        for j in range(3):
+            out = AD.batch_hessian(
+                x, y_fn, i, j, CoordinateSystem.SPHERICAL
+            )
+            assert np.allclose(
+                out, 2.0 if i == j else 0.0, atol=1e-6
+            ), (i, j)
+
+
+def test_batch_divergence_spherical():
+    x = _spherical_x()
+    y_fn = _spherical_field_fn(
+        lambda xc, yc, zc: (xc**2, yc**2, zc**2)
+    )
+    out = AD.batch_divergence(x, y_fn, CoordinateSystem.SPHERICAL)
+    xc, yc, zc = _cartesian_points_fn(x)
+    assert np.allclose(out, 2.0 * (xc + yc + zc), atol=1e-5)
+
+
+def test_batch_curl_spherical():
+    x = _spherical_x()
+    y_fn = _spherical_field_fn(
+        lambda xc, yc, zc: (-yc, xc, jnp.zeros_like(zc))
+    )
+    basis = _spherical_basis_fn(x)
+    for ind in range(3):
+        out = AD.batch_curl(
+            x, y_fn, ind, CoordinateSystem.SPHERICAL
+        )
+        assert np.allclose(out, 2.0 * basis[ind][:, 2:], atol=1e-5), ind
+
+
+def test_batch_vector_laplacian_spherical():
+    x = _spherical_x()
+    y_fn = _spherical_field_fn(
+        lambda xc, yc, zc: (xc**2, yc**2, zc**2)
+    )
+    basis = _spherical_basis_fn(x)
+    expected = 2.0 * (
+        basis[0] + basis[1] + basis[2]
+    )  # basis @ (2,2,2) per component below
+    for ind in range(3):
+        out = AD.batch_vector_laplacian(
+            x, y_fn, ind, CoordinateSystem.SPHERICAL
+        )
+        component = 2.0 * jnp.sum(basis[ind], axis=1, keepdims=True)
+        assert np.allclose(out, component, atol=1e-4), ind
