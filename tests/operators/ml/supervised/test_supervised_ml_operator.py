@@ -283,3 +283,43 @@ def test_ml_coarse_operator_inside_parareal():
     fine_y = fine.solve(ivp).discrete_y()
     parareal_y = parareal.solve(ivp).discrete_y()
     assert np.allclose(parareal_y, fine_y, atol=1e-5)
+
+
+def test_data_generation_with_fused_capable_oracle():
+    # the vmapped oracle solves must request the vmap-compatible
+    # (non-fused) trajectory; with the fused kernel active this crashed
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", False)
+    try:
+        mesh = Mesh([(0.0, 4.0), (0.0, 4.0)], [0.5, 0.5])
+        bc = NeumannBoundaryCondition(
+            lambda x, t: np.zeros((len(x), 1)), is_static=True
+        )
+        cp = ConstrainedProblem(
+            DiffusionEquation(2, 0.2), mesh, [(bc, bc)] * 2
+        )
+        ic = GaussianInitialCondition(
+            cp, [(np.full(2, 2.0), np.eye(2))], [10.0]
+        )
+        ivp = InitialValueProblem(cp, (0.0, 0.2), ic)
+        oracle = FDMOperator(
+            RK4(), ThreePointCentralDifferenceMethod(), 0.01
+        )
+        from pararealml_tpu.ops import fused_diffusion_step_applicable
+
+        assert fused_diffusion_step_applicable(cp, RK4())
+
+        operator = SupervisedMLOperator(0.1, True, auto_regressive=True)
+        np.random.seed(0)
+        inputs, targets = operator.generate_data(
+            ivp,
+            oracle,
+            iterations=3,
+            perturbation_function=lambda t, y: y
+            * np.random.uniform(0.95, 1.05, y.shape),
+        )
+        assert np.all(np.isfinite(inputs))
+        assert np.all(np.isfinite(targets))
+    finally:
+        _jax.config.update("jax_enable_x64", True)
