@@ -3,6 +3,7 @@ import pytest
 
 from pararealml_tpu import (
     ConstantInitialCondition,
+    CoordinateSystem,
     ConstrainedProblem,
     ContinuousInitialCondition,
     DiffusionEquation,
@@ -136,3 +137,89 @@ def test_vectorize_ic_function():
     fn = vectorize_ic_function(lambda x: [x[0] ** 2, -x[0]])
     out = fn(np.array([[1.0], [2.0]]))
     assert np.array_equal(out, [[1.0, -1.0], [4.0, -2.0]])
+
+
+def test_gaussian_initial_condition_validation():
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.5, 0.5])
+    cp = _zero_neumann_cp(DiffusionEquation(2), mesh)
+    with pytest.raises(ValueError):  # wrong number of (mean, cov) pairs
+        GaussianInitialCondition(cp, [])
+    with pytest.raises(ValueError):  # wrong mean shape
+        GaussianInitialCondition(cp, [(np.zeros(3), np.eye(2))])
+    with pytest.raises(ValueError):  # wrong cov shape
+        GaussianInitialCondition(cp, [(np.zeros(2), np.eye(3))])
+    with pytest.raises(ValueError):  # wrong multipliers length
+        GaussianInitialCondition(
+            cp, [(np.zeros(2), np.eye(2))], [1.0, 2.0]
+        )
+
+
+def test_gaussian_initial_condition_integrates_to_multiplier():
+    # the Gaussian PDF over a domain that contains virtually all its
+    # mass must integrate to the multiplier
+    mesh = Mesh([(0.0, 10.0), (0.0, 10.0)], [0.1, 0.1])
+    cp = _zero_neumann_cp(DiffusionEquation(2), mesh)
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 5.0), 0.25 * np.eye(2))], [7.0]
+    )
+    y_0 = np.asarray(ic.discrete_y_0(False))  # cell centers
+    integral = y_0.sum() * 0.1 * 0.1
+    assert np.isclose(integral, 7.0, rtol=1e-3)
+
+
+def test_gaussian_initial_condition_polar_mesh():
+    # the PDF is evaluated at the Cartesian image of curvilinear points
+    mesh = Mesh(
+        [(0.5, 2.0), (0.0, np.pi)],
+        [0.25, np.pi / 8],
+        CoordinateSystem.POLAR,
+    )
+    cp = _zero_neumann_cp(DiffusionEquation(2), mesh)
+    mean = np.array([0.0, 1.0])  # cartesian (x, y)
+    ic = GaussianInitialCondition(cp, [(mean, 0.5 * np.eye(2))])
+    r_grid, theta_grid = mesh.vertex_coordinate_grids
+    cartesian = np.stack(
+        [r_grid * np.cos(theta_grid), r_grid * np.sin(theta_grid)], -1
+    )
+    distances = np.linalg.norm(cartesian - mean, axis=-1)
+    y_0 = np.asarray(ic.discrete_y_0(True))[..., 0]
+    # the maximum must sit at the grid point nearest the Cartesian mean
+    assert np.unravel_index(
+        y_0.argmax(), y_0.shape
+    ) == np.unravel_index(distances.argmin(), distances.shape)
+
+
+def test_continuous_initial_condition_wrong_output_shape():
+    mesh = Mesh([(0.0, 1.0)], [0.25])
+    cp = _zero_neumann_cp(DiffusionEquation(1), mesh)
+    with pytest.raises(ValueError):
+        ContinuousInitialCondition(
+            cp, lambda x: np.zeros((len(x), 3))  # y_dimension is 1
+        ).discrete_y_0(True)
+
+
+def test_constant_initial_condition_wrong_length():
+    cp = ConstrainedProblem(LorenzEquation())
+    with pytest.raises(ValueError):
+        ConstantInitialCondition(cp, [1.0])
+
+
+def test_marginal_beta_product_validation():
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.25, 0.25])
+    cp = _zero_neumann_cp(DiffusionEquation(2), mesh)
+    with pytest.raises(ValueError):  # needs x_dimension * y_dimension
+        MarginalBetaProductInitialCondition(cp, [[(1.0, 1.0)]] * 2)
+
+
+def test_discrete_ic_resampling_preserves_smooth_fields():
+    # vertex -> cell resampling of a linear field is exact up to
+    # interpolation error at the boundary
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.1, 0.1])
+    cp = _zero_neumann_cp(DiffusionEquation(2), mesh)
+    x0, x1 = mesh.vertex_coordinate_grids
+    values = (2.0 * x0 + 3.0 * x1)[..., None]
+    ic = DiscreteInitialCondition(cp, values, vertex_oriented=True)
+    cells = np.asarray(ic.discrete_y_0(False))
+    c0, c1 = mesh.cell_center_coordinate_grids
+    expected = (2.0 * c0 + 3.0 * c1)[..., None]
+    assert np.allclose(cells, expected, atol=1e-10)
