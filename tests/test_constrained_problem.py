@@ -196,3 +196,79 @@ def test_cell_constraints_evaluated_at_domain_bounds():
     # actual domain bounds
     boundary_x_values = {float(x[0, 0]) for x in seen_x}
     assert boundary_x_values == {0.0, 1.0}
+
+
+def test_wrong_boundary_condition_pair_count():
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.5, 0.5])
+    bc_pair = (_static_dirichlet(1.0), _static_dirichlet(1.0))
+    with pytest.raises(ValueError):  # one pair for a 2D mesh
+        ConstrainedProblem(DiffusionEquation(2), mesh, [bc_pair])
+    with pytest.raises(ValueError):  # three pairs for a 2D mesh
+        ConstrainedProblem(
+            DiffusionEquation(2), mesh, [bc_pair] * 3
+        )
+
+
+def test_boundary_condition_wrong_y_width():
+    mesh = Mesh([(0.0, 1.0)], [0.5])
+    # conditions emitting 2 components for a 1-component equation
+    wide = NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 2)), is_static=True
+    )
+    with pytest.raises(ValueError):
+        ConstrainedProblem(DiffusionEquation(1), mesh, [(wide, wide)])
+
+
+def test_3d_pde_constraint_shapes():
+    mesh = Mesh([(0.0, 1.0)] * 3, [0.5] * 3)
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 2)), is_static=True
+    )
+    cp = ConstrainedProblem(WaveEquation(3), mesh, [(bc, bc)] * 3)
+    assert cp.y_shape(True) == (3, 3, 3, 2)
+    assert cp.y_shape(False) == (2, 2, 2, 2)
+    d_y = cp.static_boundary_vertex_constraints.d_y
+    assert len(d_y) == 3
+    # the axis-0 boundary constraint covers a (1, 3, 3) face per
+    # component pair
+    pair = d_y[0]
+    assert np.asarray(pair.lower.mask).shape[:-1] == (1, 3, 3)
+
+
+def test_mixed_static_dynamic_flags():
+    mesh = Mesh([(0.0, 1.0)], [0.5])
+    static = _static_dirichlet(1.0)
+    dynamic = DirichletBoundaryCondition(
+        lambda x, t: np.full((len(x), 1), t)
+    )
+    cp = ConstrainedProblem(
+        DiffusionEquation(1), mesh, [(static, dynamic)]
+    )
+    assert not cp.are_all_boundary_conditions_static
+    assert cp.are_there_boundary_conditions_on_y
+    # per-t evaluation reflects both the static and the dynamic side
+    for t in (0.25, 2.0):
+        constraints = cp.create_boundary_constraints(True, t)
+        pair = constraints.y[0]
+        assert float(np.asarray(pair.lower.values).ravel()[0]) == 1.0
+        assert float(np.asarray(pair.upper.values).ravel()[0]) == t
+
+
+def test_cell_vs_vertex_constraint_independence():
+    mesh = Mesh([(0.0, 2.0)], [0.5])
+    cp = ConstrainedProblem(
+        DiffusionEquation(1),
+        mesh,
+        [(_static_dirichlet(3.0), _static_dirichlet(-1.0))],
+    )
+    vertex = cp.static_boundary_vertex_constraints
+    cell = cp.static_boundary_cell_constraints
+    # vertex y-constraints pin the first/last vertices
+    y_constraint = cp.static_y_vertex_constraints
+    values = np.where(
+        np.asarray(y_constraint.mask),
+        np.asarray(y_constraint.values),
+        np.nan,
+    ).reshape(-1)
+    assert values[0] == 3.0 and values[-1] == -1.0
+    assert vertex is not cell
