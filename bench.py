@@ -227,7 +227,8 @@ def bench_large_grid(timer):
     from pararealml_tpu.ops.tiled_diffusion import make_tile_plan
 
     n = 641
-    steps = 500
+    # long enough that the work dwarfs the tunnel round-trip variance
+    steps = 2000
     d_t = 1e-4
     ivp = build_problem(
         vars(prml), steps * d_t, d_x=10.0 / (n - 1), d=0.05

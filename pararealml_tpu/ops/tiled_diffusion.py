@@ -235,6 +235,19 @@ def build_tiled_diffusion_rk4_trajectory(
     faces = _face_tensors(cp, plan)
     dtype = jnp.float32
 
+    # static emptiness flags let tiles skip whole constraint stages
+    # (e.g. pure-Neumann columns need no Dirichlet column rebuild)
+    def _face_any(key):
+        mask = np.asarray(faces[key])
+        if mask.ndim == 3:  # per-tile column stacks
+            return bool(mask[:, 0].any()), bool(mask[:, 1].any())
+        return bool(mask[0].any()), bool(mask[1].any())
+
+    dir_row_present = _face_any("dir_row_mask")
+    ghost_row_present = _face_any("ghost_row_mask")
+    dir_cols_present = any(_face_any("dir_col_mask"))
+    ghost_cols_present = any(_face_any("ghost_col_mask"))
+
     d = float(diffusion_coefficient)
     if isinstance(diff_eq, ConvectionDiffusionEquation):
         velocity = tuple(float(v) for v in diff_eq._velocity)
@@ -337,11 +350,11 @@ def build_tiled_diffusion_rk4_trajectory(
             gcm = ghost_col_mask_ref[i]
             gcv = ghost_col_vals_ref[i]
 
-            def boundary_row_fixes(make_fn):
+            def boundary_row_fixes(make_fn, present):
                 fixes = []
-                if has_top:
+                if has_top and present[0]:
                     fixes.append((top_row, make_fn(0)))
-                if has_bottom:
+                if has_bottom and present[1]:
                     fixes.append((bottom_row, make_fn(1)))
                 return fixes
 
@@ -356,9 +369,11 @@ def build_tiled_diffusion_rk4_trajectory(
 
                     return fix
 
-                fixes = boundary_row_fixes(dir_row_fix)
+                fixes = boundary_row_fixes(dir_row_fix, dir_row_present)
                 if fixes:
                     state = _override_rows(state, fixes)
+                if not dir_cols_present:
+                    return state
                 left = jnp.where(
                     dcm[0], dcv[0], state[:, 0]
                 )[:, jnp.newaxis]
@@ -390,7 +405,7 @@ def build_tiled_diffusion_rk4_trajectory(
                 # Neumann ghost contributions at the boundary rows
                 # (additive; the inward neighbor's tile row is static)
                 lap_fixes = []
-                if has_top:
+                if has_top and ghost_row_present[0]:
                     def top_fix(row_lap):
                         ghost = jnp.where(
                             ghost_row_mask[0],
@@ -401,7 +416,7 @@ def build_tiled_diffusion_rk4_trajectory(
                         return row_lap + ghost * inv_dx0_sqr
 
                     lap_fixes.append((top_row, top_fix))
-                if has_bottom:
+                if has_bottom and ghost_row_present[1]:
                     def bottom_fix(row_lap):
                         ghost = jnp.where(
                             ghost_row_mask[1],
@@ -415,24 +430,31 @@ def build_tiled_diffusion_rk4_trajectory(
                 if lap_fixes:
                     lap = _override_rows(lap, lap_fixes)
 
-                ghost_left = jnp.where(
-                    gcm[0], state[:, 1] - two_dx1 * gcv[0], 0.0
-                )
-                ghost_right = jnp.where(
-                    gcm[1],
-                    state[:, width - 2] + two_dx1 * gcv[1],
-                    0.0,
-                )
-                col_parts = [
-                    lap[:, 0:1] + ghost_left[:, jnp.newaxis]
-                    * inv_dx1_sqr,
-                    lap[:, 1:width - 1],
-                    lap[:, width - 1:width]
-                    + ghost_right[:, jnp.newaxis] * inv_dx1_sqr,
-                ]
-                if col_pad is not None:
-                    col_parts.append(col_pad)
-                lap = jnp.concatenate(col_parts, axis=1)
+                if ghost_cols_present:
+                    ghost_left = jnp.where(
+                        gcm[0], state[:, 1] - two_dx1 * gcv[0], 0.0
+                    )
+                    ghost_right = jnp.where(
+                        gcm[1],
+                        state[:, width - 2] + two_dx1 * gcv[1],
+                        0.0,
+                    )
+                    col_parts = [
+                        lap[:, 0:1] + ghost_left[:, jnp.newaxis]
+                        * inv_dx1_sqr,
+                        lap[:, 1:width - 1],
+                        lap[:, width - 1:width]
+                        + ghost_right[:, jnp.newaxis] * inv_dx1_sqr,
+                    ]
+                    if col_pad is not None:
+                        col_parts.append(col_pad)
+                    lap = jnp.concatenate(col_parts, axis=1)
+                elif col_pad is not None:
+                    # padding columns must be re-zeroed so they never
+                    # feed back through the column stencil
+                    lap = jnp.concatenate(
+                        [lap[:, :width], col_pad], axis=1
+                    )
                 rhs_value = d * lap
 
                 if has_convection:
@@ -448,25 +470,34 @@ def build_tiled_diffusion_rk4_trajectory(
 
                         return fix
 
-                    fixes = boundary_row_fixes(grad_row_fix)
+                    fixes = boundary_row_fixes(
+                        grad_row_fix, ghost_row_present
+                    )
                     if fixes:
                         gradient_0 = _override_rows(gradient_0, fixes)
 
                     gradient_1 = (right - left) * inv_two_dx1
-                    grad_left = jnp.where(
-                        gcm[0], gcv[0], gradient_1[:, 0]
-                    )[:, jnp.newaxis]
-                    grad_right = jnp.where(
-                        gcm[1], gcv[1], gradient_1[:, width - 1]
-                    )[:, jnp.newaxis]
-                    grad_parts = [
-                        grad_left,
-                        gradient_1[:, 1:width - 1],
-                        grad_right,
-                    ]
-                    if col_pad is not None:
-                        grad_parts.append(col_pad)
-                    gradient_1 = jnp.concatenate(grad_parts, axis=1)
+                    if ghost_cols_present:
+                        grad_left = jnp.where(
+                            gcm[0], gcv[0], gradient_1[:, 0]
+                        )[:, jnp.newaxis]
+                        grad_right = jnp.where(
+                            gcm[1], gcv[1], gradient_1[:, width - 1]
+                        )[:, jnp.newaxis]
+                        grad_parts = [
+                            grad_left,
+                            gradient_1[:, 1:width - 1],
+                            grad_right,
+                        ]
+                        if col_pad is not None:
+                            grad_parts.append(col_pad)
+                        gradient_1 = jnp.concatenate(
+                            grad_parts, axis=1
+                        )
+                    elif col_pad is not None:
+                        gradient_1 = jnp.concatenate(
+                            [gradient_1[:, :width], col_pad], axis=1
+                        )
 
                     rhs_value = (
                         rhs_value
