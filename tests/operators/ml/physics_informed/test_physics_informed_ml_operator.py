@@ -273,3 +273,92 @@ def test_pinn_coarse_operator_inside_parareal():
     fine_y = fine.solve(ivp).discrete_y()
     parareal_y = parareal.solve(ivp).discrete_y()
     assert np.allclose(parareal_y, fine_y, atol=1e-5)
+
+
+def test_ode_system_training_lotka_volterra():
+    # coupled two-component ODE system trained through the PINN path
+    from pararealml_tpu import LotkaVolterraEquation
+
+    np.random.seed(2)
+    cp = ConstrainedProblem(LotkaVolterraEquation(2.0, 1.0, 0.8, 1.0))
+    operator = PhysicsInformedMLOperator(SAMPLER, 0.05, True)
+    data_args = DataArgs(
+        y_0_functions=[lambda _: np.array([1.0, 0.5])],
+        n_domain_points=120,
+        n_batches=1,
+    )
+    model_args = ModelArgs(
+        model=DeepONet(
+            branch_net=FNN([32, 16]),
+            trunk_net=FNN([32, 16]),
+            combiner_net=FNN([32, 2]),
+            branch_net_input_size=2,
+        ),
+        ic_loss_weight=10.0,
+    )
+    history, _ = operator.train(
+        cp,
+        (0.0, 0.5),
+        data_args,
+        OptimizationArgs(
+            optimizer=optax.adam(3e-3), epochs=500, verbose=0, seed=2
+        ),
+        model_args,
+    )
+    assert history["loss"][-1] < history["loss"][0]
+    assert history["loss"][-1] < 1e-2
+
+    ic = ContinuousInitialCondition(cp, lambda _: np.array([1.0, 0.5]))
+    ivp = InitialValueProblem(cp, (0.0, 0.5), ic)
+    y = operator.solve(ivp).discrete_y()
+    # cross-check against the jitted adaptive RK solution
+    from pararealml_tpu.operators.ode import ODEOperator
+
+    reference = ODEOperator(
+        "RK45", 0.05, rtol=1e-10, atol=1e-12
+    ).solve(ivp).discrete_y()
+    assert np.abs(y - reference).max() < 0.05
+
+
+def test_polar_pde_training_smoke():
+    # the curvilinear PINN path (symbol mapper -> batched polar
+    # operators) must train stably end to end
+    from pararealml_tpu import CoordinateSystem, NeumannBoundaryCondition
+
+    np.random.seed(3)
+    mesh = Mesh(
+        [(1.0, 2.0), (0.0, np.pi)],
+        [0.25, np.pi / 4],
+        CoordinateSystem.POLAR,
+    )
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 1)), is_static=True
+    )
+    cp = ConstrainedProblem(DiffusionEquation(2, 0.1), mesh, [(bc, bc)] * 2)
+    operator = PhysicsInformedMLOperator(SAMPLER, 0.05, True)
+    data_args = DataArgs(
+        y_0_functions=[lambda x: np.ones((len(x), 1))],
+        n_domain_points=60,
+        n_boundary_points=12,
+        n_batches=1,
+    )
+    model_args = ModelArgs(
+        model=DeepONet(
+            branch_net=FNN([16, 8]),
+            trunk_net=FNN([16, 8]),
+            combiner_net=FNN([16, 1]),
+            branch_net_input_size=np.prod(cp.y_shape(True)).item(),
+        )
+    )
+    history, _ = operator.train(
+        cp,
+        (0.0, 0.2),
+        data_args,
+        OptimizationArgs(
+            optimizer=optax.adam(3e-3), epochs=60, verbose=0, seed=3
+        ),
+        model_args,
+    )
+    losses = np.asarray(history["loss"])
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
