@@ -445,8 +445,12 @@ class PararealOperator(JaxOperator):
                         )
                         return y_borders, coarse_ends
 
+                    # slices before the current iteration index are
+                    # already exact (standard Parareal property, and
+                    # the j-masks above make them no-ops), so the
+                    # sweep starts at i
                     y_borders, coarse_ends = jax.lax.fori_loop(
-                        0, n, corrective_sweep, (y_borders, coarse_ends)
+                        i, n, corrective_sweep, (y_borders, coarse_ends)
                     )
                     converged = termination(old_ends, y_borders[1:])
                     return y_borders, coarse_ends, sub_y_fine, converged
