@@ -238,9 +238,21 @@ class FDMOperator(JaxOperator):
                 build_fused_diffusion_rk4_trajectory,
                 fused_diffusion_step_applicable,
             )
+            from pararealml_tpu.ops.fused_wave import (
+                build_fused_wave_rk4_trajectory,
+                fused_wave_step_applicable,
+            )
 
             if fused_diffusion_step_applicable(cp, self._integrator):
                 fused_trajectory = build_fused_diffusion_rk4_trajectory(
+                    cp,
+                    self._d_t,
+                    steps,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                return lambda y_init, t_start: fused_trajectory(y_init)
+            if fused_wave_step_applicable(cp, self._integrator):
+                fused_trajectory = build_fused_wave_rk4_trajectory(
                     cp,
                     self._d_t,
                     steps,
@@ -284,16 +296,28 @@ class FDMOperator(JaxOperator):
                 build_fused_diffusion_rk4_step,
                 fused_diffusion_step_applicable,
             )
+            from pararealml_tpu.ops.fused_wave import (
+                build_fused_wave_rk4_step,
+                fused_wave_step_applicable,
+            )
 
+            fused_step = None
             if fused_diffusion_step_applicable(cp, self._integrator):
                 fused_step = build_fused_diffusion_rk4_step(
                     cp,
                     self._d_t,
                     interpret=jax.default_backend() != "tpu",
                 )
+            elif fused_wave_step_applicable(cp, self._integrator):
+                fused_step = build_fused_wave_rk4_step(
+                    cp,
+                    self._d_t,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            if fused_step is not None:
 
-                def step_fused(y, i, t_i):
-                    return fused_step(y)
+                def step_fused(y, i, t_i, _fused=fused_step):
+                    return _fused(y)
 
                 return step_fused
 

@@ -1,0 +1,157 @@
+import jax
+import numpy as np
+import pytest
+
+from pararealml_tpu import (
+    ConstrainedProblem,
+    DiffusionEquation,
+    DirichletBoundaryCondition,
+    GaussianInitialCondition,
+    InitialValueProblem,
+    Mesh,
+    NeumannBoundaryCondition,
+    WaveEquation,
+)
+from pararealml_tpu.operators.fdm import (
+    FDMOperator,
+    ForwardEulerMethod,
+    RK4,
+    ThreePointCentralDifferenceMethod,
+)
+from pararealml_tpu.ops import (
+    build_fused_wave_rk4_trajectory,
+    fused_wave_step_applicable,
+)
+
+
+def _wave_cp(dirichlet=True, c=1.5):
+    mesh = Mesh([(0.0, 4.0), (0.0, 4.0)], [0.25, 0.25])
+    if dirichlet:
+        bcs = [
+            (
+                DirichletBoundaryCondition(
+                    lambda x, t: np.zeros((len(x), 2)), is_static=True
+                ),
+            )
+            * 2,
+            (
+                NeumannBoundaryCondition(
+                    lambda x, t: np.zeros((len(x), 2)), is_static=True
+                ),
+            )
+            * 2,
+        ]
+    else:
+        bcs = [
+            (
+                NeumannBoundaryCondition(
+                    lambda x, t: np.full((len(x), 2), 0.1),
+                    is_static=True,
+                ),
+            )
+            * 2
+        ] * 2
+    return ConstrainedProblem(WaveEquation(2, c), mesh, bcs)
+
+
+def _ic(cp):
+    return GaussianInitialCondition(
+        cp, [(np.full(2, 2.0), 0.5 * np.eye(2))] * 2, [1.0, 0.0]
+    )
+
+
+def test_wave_applicability_gate():
+    cp = _wave_cp()
+    assert not fused_wave_step_applicable(cp, RK4())  # x64 default
+    jax.config.update("jax_enable_x64", False)
+    try:
+        assert fused_wave_step_applicable(cp, RK4())
+        assert not fused_wave_step_applicable(cp, ForwardEulerMethod())
+
+        class DampedWaveEquation(WaveEquation):
+            pass
+
+        damped_cp = ConstrainedProblem(
+            DampedWaveEquation(2),
+            cp.mesh,
+            cp.boundary_conditions,
+        )
+        assert not fused_wave_step_applicable(damped_cp, RK4())
+
+        mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.5, 0.5])
+        bc = NeumannBoundaryCondition(
+            lambda x, t: np.zeros((len(x), 1)), is_static=True
+        )
+        diffusion_cp = ConstrainedProblem(
+            DiffusionEquation(2), mesh, [(bc, bc)] * 2
+        )
+        assert not fused_wave_step_applicable(diffusion_cp, RK4())
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+@pytest.mark.parametrize("dirichlet", [True, False])
+def test_fused_wave_trajectory_matches_generic(dirichlet):
+    cp = _wave_cp(dirichlet)
+    y = np.asarray(_ic(cp).discrete_y_0(True), np.float32)
+    d_t, steps = 0.02, 6
+
+    fused = build_fused_wave_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    ys_fused = np.asarray(fused(y))
+
+    generic_op = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        d_t,
+        fused_kernels=False,
+    )
+    generic_fn, _ = generic_op.trajectory_function(
+        cp, (0.0, steps * d_t)
+    )
+    ys_generic = np.asarray(generic_fn(y.astype(np.float64), 0.0))
+
+    assert ys_fused.shape == ys_generic.shape
+    assert np.allclose(ys_fused, ys_generic, atol=1e-4)
+
+
+def test_fused_wave_used_by_operator_in_f32():
+    jax.config.update("jax_enable_x64", False)
+    try:
+        cp = _wave_cp()
+        ivp = InitialValueProblem(cp, (0.0, 0.1), _ic(cp))
+        fused_op = FDMOperator(
+            RK4(), ThreePointCentralDifferenceMethod(), 0.02
+        )
+        generic_op = FDMOperator(
+            RK4(),
+            ThreePointCentralDifferenceMethod(),
+            0.02,
+            fused_kernels=False,
+        )
+        y_fused = fused_op.solve(ivp).discrete_y()
+        y_generic = generic_op.solve(ivp).discrete_y()
+        assert np.allclose(y_fused, y_generic, atol=1e-4)
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def test_fused_wave_energy_behavior():
+    # with reflecting (zero-Dirichlet displacement) walls and zero-flux
+    # velocity the discrete wave must neither blow up nor decay to zero
+    # over a short horizon
+    jax.config.update("jax_enable_x64", False)
+    try:
+        cp = _wave_cp()
+        ivp = InitialValueProblem(cp, (0.0, 1.0), _ic(cp))
+        op = FDMOperator(
+            RK4(), ThreePointCentralDifferenceMethod(), 0.01
+        )
+        y = op.solve(ivp).discrete_y()
+        energy = (y[..., 1] ** 2).sum(axis=(1, 2))
+        assert np.all(np.isfinite(y))
+        assert energy[-1] > 0.0
+        assert energy.max() < 1e3 * max(energy[0], 1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", True)
