@@ -79,10 +79,11 @@ class FDMOperator(JaxOperator):
         :param d_t: the temporal step size
         :param fused_kernels: whether to use hand-fused Pallas TPU
             kernels for step computations on the problem classes they
-            cover (currently single-component 2D Cartesian diffusion
-            and convection-diffusion with static boundary conditions
-            under RK4 in float32); the generic
-            jnp path is used otherwise
+            cover (2D Cartesian diffusion and convection-diffusion at
+            any grid size via whole-grid-in-VMEM or block-tiled
+            kernels, plus the two-component wave and Burgers systems,
+            all with static boundary conditions under RK4 in float32);
+            the generic jnp path is used otherwise
         """
         super().__init__(d_t, True)
         self._integrator = integrator
@@ -238,8 +239,9 @@ class FDMOperator(JaxOperator):
                 build_fused_diffusion_rk4_trajectory,
                 fused_diffusion_step_applicable,
             )
-            from pararealml_tpu.ops.fused_wave import (
-                build_fused_wave_rk4_trajectory,
+            from pararealml_tpu.ops.fused_system import (
+                build_fused_system_rk4_trajectory,
+                fused_burgers_step_applicable,
                 fused_wave_step_applicable,
             )
 
@@ -251,8 +253,10 @@ class FDMOperator(JaxOperator):
                     interpret=jax.default_backend() != "tpu",
                 )
                 return lambda y_init, t_start: fused_trajectory(y_init)
-            if fused_wave_step_applicable(cp, self._integrator):
-                fused_trajectory = build_fused_wave_rk4_trajectory(
+            if fused_wave_step_applicable(
+                cp, self._integrator
+            ) or fused_burgers_step_applicable(cp, self._integrator):
+                fused_trajectory = build_fused_system_rk4_trajectory(
                     cp,
                     self._d_t,
                     steps,
@@ -296,8 +300,9 @@ class FDMOperator(JaxOperator):
                 build_fused_diffusion_rk4_step,
                 fused_diffusion_step_applicable,
             )
-            from pararealml_tpu.ops.fused_wave import (
-                build_fused_wave_rk4_step,
+            from pararealml_tpu.ops.fused_system import (
+                build_fused_system_rk4_step,
+                fused_burgers_step_applicable,
                 fused_wave_step_applicable,
             )
 
@@ -308,8 +313,10 @@ class FDMOperator(JaxOperator):
                     self._d_t,
                     interpret=jax.default_backend() != "tpu",
                 )
-            elif fused_wave_step_applicable(cp, self._integrator):
-                fused_step = build_fused_wave_rk4_step(
+            elif fused_wave_step_applicable(
+                cp, self._integrator
+            ) or fused_burgers_step_applicable(cp, self._integrator):
+                fused_step = build_fused_system_rk4_step(
                     cp,
                     self._d_t,
                     interpret=jax.default_backend() != "tpu",

@@ -3,9 +3,12 @@ from pararealml_tpu.ops.fused_diffusion import (
     build_fused_diffusion_rk4_trajectory,
     fused_diffusion_step_applicable,
 )
-from pararealml_tpu.ops.fused_wave import (
+from pararealml_tpu.ops.fused_system import (
+    build_fused_system_rk4_step,
+    build_fused_system_rk4_trajectory,
     build_fused_wave_rk4_step,
     build_fused_wave_rk4_trajectory,
+    fused_burgers_step_applicable,
     fused_wave_step_applicable,
 )
 from pararealml_tpu.ops.tiled_diffusion import (
@@ -16,8 +19,11 @@ __all__ = [
     "build_fused_diffusion_rk4_step",
     "build_fused_diffusion_rk4_trajectory",
     "fused_diffusion_step_applicable",
+    "build_fused_system_rk4_step",
+    "build_fused_system_rk4_trajectory",
     "build_fused_wave_rk4_step",
     "build_fused_wave_rk4_trajectory",
+    "fused_burgers_step_applicable",
     "fused_wave_step_applicable",
     "build_tiled_diffusion_rk4_trajectory",
 ]

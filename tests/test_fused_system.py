@@ -155,3 +155,94 @@ def test_fused_wave_energy_behavior():
         assert energy.max() < 1e3 * max(energy[0], 1e-12)
     finally:
         jax.config.update("jax_enable_x64", True)
+
+
+def _burgers_cp(re=100.0):
+    mesh = Mesh([(0.0, 4.0), (0.0, 4.0)], [0.25, 0.25])
+    bcs = [
+        (
+            DirichletBoundaryCondition(
+                lambda x, t: np.zeros((len(x), 2)), is_static=True
+            ),
+        )
+        * 2,
+        (
+            NeumannBoundaryCondition(
+                lambda x, t: np.zeros((len(x), 2)), is_static=True
+            ),
+        )
+        * 2,
+    ]
+    from pararealml_tpu import BurgersEquation
+
+    return ConstrainedProblem(BurgersEquation(2, re), mesh, bcs)
+
+
+def test_burgers_applicability_gate():
+    from pararealml_tpu.ops import fused_burgers_step_applicable
+
+    cp = _burgers_cp()
+    assert not fused_burgers_step_applicable(cp, RK4())  # x64 default
+    jax.config.update("jax_enable_x64", False)
+    try:
+        assert fused_burgers_step_applicable(cp, RK4())
+        assert not fused_burgers_step_applicable(
+            cp, ForwardEulerMethod()
+        )
+        # wave gate must not accept Burgers and vice versa
+        assert not fused_wave_step_applicable(cp, RK4())
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def test_fused_burgers_trajectory_matches_generic():
+    from pararealml_tpu.ops import build_fused_system_rk4_trajectory
+
+    cp = _burgers_cp()
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 2.0), 0.5 * np.eye(2))] * 2, [0.5, 0.3]
+    )
+    y = np.asarray(ic.discrete_y_0(True), np.float32)
+    d_t, steps = 0.01, 6
+
+    fused = build_fused_system_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    ys_fused = np.asarray(fused(y))
+
+    generic_op = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        d_t,
+        fused_kernels=False,
+    )
+    generic_fn, _ = generic_op.trajectory_function(
+        cp, (0.0, steps * d_t)
+    )
+    ys_generic = np.asarray(generic_fn(y.astype(np.float64), 0.0))
+    assert ys_fused.shape == ys_generic.shape
+    assert np.allclose(ys_fused, ys_generic, atol=1e-4)
+
+
+def test_fused_burgers_used_by_operator_in_f32():
+    jax.config.update("jax_enable_x64", False)
+    try:
+        cp = _burgers_cp()
+        ic = GaussianInitialCondition(
+            cp, [(np.full(2, 2.0), 0.5 * np.eye(2))] * 2, [0.5, 0.3]
+        )
+        ivp = InitialValueProblem(cp, (0.0, 0.05), ic)
+        fused_op = FDMOperator(
+            RK4(), ThreePointCentralDifferenceMethod(), 0.01
+        )
+        generic_op = FDMOperator(
+            RK4(),
+            ThreePointCentralDifferenceMethod(),
+            0.01,
+            fused_kernels=False,
+        )
+        y_fused = fused_op.solve(ivp).discrete_y()
+        y_generic = generic_op.solve(ivp).discrete_y()
+        assert np.allclose(y_fused, y_generic, atol=1e-4)
+    finally:
+        jax.config.update("jax_enable_x64", True)
