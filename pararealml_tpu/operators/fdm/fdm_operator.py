@@ -241,8 +241,7 @@ class FDMOperator(JaxOperator):
             )
             from pararealml_tpu.ops.fused_system import (
                 build_fused_system_rk4_trajectory,
-                fused_burgers_step_applicable,
-                fused_wave_step_applicable,
+                fused_system_step_applicable,
             )
 
             if fused_diffusion_step_applicable(cp, self._integrator):
@@ -253,9 +252,7 @@ class FDMOperator(JaxOperator):
                     interpret=jax.default_backend() != "tpu",
                 )
                 return lambda y_init, t_start: fused_trajectory(y_init)
-            if fused_wave_step_applicable(
-                cp, self._integrator
-            ) or fused_burgers_step_applicable(cp, self._integrator):
+            if fused_system_step_applicable(cp, self._integrator):
                 fused_trajectory = build_fused_system_rk4_trajectory(
                     cp,
                     self._d_t,
@@ -302,8 +299,7 @@ class FDMOperator(JaxOperator):
             )
             from pararealml_tpu.ops.fused_system import (
                 build_fused_system_rk4_step,
-                fused_burgers_step_applicable,
-                fused_wave_step_applicable,
+                fused_system_step_applicable,
             )
 
             fused_step = None
@@ -313,9 +309,7 @@ class FDMOperator(JaxOperator):
                     self._d_t,
                     interpret=jax.default_backend() != "tpu",
                 )
-            elif fused_wave_step_applicable(
-                cp, self._integrator
-            ) or fused_burgers_step_applicable(cp, self._integrator):
+            elif fused_system_step_applicable(cp, self._integrator):
                 fused_step = build_fused_system_rk4_step(
                     cp,
                     self._d_t,

@@ -9,6 +9,8 @@ from pararealml_tpu.ops.fused_system import (
     build_fused_wave_rk4_step,
     build_fused_wave_rk4_trajectory,
     fused_burgers_step_applicable,
+    fused_shallow_water_step_applicable,
+    fused_system_step_applicable,
     fused_wave_step_applicable,
 )
 from pararealml_tpu.ops.tiled_diffusion import (
@@ -24,6 +26,8 @@ __all__ = [
     "build_fused_wave_rk4_step",
     "build_fused_wave_rk4_trajectory",
     "fused_burgers_step_applicable",
+    "fused_shallow_water_step_applicable",
+    "fused_system_step_applicable",
     "fused_wave_step_applicable",
     "build_tiled_diffusion_rk4_trajectory",
 ]

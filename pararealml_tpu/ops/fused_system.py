@@ -1,24 +1,24 @@
-"""Fused Pallas TPU kernels for two-component 2D systems (wave,
-Burgers).
+"""Fused Pallas TPU kernels for multi-component 2D systems (wave,
+Burgers, shallow water).
 
 Generalizes the single-component diffusion kernel
-(ops/fused_diffusion.py) to systems of two coupled planes: both
-components stay resident in VMEM across *all* RK4 time steps, with
-per-component Dirichlet grids and Neumann ghost synthesis matching the
-generic path's semantics, and each step's plane pair streamed to the
-HBM trajectory buffer with double-buffered async DMA. The equation
-only enters through a small ``rhs`` builder over shared stencil
-helpers, so the wave system (``y0' = y1``, ``y1' = c^2 lap(y0)``;
-reference /root/reference/pararealml/differential_equation.py:673-700)
-and the viscous Burgers system (``yi' = nu lap(yi) - y . grad(yi)``;
-reference :734-766) share one kernel scaffold.
+(ops/fused_diffusion.py) to systems of coupled planes: all components
+stay resident in VMEM across *all* RK4 time steps, with per-component
+Dirichlet grids and Neumann ghost synthesis matching the generic
+path's semantics, and each step's plane set streamed to the HBM
+trajectory buffer with double-buffered async DMA. The equation only
+enters through a small ``rhs`` builder over shared stencil helpers, so
+the wave system (``y0' = y1``, ``y1' = c^2 lap(y0)``; reference
+/root/reference/pararealml/differential_equation.py:673-700), the
+viscous Burgers system (``yi' = nu lap(yi) - y . grad(yi)``;
+reference :734-766), and the non-conservative shallow-water system
+(reference :768-819) share one kernel scaffold.
 
-Applicability (checked by :func:`fused_wave_step_applicable` /
-:func:`fused_burgers_step_applicable`): an exact ``WaveEquation`` /
-2D ``BurgersEquation`` on a 2D Cartesian mesh with static boundary
-conditions, solved with RK4 in float32, small enough for both planes
-and the RK4 stages to fit VMEM. Everything else falls back to the
-generic jnp path.
+Applicability (checked by the per-equation ``*_step_applicable``
+gates): the exact built-in equation type on a 2D Cartesian mesh with
+static boundary conditions, solved with RK4 in float32, small enough
+for all planes and the RK4 stages to fit VMEM. Everything else falls
+back to the generic jnp path.
 """
 
 from __future__ import annotations
@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from pararealml_tpu.constrained_problem import ConstrainedProblem
 from pararealml_tpu.differential_equation import (
     BurgersEquation,
+    ShallowWaterEquation,
     WaveEquation,
 )
 from pararealml_tpu.mesh import CoordinateSystem
@@ -39,42 +40,64 @@ from pararealml_tpu.ops.fused_diffusion import (
     _padded_cells,
 )
 
+_SYSTEM_EQUATION_TYPES = (
+    WaveEquation,
+    BurgersEquation,
+    ShallowWaterEquation,
+)
 
-def _two_component_applicable(cp, integrator, equation_type) -> bool:
+
+def _system_applicable(cp, integrator, equation_type) -> bool:
     from pararealml_tpu.operators.fdm.numerical_integrator import RK4
 
     diff_eq = cp.differential_equation
+    n_components = diff_eq.y_dimension
     return (
         not jax.config.read("jax_enable_x64")
         and type(diff_eq) is equation_type
         and isinstance(integrator, RK4)
         and diff_eq.x_dimension == 2
-        and diff_eq.y_dimension == 2
         and cp.mesh is not None
         and cp.mesh.coordinate_system_type == CoordinateSystem.CARTESIAN
         and cp.are_all_boundary_conditions_static
-        # two planes plus the RK4 stage intermediates must fit VMEM
+        # all planes plus the RK4 stage intermediates and the
+        # double-buffered trajectory scratch must fit VMEM: roughly
+        # (5n + 4) live stage planes + 2n scratch planes of f32
         and _padded_cells(cp.mesh.vertices_shape)
-        <= _MAX_VMEM_CELLS // 2
+        <= 3_000_000 // (7 * n_components + 4)
     )
 
 
 def fused_wave_step_applicable(cp, integrator) -> bool:
     """Whether the fused wave kernel reproduces the generic path exactly
     for this problem."""
-    return _two_component_applicable(cp, integrator, WaveEquation)
+    return _system_applicable(cp, integrator, WaveEquation)
 
 
 def fused_burgers_step_applicable(cp, integrator) -> bool:
     """Whether the fused Burgers kernel reproduces the generic path
     exactly for this problem."""
-    return _two_component_applicable(cp, integrator, BurgersEquation)
+    return _system_applicable(cp, integrator, BurgersEquation)
 
 
-def _component_constraint_tensors(cp: ConstrainedProblem):
+def fused_shallow_water_step_applicable(cp, integrator) -> bool:
+    """Whether the fused shallow-water kernel reproduces the generic
+    path exactly for this problem."""
+    return _system_applicable(cp, integrator, ShallowWaterEquation)
+
+
+def fused_system_step_applicable(cp, integrator) -> bool:
+    """Whether any fused multi-component system kernel applies."""
+    return any(
+        _system_applicable(cp, integrator, equation_type)
+        for equation_type in _SYSTEM_EQUATION_TYPES
+    )
+
+
+def _component_constraint_tensors(cp: ConstrainedProblem, n: int):
     """Dense static constraint tensors, one entry per component:
-    Dirichlet grids (2, h, w) and Neumann ghost face vectors
-    (2 faces, 2 components, length)."""
+    Dirichlet grids (n, h, w) and Neumann ghost face vectors
+    (2 faces, n components, length)."""
     mesh = cp.mesh
     height, width = mesh.vertices_shape
     dtype = np.float32
@@ -82,29 +105,29 @@ def _component_constraint_tensors(cp: ConstrainedProblem):
     if cp.static_y_vertex_constraints is not None:
         dir_mask = np.asarray(
             cp.static_y_vertex_constraints.mask
-        ).reshape(height, width, 2)
+        ).reshape(height, width, n)
         dir_vals = np.asarray(
             cp.static_y_vertex_constraints.values
-        ).reshape(height, width, 2)
+        ).reshape(height, width, n)
         dir_vals = np.where(dir_mask, dir_vals, 0.0)
     else:
-        dir_mask = np.zeros((height, width, 2), bool)
-        dir_vals = np.zeros((height, width, 2))
+        dir_mask = np.zeros((height, width, n), bool)
+        dir_vals = np.zeros((height, width, n))
 
     def face_vectors(pair, length):
-        """(2 sides, 2 components, length) mask and value arrays."""
-        masks = np.zeros((2, 2, length), bool)
-        values = np.zeros((2, 2, length), dtype)
+        """(2 sides, n components, length) mask and value arrays."""
+        masks = np.zeros((2, n, length), bool)
+        values = np.zeros((2, n, length), dtype)
         for side_index, side in enumerate(
             (pair.lower, pair.upper) if pair else (None, None)
         ):
             if side is None:
                 continue
             masks[side_index] = np.moveaxis(
-                np.asarray(side.mask).reshape(length, 2), -1, 0
+                np.asarray(side.mask).reshape(length, n), -1, 0
             )
             values[side_index] = np.moveaxis(
-                np.asarray(side.values).reshape(length, 2), -1, 0
+                np.asarray(side.values).reshape(length, n), -1, 0
             ).astype(dtype)
         return masks, values
 
@@ -249,26 +272,72 @@ class _StencilHelpers:
 
 
 def _make_rhs_builder(diff_eq):
-    """The per-equation RHS over the stencil helpers."""
+    """The per-equation RHS over the stencil helpers, as a function of
+    the component-plane tuple."""
     if isinstance(diff_eq, WaveEquation):
         c_sqr = float(diff_eq._c) ** 2
 
-        def rhs(helpers, y0, y1):
-            return y1, c_sqr * helpers.laplacian(0, y0)
+        def rhs(helpers, y):
+            return (y[1], c_sqr * helpers.laplacian(0, y[0]))
 
         return rhs
 
-    viscosity = 1.0 / float(diff_eq._re)
+    if isinstance(diff_eq, BurgersEquation):
+        viscosity = 1.0 / float(diff_eq._re)
 
-    def rhs(helpers, y0, y1):
-        outputs = []
-        for comp, plane in ((0, y0), (1, y1)):
-            outputs.append(
+        def rhs(helpers, y):
+            return tuple(
                 viscosity * helpers.laplacian(comp, plane)
-                - y0 * helpers.gradient_0(comp, plane)
-                - y1 * helpers.gradient_1(comp, plane)
+                - y[0] * helpers.gradient_0(comp, plane)
+                - y[1] * helpers.gradient_1(comp, plane)
+                for comp, plane in enumerate(y)
             )
-        return tuple(outputs)
+
+        return rhs
+
+    # shallow water (reference differential_equation.py:768-819):
+    # eta' = -h div(u, w) - eta du/dx0 - u deta/dx0
+    #        - eta dw/dx1 - w deta/dx1
+    # u'   = v lap(u) - u du/dx0 - w du/dx1 - g deta/dx0 - b u + f w
+    # w'   = v lap(w) - u dw/dx0 - w dw/dx1 - g deta/dx1 - b w - f u
+    h = float(diff_eq._h)
+    b = float(diff_eq._b)
+    v = float(diff_eq._v)
+    f = float(diff_eq._f)
+    g_accel = float(diff_eq._g)
+
+    def rhs(helpers, y):
+        eta, u, w = y
+        d_eta_0 = helpers.gradient_0(0, eta)
+        d_eta_1 = helpers.gradient_1(0, eta)
+        d_u_0 = helpers.gradient_0(1, u)
+        d_u_1 = helpers.gradient_1(1, u)
+        d_w_0 = helpers.gradient_0(2, w)
+        d_w_1 = helpers.gradient_1(2, w)
+        r_eta = (
+            -h * (d_u_0 + d_w_1)
+            - eta * d_u_0
+            - u * d_eta_0
+            - eta * d_w_1
+            - w * d_eta_1
+        )
+        r_u = (
+            v * helpers.laplacian(1, u)
+            - u * d_u_0
+            - w * d_u_1
+            - g_accel * d_eta_0
+            - b * u
+            + f * w
+        )
+        r_w = (
+            v * helpers.laplacian(2, w)
+            - u * d_w_0
+            - w * d_w_1
+            - g_accel * d_eta_1
+            - b * w
+            - f * u
+        )
+        return (r_eta, r_u, r_w)
 
     return rhs
 
@@ -280,14 +349,15 @@ def build_fused_system_rk4_trajectory(
     interpret: bool = False,
 ):
     """Builds ``trajectory(y) -> ys`` computing ``n_steps`` fused RK4
-    steps of a two-component system, ``y`` of shape (h, w, 2)."""
+    steps of a multi-component system, ``y`` of shape (h, w, n)."""
     from jax.experimental.pallas import tpu as pltpu
 
     diff_eq = cp.differential_equation
+    n = diff_eq.y_dimension
     mesh = cp.mesh
     height, width = mesh.vertices_shape
     d_x0, d_x1 = mesh.d_x
-    constants = _component_constraint_tensors(cp)
+    constants = _component_constraint_tensors(cp, n)
     rhs_builder = _make_rhs_builder(diff_eq)
     dtype = jnp.float32
 
@@ -306,15 +376,15 @@ def build_fused_system_rk4_trajectory(
     )
 
     def kernel(
-        y_ref,  # (2, ph, pw)
+        y_ref,  # (n, ph, pw)
         dir_mask_ref,
         dir_vals_ref,
         ghost_row_mask_ref,
         ghost_row_vals_ref,
         ghost_col_mask_ref,
         ghost_col_vals_ref,
-        traj_ref,  # (n_steps, 2, ph, pw) in HBM
-        scratch_ref,  # (2 slots, 2 comps, ph, pw) VMEM
+        traj_ref,  # (n_steps, n, ph, pw) in HBM
+        scratch_ref,  # (2 slots, n comps, ph, pw) VMEM
         copy_sems,
     ):
         dir_mask = dir_mask_ref[:]
@@ -347,40 +417,34 @@ def build_fused_system_rk4_trajectory(
             ghost_col_vals_ref[:],
         )
 
-        def apply_dirichlet(y0, y1):
-            return (
-                jnp.where(dir_mask[0], dir_vals[0], y0),
-                jnp.where(dir_mask[1], dir_vals[1], y1),
+        def apply_dirichlet(y):
+            return tuple(
+                jnp.where(dir_mask[comp], dir_vals[comp], plane)
+                for comp, plane in enumerate(y)
             )
 
-        def rhs(y0, y1):
-            return rhs_builder(helpers, y0, y1)
+        def rhs(y):
+            return rhs_builder(helpers, y)
 
-        def rk4(y0, y1):
-            k1_0, k1_1 = rhs(y0, y1)
-            s0, s1 = apply_dirichlet(
-                y0 + 0.5 * d_t * k1_0, y1 + 0.5 * d_t * k1_1
+        def axpy(y, k, scale):
+            return tuple(
+                plane + scale * k_plane
+                for plane, k_plane in zip(y, k)
             )
-            k2_0, k2_1 = rhs(s0, s1)
-            s0, s1 = apply_dirichlet(
-                y0 + 0.5 * d_t * k2_0, y1 + 0.5 * d_t * k2_1
+
+        def rk4(y):
+            k1 = rhs(y)
+            k2 = rhs(apply_dirichlet(axpy(y, k1, 0.5 * d_t)))
+            k3 = rhs(apply_dirichlet(axpy(y, k2, 0.5 * d_t)))
+            k4 = rhs(apply_dirichlet(axpy(y, k3, d_t)))
+            combined = tuple(
+                k1_p + 2.0 * k2_p + 2.0 * k3_p + k4_p
+                for k1_p, k2_p, k3_p, k4_p in zip(k1, k2, k3, k4)
             )
-            k3_0, k3_1 = rhs(s0, s1)
-            s0, s1 = apply_dirichlet(
-                y0 + d_t * k3_0, y1 + d_t * k3_1
-            )
-            k4_0, k4_1 = rhs(s0, s1)
-            return apply_dirichlet(
-                y0
-                + (d_t / 6.0)
-                * (k1_0 + 2.0 * k2_0 + 2.0 * k3_0 + k4_0),
-                y1
-                + (d_t / 6.0)
-                * (k1_1 + 2.0 * k2_1 + 2.0 * k3_1 + k4_1),
-            )
+            return apply_dirichlet(axpy(y, combined, d_t / 6.0))
 
         def body(k, carry):
-            y0, y1 = rk4(*carry)
+            y = rk4(carry)
             slot = jax.lax.rem(k, 2)
 
             @pl.when(k >= 2)
@@ -391,16 +455,21 @@ def build_fused_system_rk4_trajectory(
                     copy_sems.at[slot],
                 ).wait()
 
-            scratch_ref[slot, 0] = y0
-            scratch_ref[slot, 1] = y1
+            for comp, plane in enumerate(y):
+                scratch_ref[slot, comp] = plane
             pltpu.make_async_copy(
                 scratch_ref.at[slot],
                 traj_ref.at[k],
                 copy_sems.at[slot],
             ).start()
-            return y0, y1
+            return y
 
-        jax.lax.fori_loop(0, n_steps, body, (y_ref[0], y_ref[1]))
+        jax.lax.fori_loop(
+            0,
+            n_steps,
+            body,
+            tuple(y_ref[comp] for comp in range(n)),
+        )
 
         @pl.when(n_steps >= 2)
         def _():
@@ -423,12 +492,12 @@ def build_fused_system_rk4_trajectory(
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (n_steps, 2, padded_height, padded_width), dtype
+            (n_steps, n, padded_height, padded_width), dtype
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, padded_height, padded_width), dtype),
+            pltpu.VMEM((2, n, padded_height, padded_width), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -436,10 +505,7 @@ def build_fused_system_rk4_trajectory(
 
     def pad_planes(array, value_dtype=None):
         return jnp.pad(
-            jnp.asarray(
-                array,
-                value_dtype if value_dtype is not None else None,
-            ),
+            jnp.asarray(array, value_dtype),
             (
                 (0, 0),
                 (0, padded_height - height),
@@ -470,7 +536,7 @@ def build_fused_system_rk4_trajectory(
 
     def trajectory(y: jax.Array) -> jax.Array:
         planes = jnp.moveaxis(
-            jnp.asarray(y, dtype).reshape(height, width, 2), -1, 0
+            jnp.asarray(y, dtype).reshape(height, width, n), -1, 0
         )
         y_padded = jnp.pad(
             planes,

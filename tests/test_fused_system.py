@@ -246,3 +246,65 @@ def test_fused_burgers_used_by_operator_in_f32():
         assert np.allclose(y_fused, y_generic, atol=1e-4)
     finally:
         jax.config.update("jax_enable_x64", True)
+
+
+def _swe_cp(h=0.5):
+    from pararealml_tpu import ShallowWaterEquation
+
+    mesh = Mesh([(0.0, 4.0), (0.0, 4.0)], [0.25, 0.25])
+    bcs = [
+        (
+            NeumannBoundaryCondition(
+                lambda x, t: np.zeros((len(x), 3)), is_static=True
+            ),
+        )
+        * 2
+    ] * 2
+    return ConstrainedProblem(ShallowWaterEquation(h), mesh, bcs)
+
+
+def test_shallow_water_applicability_gate():
+    from pararealml_tpu.ops import (
+        fused_shallow_water_step_applicable,
+        fused_system_step_applicable,
+    )
+
+    cp = _swe_cp()
+    jax.config.update("jax_enable_x64", False)
+    try:
+        assert fused_shallow_water_step_applicable(cp, RK4())
+        assert fused_system_step_applicable(cp, RK4())
+        assert not fused_wave_step_applicable(cp, RK4())
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def test_fused_shallow_water_matches_generic():
+    from pararealml_tpu.ops import build_fused_system_rk4_trajectory
+
+    cp = _swe_cp()
+    ic = GaussianInitialCondition(
+        cp,
+        [(np.full(2, 2.0), 0.5 * np.eye(2))] * 3,
+        [0.2, 0.0, 0.0],
+    )
+    y = np.asarray(ic.discrete_y_0(True), np.float32)
+    d_t, steps = 0.005, 6
+
+    fused = build_fused_system_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    ys_fused = np.asarray(fused(y))
+
+    generic_op = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        d_t,
+        fused_kernels=False,
+    )
+    generic_fn, _ = generic_op.trajectory_function(
+        cp, (0.0, steps * d_t)
+    )
+    ys_generic = np.asarray(generic_fn(y.astype(np.float64), 0.0))
+    assert ys_fused.shape == ys_generic.shape
+    assert np.allclose(ys_fused, ys_generic, atol=1e-4)
