@@ -412,3 +412,164 @@ def test_spherical_vector_laplacian():
             expected[inner],
             atol=2e-2,
         ), ind
+
+
+# -- polar / cylindrical analytic oracles ------------------------------------
+# Same Cartesian-conversion approach as the spherical oracles above.
+
+
+def _polar_mesh(d=0.02):
+    return Mesh(
+        [(1.0, 2.0), (0.5, 1.5)], [2 * d, 2 * d], CoordinateSystem.POLAR
+    )
+
+
+def _cylindrical_mesh(d=0.025):
+    return Mesh(
+        [(1.0, 2.0), (0.5, 1.5), (0.0, 1.0)],
+        [2 * d, 2 * d, 2 * d],
+        CoordinateSystem.CYLINDRICAL,
+    )
+
+
+def _circular_basis(mesh):
+    """e_r, e_theta (+ e_z for cylindrical) as (n_axes, *grid, n_axes)."""
+    grids = mesh.vertex_coordinate_grids
+    theta = grids[1]
+    sin_t, cos_t = np.sin(theta), np.cos(theta)
+    zero = np.zeros_like(theta)
+    if mesh.dimensions == 2:
+        e_r = np.stack([cos_t, sin_t], -1)
+        e_theta = np.stack([-sin_t, cos_t], -1)
+        return np.stack([e_r, e_theta])
+    one = np.ones_like(theta)
+    e_r = np.stack([cos_t, sin_t, zero], -1)
+    e_theta = np.stack([-sin_t, cos_t, zero], -1)
+    e_z = np.stack([zero, zero, one], -1)
+    return np.stack([e_r, e_theta, e_z])
+
+
+def _circular_cartesian(mesh):
+    grids = mesh.vertex_coordinate_grids
+    r, theta = grids[0], grids[1]
+    if mesh.dimensions == 2:
+        return (r * np.cos(theta), r * np.sin(theta))
+    return (r * np.cos(theta), r * np.sin(theta), grids[2])
+
+
+@pytest.mark.parametrize(
+    "mesh_factory", [_polar_mesh, _cylindrical_mesh]
+)
+def test_circular_gradient_oracle(mesh_factory):
+    mesh = mesh_factory()
+    dims = mesh.dimensions
+    points = _circular_cartesian(mesh)
+    # f = x + 2y (+ 3z): cartesian gradient (1, 2[, 3])
+    f = (points[0] + 2.0 * points[1])[..., None]
+    grad_cart = np.array([1.0, 2.0])
+    if dims == 3:
+        f = f + (3.0 * points[2])[..., None]
+        grad_cart = np.array([1.0, 2.0, 3.0])
+    basis = _circular_basis(mesh)
+    for axis in range(dims):
+        gradient = DIFF.gradient(f.copy(), mesh, axis)
+        expected = (basis[axis] @ grad_cart)[..., None]
+        assert np.allclose(
+            _interior(gradient, dims), _interior(expected, dims),
+            atol=2e-3,
+        ), axis
+
+
+@pytest.mark.parametrize(
+    "mesh_factory", [_polar_mesh, _cylindrical_mesh]
+)
+def test_circular_hessian_oracle(mesh_factory):
+    mesh = mesh_factory()
+    dims = mesh.dimensions
+    r = mesh.vertex_coordinate_grids[0][..., None]
+    # covariant Hessian of r^2 = x^2 + y^2 is 2 diag(1, 1[, 0])
+    f = r**2
+    for i in range(dims):
+        for j in range(dims):
+            hessian = DIFF.hessian(f, mesh, i, j)
+            expected = 2.0 if (i == j and i < 2) else 0.0
+            assert np.allclose(
+                _interior(hessian, dims), expected, atol=2e-2
+            ), (i, j)
+
+
+@pytest.mark.parametrize(
+    "mesh_factory", [_polar_mesh, _cylindrical_mesh]
+)
+def test_circular_divergence_oracle(mesh_factory):
+    mesh = mesh_factory()
+    dims = mesh.dimensions
+    points = _circular_cartesian(mesh)
+    basis = _circular_basis(mesh)
+    # A_cart = (x^2, y^2[, z^2]): div = 2(x + y [+ z])
+    a_cart = np.stack([p**2 for p in points], -1)
+    a = np.stack(
+        [np.sum(basis[i] * a_cart, -1) for i in range(dims)], -1
+    )
+    divergence = DIFF.divergence(a, mesh)
+    expected = (2.0 * sum(points))[..., None]
+    assert np.allclose(
+        _interior(divergence, dims), _interior(expected, dims),
+        rtol=5e-3, atol=5e-3,
+    )
+
+
+def test_polar_curl_oracle():
+    mesh = _polar_mesh()
+    x, y = _circular_cartesian(mesh)
+    basis = _circular_basis(mesh)
+    # A_cart = (-y, x): scalar curl = 2
+    a_cart = np.stack([-y, x], -1)
+    a = np.stack(
+        [np.sum(basis[i] * a_cart, -1) for i in range(2)], -1
+    )
+    curl = DIFF.curl(a, mesh, 0)
+    assert np.allclose(_interior(curl, 2), 2.0, atol=5e-3)
+
+
+def test_cylindrical_curl_oracle():
+    mesh = _cylindrical_mesh()
+    x, y, z = _circular_cartesian(mesh)
+    basis = _circular_basis(mesh)
+    # A_cart = (-y z, x z, 0): curl = (-x, -y, 2 z)
+    a_cart = np.stack([-y * z, x * z, np.zeros_like(z)], -1)
+    a = np.stack(
+        [np.sum(basis[i] * a_cart, -1) for i in range(3)], -1
+    )
+    curl_cart = np.stack([-x, -y, 2.0 * z], -1)
+    for ind in range(3):
+        curl = DIFF.curl(a, mesh, ind)
+        expected = np.sum(basis[ind] * curl_cart, -1)[..., None]
+        assert np.allclose(
+            _interior(curl, 3), _interior(expected, 3), atol=1e-2
+        ), ind
+
+
+@pytest.mark.parametrize(
+    "mesh_factory", [_polar_mesh, _cylindrical_mesh]
+)
+def test_circular_vector_laplacian_oracle(mesh_factory):
+    mesh = mesh_factory()
+    dims = mesh.dimensions
+    points = _circular_cartesian(mesh)
+    basis = _circular_basis(mesh)
+    # A_cart = (x^2, y^2[, z^2]): vector Laplacian = (2, 2[, 2])
+    a_cart = np.stack([p**2 for p in points], -1)
+    a = np.stack(
+        [np.sum(basis[i] * a_cart, -1) for i in range(dims)], -1
+    )
+    lap_cart = np.full(dims, 2.0)
+    inner = tuple([slice(2, -2)] * dims)
+    for ind in range(dims):
+        vector_laplacian = DIFF.vector_laplacian(a, mesh, ind)
+        expected = (basis[ind] @ lap_cart)[..., None]
+        assert np.allclose(
+            np.asarray(vector_laplacian)[inner],
+            expected[inner],
+            atol=5e-2,
+        ), ind
