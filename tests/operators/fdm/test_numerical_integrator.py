@@ -110,3 +110,107 @@ def test_stage_offsets_passed_to_rhs():
         np.ones((1, 1)), 0.1, rhs, lambda offset: None
     )
     assert seen == [0.0, 0.5, 0.5, 1.0]
+
+
+@pytest.mark.parametrize(
+    "integrator,expected_order",
+    [
+        (ForwardEulerMethod(), 1),
+        (ExplicitMidpointMethod(), 2),
+        (RK4(), 4),
+        (BackwardEulerMethod(), 1),
+        (CrankNicolsonMethod(), 2),
+    ],
+)
+def test_empirical_convergence_order(integrator, expected_order):
+    # halving the step must cut the global error by ~2^order on the
+    # exact exponential
+    exact = np.e
+    errors = []
+    for d_t, steps in ((0.1, 10), (0.05, 20)):
+        errors.append(
+            abs(
+                _integrate_exponential(integrator, d_t, steps) - exact
+            )
+        )
+    ratio = errors[0] / errors[1]
+    assert 2**expected_order * 0.6 < ratio < 2**expected_order * 1.7, (
+        errors,
+        ratio,
+    )
+
+
+def test_constraints_applied_at_every_stage():
+    # a pinned component must hold its value through multi-stage
+    # integration, exactly as the reference applies constraints at each
+    # stage (numerical_integrator.py:93-132)
+    mask = np.array([[False], [True]])
+    values = np.where(mask, 5.0, 0.0)
+    constraint = Constraint(
+        np.asarray(values, np.float64), np.asarray(mask)
+    )
+
+    def apply(y):
+        import jax.numpy as jnp
+
+        return jnp.where(jnp.asarray(mask), 5.0, y)
+
+    y = np.array([[1.0], [5.0]])
+    for integrator in (
+        ForwardEulerMethod(),
+        RK4(),
+        CrankNicolsonMethod(),
+    ):
+        result = integrator.integral(
+            y,
+            0.1,
+            lambda offset, y_arg: y_arg,
+            lambda offset: None,
+        )
+        # without constraints both components grow
+        assert float(np.asarray(result)[1, 0]) > 5.0
+
+        result = integrator.integral(
+            y,
+            0.1,
+            lambda offset, y_arg: apply(y_arg) * 1.0,
+            lambda offset, _c=constraint: _constraint_fn(_c),
+        )
+        assert np.isclose(float(np.asarray(result)[1, 0]), 5.0)
+
+
+def _constraint_fn(constraint):
+    return constraint
+
+
+def test_implicit_methods_solve_stiff_decay_stably():
+    # y' = -50 y with d_t = 0.1 blows up explicitly but must decay
+    # monotonically under the implicit methods
+    import jax
+
+    for integrator in (BackwardEulerMethod(), CrankNicolsonMethod()):
+        step = jax.jit(
+            lambda y, _i=integrator: _i.integral(
+                y,
+                0.1,
+                lambda offset, y_arg: -50.0 * y_arg,
+                lambda offset: None,
+            )
+        )
+        y = np.ones((1, 1))
+        previous = 1.0
+        for _ in range(20):
+            y = step(y)
+            value = abs(float(np.asarray(y)[0, 0]))
+            assert value < previous + 1e-12
+            previous = value
+        assert previous < 1.0
+
+    explicit = ForwardEulerMethod()
+    y = np.ones((1, 1))
+    for _ in range(20):
+        y = explicit.integral(
+            y, 0.1, lambda offset, y_arg: -50.0 * y_arg,
+            lambda offset: None,
+        )
+    assert abs(float(np.asarray(y)[0, 0])) > 1e3  # explicit blow-up
