@@ -4,6 +4,7 @@ import pytest
 
 from pararealml_tpu import (
     ConstrainedProblem,
+    PopulationGrowthEquation,
     ContinuousInitialCondition,
     DiffusionEquation,
     GaussianInitialCondition,
@@ -323,3 +324,99 @@ def test_data_generation_with_fused_capable_oracle():
         assert np.all(np.isfinite(targets))
     finally:
         _jax.config.update("jax_enable_x64", True)
+
+
+def test_repeat_on_error_retries_failed_oracle_solves():
+    # an oracle that fails intermittently must be retried with a fresh
+    # perturbation instead of aborting data generation (the reference's
+    # failure-detection behavior, supervised_ml_operator.py:568-578)
+    cp = ConstrainedProblem(LotkaVolterraEquation(2.0, 1.0, 0.8, 1.0))
+    ic = ContinuousInitialCondition(cp, lambda _: np.array([1.0, 0.5]))
+    ivp = InitialValueProblem(cp, (0.0, 0.5), ic)
+
+    class FlakyOracle(ODEOperator):
+        def __init__(self):
+            super().__init__("RK4", 0.05)
+            self.calls = 0
+
+        def solve(self, ivp_, parallel_enabled=True):
+            self.calls += 1
+            if self.calls % 3 == 0:
+                raise RuntimeError("transient oracle failure")
+            return super().solve(ivp_, parallel_enabled)
+
+    oracle = FlakyOracle()
+    operator = SupervisedMLOperator(0.25, None, auto_regressive=True)
+    np.random.seed(0)
+    with pytest.warns(UserWarning):
+        inputs, targets = operator.generate_data(
+            ivp,
+            oracle,
+            iterations=4,
+            perturbation_function=lambda t, y: y
+            * np.random.uniform(0.9, 1.1, y.shape),
+            repeat_on_error=True,
+        )
+    assert np.all(np.isfinite(inputs))
+    assert np.all(np.isfinite(targets))
+    assert len(inputs) == 4 * 2  # iterations x time steps
+
+    # without repeat_on_error the failure propagates (a host-only
+    # oracle forces the sequential path, which calls solve per
+    # iteration)
+    from pararealml_tpu.operator import Operator
+
+    class HostFlakyOracle(Operator):
+        def __init__(self):
+            super().__init__(0.05, None)
+            self.calls = 0
+
+        def solve(self, ivp_, parallel_enabled=True):
+            self.calls += 1
+            if self.calls >= 3:
+                raise RuntimeError("oracle failure")
+            return ODEOperator("RK4", 0.05).solve(
+                ivp_, parallel_enabled
+            )
+
+    with pytest.raises(RuntimeError):
+        SupervisedMLOperator(
+            0.25, None, auto_regressive=True
+        ).generate_data(
+            ivp,
+            HostFlakyOracle(),
+            iterations=10,
+            perturbation_function=lambda t, y: y,
+        )
+
+
+def test_time_variant_solve_roundtrip():
+    # a time-variant (non-auto-regressive) operator predicts y(t)
+    # directly from (y_0, t)
+    np.random.seed(1)
+    cp = ConstrainedProblem(PopulationGrowthEquation(1.0))
+    ic = ContinuousInitialCondition(cp, lambda _: np.array([1.0]))
+    ivp = InitialValueProblem(cp, (0.0, 1.0), ic)
+    oracle = ODEOperator("RK45", 0.1, rtol=1e-10, atol=1e-12)
+
+    operator = SupervisedMLOperator(
+        0.1, None, auto_regressive=False, time_variant=True
+    )
+    model = SKLearnJaxRegressor(
+        lambda: FNN([32, 32, 1]),
+        batch_size=32,
+        epochs=400,
+        verbose=0,
+        seed=1,
+    )
+    operator.train(
+        ivp,
+        oracle,
+        model,
+        iterations=30,
+        perturbation_function=lambda t, y: y
+        * np.random.uniform(0.9, 1.1, y.shape),
+    )
+    y = operator.solve(ivp).discrete_y()
+    exact = np.exp(np.arange(0.1, 1.05, 0.1))
+    assert np.abs(y[:, 0] - exact).max() < 0.15
