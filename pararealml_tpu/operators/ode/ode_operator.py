@@ -1045,10 +1045,16 @@ class ODEOperator(JaxOperator):
         ys, status = integrate(y0, t[0])
         status = int(status)
         if status != 0:
+            messages = {
+                1: "step budget exhausted before reaching the end of "
+                   "the time interval",
+                2: "step size collapsed below the resolvable minimum "
+                   "(the problem may be singular or too stiff for the "
+                   "requested tolerances)",
+            }
             raise ValueError(
                 "error solving initial value problem",
                 f"status code: {status}",
-                "message: step budget exhausted before reaching the end of "
-                "the time interval",
+                f"message: {messages.get(status, 'unknown failure')}",
             )
         return Solution(ivp, t[1:], np.asarray(ys), d_t=self._d_t)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from pararealml_tpu.initial_condition import DiscreteInitialCondition
 from pararealml_tpu.initial_value_problem import InitialValueProblem
@@ -43,6 +43,7 @@ from pararealml_tpu.operator import (
     discretize_time_domain,
 )
 from pararealml_tpu.solution import Solution
+from pararealml_tpu.utils.distributed import time_mesh
 
 TerminationCondition = Union[
     float, Sequence[float], Callable[[np.ndarray, np.ndarray], bool]
@@ -145,16 +146,7 @@ class PararealOperator(JaxOperator):
             )
         t_interval = ivp.t_interval
         slice_duration = (t_interval[1] - t_interval[0]) / n
-        for operator, name in ((self._f, "fine"), (self._g, "coarse")):
-            steps = round(slice_duration / operator.d_t)
-            if not np.isclose(
-                slice_duration, operator.d_t * steps
-            ) or steps == 0:
-                raise ValueError(
-                    f"{name} operator time step size ({operator.d_t}) "
-                    "must be a divisor of sub-IVP time slice length "
-                    f"({slice_duration})"
-                )
+        self._validate_step_sizes(slice_duration)
 
         if self._can_compile(cp, n):
             return self._solve_compiled(ivp, n, slice_duration)
@@ -183,6 +175,18 @@ class PararealOperator(JaxOperator):
             cp.differential_equation.x_dimension
             and not cp.are_all_boundary_conditions_static
         )
+
+    def _validate_step_sizes(self, slice_duration: float) -> None:
+        for operator, name in ((self._f, "fine"), (self._g, "coarse")):
+            steps = round(slice_duration / operator.d_t)
+            if not np.isclose(
+                slice_duration, operator.d_t * steps
+            ) or steps == 0:
+                raise ValueError(
+                    f"{name} operator time step size ({operator.d_t}) "
+                    "must be a divisor of sub-IVP time slice length "
+                    f"({slice_duration})"
+                )
 
     def _mesh_device_count(self, n: int) -> int:
         """The number of devices the ``time`` mesh axis spans: at most
@@ -263,6 +267,7 @@ class PararealOperator(JaxOperator):
             n,
             round(float(slice_duration), 12),
             str(jnp.result_type(y_0)),
+            tuple(y_0.shape),
             round(t_start, 12) if t_start is not None else None,
         )
         entry = self._compiled_cache.get(cache_key)
@@ -291,14 +296,16 @@ class PararealOperator(JaxOperator):
         if t_start is not None:
             # dynamic boundary conditions: slice-indexed trajectory
             # functions over constraints pre-evaluated on the whole
-            # domain's half-step grid
+            # domain's half-step grid. Only the fine solves are vmapped
+            # (batched per device), so only they need the
+            # vmap-compatible generic path; coarse sweeps run in
+            # scans and keep their fused kernels.
             fine_ifn = self._f.indexed_trajectory_function(
                 cp, t_start, slice_duration, n,
                 allow_fused=not needs_vmap,
             )
             coarse_ifn = self._g.indexed_trajectory_function(
-                cp, t_start, slice_duration, n,
-                allow_fused=not needs_vmap,
+                cp, t_start, slice_duration, n
             )
 
             def fine_call(y_start, slice_index, t_0):
@@ -309,21 +316,25 @@ class PararealOperator(JaxOperator):
 
         else:
 
-            def build_trajectory(operator):
+            def build_trajectory(operator, allow_fused):
                 # hand-fused Pallas kernels (DMA + scratch) do not
-                # support vmap batching; request the generic path when
-                # slices are batched per device. The sub-trajectory
+                # support vmap batching; the fine solves request the
+                # generic path when slices are batched per device,
+                # while coarse sweeps only ever run inside scans and
+                # keep their fused kernels. The sub-trajectory
                 # functions take the absolute slice start time as a
                 # traced argument, so the interval here only fixes the
                 # duration.
                 return operator.trajectory_function(
                     cp,
                     (0.0, slice_duration),
-                    allow_fused=not needs_vmap,
+                    allow_fused=allow_fused,
                 )[0]
 
-            fine_fn = build_trajectory(self._f)
-            coarse_fn = build_trajectory(self._g)
+            fine_fn = build_trajectory(
+                self._f, allow_fused=not needs_vmap
+            )
+            coarse_fn = build_trajectory(self._g, allow_fused=True)
 
             def fine_call(y_start, slice_index, t_0):
                 return fine_fn(y_start, t_0 + slice_index * delta)
@@ -333,12 +344,7 @@ class PararealOperator(JaxOperator):
 
         n_devices = self._mesh_device_count(n)
         slices_per_device = n // n_devices
-        devices = (
-            self._devices
-            if self._devices is not None
-            else jax.devices()[:n_devices]
-        )
-        mesh = Mesh(np.asarray(devices[:n_devices]), ("time",))
+        mesh = time_mesh(n_devices, devices=self._devices)
 
         iterations = min(n, self._max_iterations)
         tolerances = self._tolerance_vector(
@@ -504,10 +510,14 @@ class PararealOperator(JaxOperator):
     ):
         """The whole Parareal solve as one jittable ``(y_0, t_0) -> ys``
         program over the device mesh, so Parareal composes into larger
-        compiled programs (and nests, like the reference's
+        jit-compiled programs (the analog of the reference's
         operator-in-operator composition,
         /root/reference/pararealml/operators/parareal/
-        parareal_operator.py:13-46)."""
+        parareal_operator.py:13-46; note that because the program is
+        itself a ``shard_map``, it cannot be used as the fine or coarse
+        operator *inside another* compiled Parareal — nesting works at
+        the ``solve()`` level, where the inner Parareal runs its own
+        program)."""
         n = self._num_time_slices
         if n is None:
             n = (
@@ -524,7 +534,9 @@ class PararealOperator(JaxOperator):
                 "use solve() for dynamic boundary conditions)"
             )
         slice_duration = (t_interval[1] - t_interval[0]) / n
-        y_shape = tuple(cp.y_shape(True)) if (
+        self._validate_step_sizes(slice_duration)
+        vertex_oriented = self._vertex_oriented
+        y_shape = tuple(cp.y_shape(vertex_oriented)) if (
             cp.differential_equation.x_dimension
         ) else (cp.differential_equation.y_dimension,)
         y_probe = jnp.zeros(y_shape)
@@ -576,31 +588,47 @@ class PararealOperator(JaxOperator):
             ).discrete_y(vertex_oriented)
 
         sub_trajectories = [None] * n
-        for i in range(min(n, self._max_iterations)):
-            # all fine solves of an iteration are independent; dispatch
-            # them concurrently (the reference's equivalent path is
-            # always rank-parallel, parareal_operator.py:163)
-            with ThreadPoolExecutor(max_workers=n) as executor:
-                sub_trajectories = list(
-                    executor.map(fine_solve, range(n), y_borders[:-1])
+        with ThreadPoolExecutor(max_workers=n) as executor:
+            for i in range(min(n, self._max_iterations)):
+                # all fine solves of an iteration are independent;
+                # dispatch them concurrently (the reference's
+                # equivalent path is always rank-parallel,
+                # parareal_operator.py:163). The first solve of the
+                # first iteration runs alone so the operator's compile
+                # cache is warm before the fan-out (concurrent misses
+                # would compile the same program n times).
+                if i == 0:
+                    sub_trajectories[0] = fine_solve(0, y_borders[0])
+                    sub_trajectories[1:] = list(
+                        executor.map(
+                            fine_solve, range(1, n), y_borders[1:-1]
+                        )
+                    )
+                else:
+                    sub_trajectories = list(
+                        executor.map(
+                            fine_solve, range(n), y_borders[:-1]
+                        )
+                    )
+                corrections = np.stack(
+                    [
+                        sub_trajectories[k][-1] - y_coarse_ends[k]
+                        for k in range(n)
+                    ]
                 )
-            corrections = np.stack(
-                [
-                    sub_trajectories[k][-1] - y_coarse_ends[k]
-                    for k in range(n)
-                ]
-            )
 
-            old_ends = np.copy(y_borders[1:])
-            for j in range(i, n):
-                if j > i:
-                    y_coarse_ends[j] = self._g.solve(
-                        sub_ivp(j, y_borders[j])
-                    ).discrete_y(vertex_oriented)[-1]
-                y_borders[j + 1] = y_coarse_ends[j] + corrections[j]
+                old_ends = np.copy(y_borders[1:])
+                for j in range(i, n):
+                    if j > i:
+                        y_coarse_ends[j] = self._g.solve(
+                            sub_ivp(j, y_borders[j])
+                        ).discrete_y(vertex_oriented)[-1]
+                    y_borders[j + 1] = (
+                        y_coarse_ends[j] + corrections[j]
+                    )
 
-            if self._should_terminate(old_ends, y_borders[1:]):
-                break
+                if self._should_terminate(old_ends, y_borders[1:]):
+                    break
 
         t = discretize_time_domain(t_interval, self._f.d_t)[1:]
         shifted = [

@@ -230,6 +230,11 @@ def build_tiled_diffusion_rk4_trajectory(
     plan = make_tile_plan(height, width)
     if plan is None:
         raise ValueError("grid outside the tiled kernel's range")
+    if not dirichlet_is_face_only(cp):
+        raise ValueError(
+            "the tiled kernel represents Dirichlet constraints as face "
+            "vectors; interior static y constraints are not supported"
+        )
     block, n_tiles, tile_h, h_buf, h_traj, w_pad, starts = plan
     d_x0, d_x1 = mesh.d_x
     faces = _face_tensors(cp, plan)

@@ -69,10 +69,15 @@ def is_distributed() -> bool:
     return jax.process_count() > 1
 
 
-def time_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """A 1D ``time`` mesh over the global device list (all hosts),
-    optionally truncated to ``n_devices``."""
-    devices = jax.devices()
+def time_mesh(
+    n_devices: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """A 1D ``time`` mesh over the given devices (default: the global
+    device list of all hosts), optionally truncated to ``n_devices``."""
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), ("time",))

@@ -277,3 +277,33 @@ def test_stiff_radau_parareal_matches_fine_solve():
     result = parareal.solve(ivp).discrete_y()
     assert result.shape == fine.shape
     assert np.allclose(result, fine, atol=1e-5)
+
+
+def test_trajectory_function_validates_step_sizes():
+    # trajectory_function must apply the same d_t-divisibility checks
+    # as solve(), not silently integrate a truncated slice
+    cp = ConstrainedProblem(LorenzEquation())
+    f = ODEOperator("RK4", 0.1)
+    g = ODEOperator("RK4", 0.125)
+    parareal = PararealOperator(f, g, 1e-6, num_time_slices=8)
+    with pytest.raises(ValueError):
+        parareal.trajectory_function(cp, (0.0, 1.0))
+
+
+def test_trajectory_function_uses_operator_orientation():
+    # the compiled program must be built (and cached) for the
+    # operator's vertex orientation, not hardcoded vertices
+    ivp = _diffusion_ivp()
+    cp = ivp.constrained_problem
+    f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
+    g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.05)
+    parareal = PararealOperator(f, g, 1e-8, num_time_slices=8)
+    fn, t = parareal.trajectory_function(cp, (0.0, 2.0))
+    import jax.numpy as jnp
+
+    y_0 = jnp.asarray(ivp.initial_condition.discrete_y_0(True))
+    ys = fn(y_0, jnp.asarray(0.0, y_0.dtype))
+    assert ys.shape == (len(t),) + tuple(cp.y_shape(True))
+    # a subsequent solve() must not collide with the cached program
+    result = parareal.solve(ivp).discrete_y()
+    assert np.allclose(result, np.asarray(ys), atol=1e-8)

@@ -118,3 +118,21 @@ def test_applicability_extends_beyond_vmem_cap():
 def test_dirichlet_face_only_detection():
     cp = _build_cp(4.0, 8.0, 0.25)
     assert dirichlet_is_face_only(cp)
+
+
+def test_tiled_builder_rejects_interior_dirichlet():
+    import pytest as _pytest
+
+    from pararealml_tpu.constraint import Constraint
+
+    cp = _build_cp(10.0, 10.0, 0.125)  # 81x81, within tile range
+    # forge an interior static y constraint
+    mask = np.zeros((81, 81, 1), bool)
+    mask[40, 40] = True
+    values = np.where(mask, 1.0, 0.0)
+    cp._y_vertex_constraints = Constraint(
+        np.asarray(values), np.asarray(mask)
+    )
+    assert not dirichlet_is_face_only(cp)
+    with _pytest.raises(ValueError):
+        build_tiled_diffusion_rk4_trajectory(cp, 0.01, 2)
