@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from pararealml_tpu.constrained_problem import ConstrainedProblem
 from pararealml_tpu.differential_equation import (
     BurgersEquation,
+    CahnHilliardEquation,
     ShallowWaterEquation,
     WaveEquation,
 )
@@ -44,6 +45,7 @@ _SYSTEM_EQUATION_TYPES = (
     WaveEquation,
     BurgersEquation,
     ShallowWaterEquation,
+    CahnHilliardEquation,
 )
 
 
@@ -84,6 +86,12 @@ def fused_shallow_water_step_applicable(cp, integrator) -> bool:
     """Whether the fused shallow-water kernel reproduces the generic
     path exactly for this problem."""
     return _system_applicable(cp, integrator, ShallowWaterEquation)
+
+
+def fused_cahn_hilliard_step_applicable(cp, integrator) -> bool:
+    """Whether the fused Cahn-Hilliard kernel reproduces the generic
+    path exactly for this problem."""
+    return _system_applicable(cp, integrator, CahnHilliardEquation)
 
 
 def fused_system_step_applicable(cp, integrator) -> bool:
@@ -271,6 +279,71 @@ class _StencilHelpers:
         return jnp.concatenate(col_parts, axis=1)
 
 
+def _make_step_factory(diff_eq, d_t):
+    """The per-equation step over the stencil helpers: given
+    ``(helpers, apply_dirichlet, dirichlet_component)`` at kernel trace
+    time, returns ``step(y) -> y_next`` over the component-plane tuple.
+
+    All-``D_Y_OVER_D_T`` systems share the RK4 template; Cahn-Hilliard's
+    mixed LHS (integrate the concentration, algebraically assign the
+    chemical potential from the *step-initial* state, matching
+    fdm_operator's Y handling) gets its own step."""
+    if isinstance(diff_eq, CahnHilliardEquation):
+        d = float(diff_eq._d)
+        gamma = float(diff_eq._gamma)
+
+        def factory(helpers, apply_dirichlet, dirichlet_component):
+            def step(y):
+                y0, y1 = y
+                # RK4 on y0' = d lap(y1): the y1 plane is constant
+                # through the stages except for the per-stage Dirichlet
+                # application, so k2 = k3 = k4
+                k1 = d * helpers.laplacian(1, y1)
+                k_rest = d * helpers.laplacian(
+                    1, dirichlet_component(1, y1)
+                )
+                y0_next = dirichlet_component(
+                    0, y0 + (d_t / 6.0) * (k1 + 5.0 * k_rest)
+                )
+                # LHS.Y: algebraic assignment from the step-initial y0
+                y1_next = dirichlet_component(
+                    1,
+                    y0**3 - y0 - gamma * helpers.laplacian(0, y0),
+                )
+                return (y0_next, y1_next)
+
+            return step
+
+        return factory
+
+    rhs_builder = _make_rhs_builder(diff_eq)
+
+    def factory(helpers, apply_dirichlet, dirichlet_component):
+        def rhs(y):
+            return rhs_builder(helpers, y)
+
+        def axpy(y, k, scale):
+            return tuple(
+                plane + scale * k_plane
+                for plane, k_plane in zip(y, k)
+            )
+
+        def step(y):
+            k1 = rhs(y)
+            k2 = rhs(apply_dirichlet(axpy(y, k1, 0.5 * d_t)))
+            k3 = rhs(apply_dirichlet(axpy(y, k2, 0.5 * d_t)))
+            k4 = rhs(apply_dirichlet(axpy(y, k3, d_t)))
+            combined = tuple(
+                k1_p + 2.0 * k2_p + 2.0 * k3_p + k4_p
+                for k1_p, k2_p, k3_p, k4_p in zip(k1, k2, k3, k4)
+            )
+            return apply_dirichlet(axpy(y, combined, d_t / 6.0))
+
+        return step
+
+    return factory
+
+
 def _make_rhs_builder(diff_eq):
     """The per-equation RHS over the stencil helpers, as a function of
     the component-plane tuple."""
@@ -358,7 +431,7 @@ def build_fused_system_rk4_trajectory(
     height, width = mesh.vertices_shape
     d_x0, d_x1 = mesh.d_x
     constants = _component_constraint_tensors(cp, n)
-    rhs_builder = _make_rhs_builder(diff_eq)
+    step_factory = _make_step_factory(diff_eq, d_t)
     dtype = jnp.float32
 
     padded_height = -(-height // 8) * 8
@@ -417,34 +490,21 @@ def build_fused_system_rk4_trajectory(
             ghost_col_vals_ref[:],
         )
 
+        def dirichlet_component(comp, plane):
+            return jnp.where(dir_mask[comp], dir_vals[comp], plane)
+
         def apply_dirichlet(y):
             return tuple(
-                jnp.where(dir_mask[comp], dir_vals[comp], plane)
+                dirichlet_component(comp, plane)
                 for comp, plane in enumerate(y)
             )
 
-        def rhs(y):
-            return rhs_builder(helpers, y)
-
-        def axpy(y, k, scale):
-            return tuple(
-                plane + scale * k_plane
-                for plane, k_plane in zip(y, k)
-            )
-
-        def rk4(y):
-            k1 = rhs(y)
-            k2 = rhs(apply_dirichlet(axpy(y, k1, 0.5 * d_t)))
-            k3 = rhs(apply_dirichlet(axpy(y, k2, 0.5 * d_t)))
-            k4 = rhs(apply_dirichlet(axpy(y, k3, d_t)))
-            combined = tuple(
-                k1_p + 2.0 * k2_p + 2.0 * k3_p + k4_p
-                for k1_p, k2_p, k3_p, k4_p in zip(k1, k2, k3, k4)
-            )
-            return apply_dirichlet(axpy(y, combined, d_t / 6.0))
+        step = step_factory(
+            helpers, apply_dirichlet, dirichlet_component
+        )
 
         def body(k, carry):
-            y = rk4(carry)
+            y = step(carry)
             slot = jax.lax.rem(k, 2)
 
             @pl.when(k >= 2)

@@ -308,3 +308,114 @@ def test_fused_shallow_water_matches_generic():
     ys_generic = np.asarray(generic_fn(y.astype(np.float64), 0.0))
     assert ys_fused.shape == ys_generic.shape
     assert np.allclose(ys_fused, ys_generic, atol=1e-4)
+
+
+def _cahn_hilliard_cp(dirichlet=False):
+    from pararealml_tpu import CahnHilliardEquation
+
+    mesh = Mesh([(0.0, 4.0), (0.0, 4.0)], [0.25, 0.25])
+    if dirichlet:
+        bcs = [
+            (
+                DirichletBoundaryCondition(
+                    lambda x, t: np.full((len(x), 2), 0.1),
+                    is_static=True,
+                ),
+            )
+            * 2,
+            (
+                NeumannBoundaryCondition(
+                    lambda x, t: np.zeros((len(x), 2)), is_static=True
+                ),
+            )
+            * 2,
+        ]
+    else:
+        bcs = [
+            (
+                NeumannBoundaryCondition(
+                    lambda x, t: np.zeros((len(x), 2)), is_static=True
+                ),
+            )
+            * 2
+        ] * 2
+    return ConstrainedProblem(CahnHilliardEquation(2), mesh, bcs)
+
+
+def test_cahn_hilliard_applicability_gate():
+    from pararealml_tpu.ops import (
+        fused_cahn_hilliard_step_applicable,
+        fused_system_step_applicable,
+    )
+
+    cp = _cahn_hilliard_cp()
+    jax.config.update("jax_enable_x64", False)
+    try:
+        assert fused_cahn_hilliard_step_applicable(cp, RK4())
+        assert fused_system_step_applicable(cp, RK4())
+        assert not fused_wave_step_applicable(cp, RK4())
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+@pytest.mark.parametrize("dirichlet", [False, True])
+def test_fused_cahn_hilliard_matches_generic(dirichlet):
+    from pararealml_tpu import DiscreteInitialCondition
+    from pararealml_tpu.ops import build_fused_system_rk4_trajectory
+
+    cp = _cahn_hilliard_cp(dirichlet)
+    np.random.seed(0)
+    ic = DiscreteInitialCondition(
+        cp,
+        np.random.uniform(-0.5, 0.5, (17, 17, 2)),
+        vertex_oriented=True,
+    )
+    y = np.asarray(ic.discrete_y_0(True), np.float32)
+    d_t, steps = 1e-4, 6
+
+    fused = build_fused_system_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    ys_fused = np.asarray(fused(y))
+
+    generic_op = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        d_t,
+        fused_kernels=False,
+    )
+    generic_fn, _ = generic_op.trajectory_function(
+        cp, (0.0, steps * d_t)
+    )
+    ys_generic = np.asarray(generic_fn(y.astype(np.float64), 0.0))
+    assert ys_fused.shape == ys_generic.shape
+    assert np.allclose(ys_fused, ys_generic, atol=1e-5)
+
+
+def test_fused_cahn_hilliard_used_by_operator_in_f32():
+    from pararealml_tpu import DiscreteInitialCondition
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        cp = _cahn_hilliard_cp()
+        np.random.seed(1)
+        ic = DiscreteInitialCondition(
+            cp,
+            np.random.uniform(-0.5, 0.5, (17, 17, 2)),
+            vertex_oriented=True,
+        )
+        ivp = InitialValueProblem(cp, (0.0, 5e-4), ic)
+        fused_op = FDMOperator(
+            RK4(), ThreePointCentralDifferenceMethod(), 1e-4
+        )
+        generic_op = FDMOperator(
+            RK4(),
+            ThreePointCentralDifferenceMethod(),
+            1e-4,
+            fused_kernels=False,
+        )
+        y_fused = fused_op.solve(ivp).discrete_y()
+        y_generic = generic_op.solve(ivp).discrete_y()
+        assert np.allclose(y_fused, y_generic, atol=1e-4)
+    finally:
+        jax.config.update("jax_enable_x64", True)
