@@ -258,6 +258,10 @@ class FDMOperator(JaxOperator):
                     self._d_t,
                     steps,
                     interpret=jax.default_backend() != "tpu",
+                    anti_laplacian_tol=self._differentiator._tol,
+                    anti_laplacian_max_iterations=(
+                        self._differentiator._max_iterations
+                    ),
                 )
                 return lambda y_init, t_start: fused_trajectory(y_init)
 
@@ -314,6 +318,10 @@ class FDMOperator(JaxOperator):
                     cp,
                     self._d_t,
                     interpret=jax.default_backend() != "tpu",
+                    anti_laplacian_tol=self._differentiator._tol,
+                    anti_laplacian_max_iterations=(
+                        self._differentiator._max_iterations
+                    ),
                 )
             if fused_step is not None:
 

@@ -10,6 +10,7 @@ from pararealml_tpu.ops.fused_system import (
     build_fused_wave_rk4_trajectory,
     fused_burgers_step_applicable,
     fused_cahn_hilliard_step_applicable,
+    fused_navier_stokes_step_applicable,
     fused_shallow_water_step_applicable,
     fused_system_step_applicable,
     fused_wave_step_applicable,
@@ -28,6 +29,7 @@ __all__ = [
     "build_fused_wave_rk4_trajectory",
     "fused_burgers_step_applicable",
     "fused_cahn_hilliard_step_applicable",
+    "fused_navier_stokes_step_applicable",
     "fused_shallow_water_step_applicable",
     "fused_system_step_applicable",
     "fused_wave_step_applicable",

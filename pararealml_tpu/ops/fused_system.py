@@ -1,5 +1,5 @@
 """Fused Pallas TPU kernels for multi-component 2D systems (wave,
-Burgers, shallow water).
+Burgers, shallow water, Cahn-Hilliard, Navier-Stokes).
 
 Generalizes the single-component diffusion kernel
 (ops/fused_diffusion.py) to systems of coupled planes: all components
@@ -11,8 +11,11 @@ enters through a small ``rhs`` builder over shared stencil helpers, so
 the wave system (``y0' = y1``, ``y1' = c^2 lap(y0)``; reference
 /root/reference/pararealml/differential_equation.py:673-700), the
 viscous Burgers system (``yi' = nu lap(yi) - y . grad(yi)``;
-reference :734-766), and the non-conservative shallow-water system
-(reference :768-819) share one kernel scaffold.
+reference :734-766), the non-conservative shallow-water system
+(reference :768-819), the mixed-LHS Cahn-Hilliard system (:700-731),
+and the vorticity-stream Navier-Stokes system (:822-850, with the
+stream-function Jacobi solve as an in-kernel while loop) share one
+kernel scaffold.
 
 Applicability (checked by the per-equation ``*_step_applicable``
 gates): the exact built-in equation type on a 2D Cartesian mesh with
@@ -32,6 +35,7 @@ from pararealml_tpu.constrained_problem import ConstrainedProblem
 from pararealml_tpu.differential_equation import (
     BurgersEquation,
     CahnHilliardEquation,
+    NavierStokesEquation,
     ShallowWaterEquation,
     WaveEquation,
 )
@@ -46,6 +50,7 @@ _SYSTEM_EQUATION_TYPES = (
     BurgersEquation,
     ShallowWaterEquation,
     CahnHilliardEquation,
+    NavierStokesEquation,
 )
 
 
@@ -92,6 +97,12 @@ def fused_cahn_hilliard_step_applicable(cp, integrator) -> bool:
     """Whether the fused Cahn-Hilliard kernel reproduces the generic
     path exactly for this problem."""
     return _system_applicable(cp, integrator, CahnHilliardEquation)
+
+
+def fused_navier_stokes_step_applicable(cp, integrator) -> bool:
+    """Whether the fused Navier-Stokes kernel reproduces the generic
+    path exactly for this problem."""
+    return _system_applicable(cp, integrator, NavierStokesEquation)
 
 
 def fused_system_step_applicable(cp, integrator) -> bool:
@@ -279,7 +290,13 @@ class _StencilHelpers:
         return jnp.concatenate(col_parts, axis=1)
 
 
-def _make_step_factory(diff_eq, d_t):
+def _make_step_factory(
+    diff_eq,
+    d_t,
+    mesh,
+    anti_laplacian_tol: float = 1e-3,
+    anti_laplacian_max_iterations: int = 100_000,
+):
     """The per-equation step over the stencil helpers: given
     ``(helpers, apply_dirichlet, dirichlet_component)`` at kernel trace
     time, returns ``step(y) -> y_next`` over the component-plane tuple.
@@ -287,7 +304,99 @@ def _make_step_factory(diff_eq, d_t):
     All-``D_Y_OVER_D_T`` systems share the RK4 template; Cahn-Hilliard's
     mixed LHS (integrate the concentration, algebraically assign the
     chemical potential from the *step-initial* state, matching
-    fdm_operator's Y handling) gets its own step."""
+    fdm_operator's Y handling) and Navier-Stokes (vorticity integration,
+    Jacobi anti-Laplacian stream-function solve, algebraic velocity
+    assignment) get their own steps."""
+    if isinstance(diff_eq, NavierStokesEquation):
+        viscosity = 1.0 / float(diff_eq._re)
+        d_x0, d_x1 = mesh.d_x
+        # Jacobi update: psi + (lap(psi) - rhs) / denom, the fixed point
+        # of which satisfies lap(psi) = rhs (the generic sweep in
+        # numerical_differentiator._next_anti_laplacian_estimate in its
+        # algebraically equivalent form)
+        denominator = 2.0 / float(d_x0) ** 2 + 2.0 / float(d_x1) ** 2
+        tol = float(anti_laplacian_tol)
+        max_iterations = anti_laplacian_max_iterations
+
+        def factory(helpers, apply_dirichlet, dirichlet_component):
+            def vorticity_rhs(w, u, v):
+                return (
+                    viscosity * helpers.laplacian(0, w)
+                    - u * helpers.gradient_0(0, w)
+                    - v * helpers.gradient_1(0, w)
+                )
+
+            def anti_laplacian(rhs, psi_init):
+                psi_0 = dirichlet_component(1, psi_init)
+
+                def cond(carry):
+                    _, diff, i = carry
+                    return (diff > tol) & (i < max_iterations)
+
+                def body(carry):
+                    psi, _, i = carry
+                    update = (
+                        helpers.laplacian(1, psi) - rhs
+                    ) / denominator
+                    psi_new = dirichlet_component(1, psi + update)
+                    diff = jnp.linalg.norm(psi_new - psi)
+                    return psi_new, diff, i + 1
+
+                psi_final, _, _ = jax.lax.while_loop(
+                    cond,
+                    body,
+                    (
+                        psi_0,
+                        jnp.asarray(jnp.inf, psi_0.dtype),
+                        0,
+                    ),
+                )
+                return psi_final
+
+            def step(y):
+                w, psi, u, v = y
+                # RK4 on the vorticity; the velocity planes are constant
+                # through the stages except for the per-stage Dirichlet
+                # application (their k entries are zero)
+                u_d = dirichlet_component(2, u)
+                v_d = dirichlet_component(3, v)
+                k1 = vorticity_rhs(w, u, v)
+                k2 = vorticity_rhs(
+                    dirichlet_component(0, w + 0.5 * d_t * k1),
+                    u_d,
+                    v_d,
+                )
+                k3 = vorticity_rhs(
+                    dirichlet_component(0, w + 0.5 * d_t * k2),
+                    u_d,
+                    v_d,
+                )
+                k4 = vorticity_rhs(
+                    dirichlet_component(0, w + d_t * k3), u_d, v_d
+                )
+                w_next = dirichlet_component(
+                    0,
+                    w
+                    + (d_t / 6.0)
+                    * (k1 + 2.0 * k2 + 2.0 * k3 + k4),
+                )
+                # LHS.Y: velocities from the step-initial stream
+                # function (matching fdm_operator's ordering)
+                u_next = dirichlet_component(
+                    2, helpers.gradient_1(1, psi)
+                )
+                v_next = dirichlet_component(
+                    3, -helpers.gradient_0(1, psi)
+                )
+                # LHS.Y_LAPLACIAN: lap(psi_next) = -w (step-initial w),
+                # warm-started from the current stream function
+                psi_next = anti_laplacian(-w, psi)
+                return (w_next, psi_next, u_next, v_next)
+
+            return step
+
+        return factory
+
     if isinstance(diff_eq, CahnHilliardEquation):
         d = float(diff_eq._d)
         gamma = float(diff_eq._gamma)
@@ -420,6 +529,8 @@ def build_fused_system_rk4_trajectory(
     d_t: float,
     n_steps: int,
     interpret: bool = False,
+    anti_laplacian_tol: float = 1e-3,
+    anti_laplacian_max_iterations: int = 100_000,
 ):
     """Builds ``trajectory(y) -> ys`` computing ``n_steps`` fused RK4
     steps of a multi-component system, ``y`` of shape (h, w, n)."""
@@ -431,7 +542,13 @@ def build_fused_system_rk4_trajectory(
     height, width = mesh.vertices_shape
     d_x0, d_x1 = mesh.d_x
     constants = _component_constraint_tensors(cp, n)
-    step_factory = _make_step_factory(diff_eq, d_t)
+    step_factory = _make_step_factory(
+        diff_eq,
+        d_t,
+        mesh,
+        anti_laplacian_tol=anti_laplacian_tol,
+        anti_laplacian_max_iterations=anti_laplacian_max_iterations,
+    )
     dtype = jnp.float32
 
     padded_height = -(-height // 8) * 8
@@ -617,10 +734,17 @@ def build_fused_system_rk4_step(
     cp: ConstrainedProblem,
     d_t: float,
     interpret: bool = False,
+    anti_laplacian_tol: float = 1e-3,
+    anti_laplacian_max_iterations: int = 100_000,
 ):
     """One fused RK4 system step (the single-step specialization)."""
     trajectory = build_fused_system_rk4_trajectory(
-        cp, d_t, 1, interpret=interpret
+        cp,
+        d_t,
+        1,
+        interpret=interpret,
+        anti_laplacian_tol=anti_laplacian_tol,
+        anti_laplacian_max_iterations=anti_laplacian_max_iterations,
     )
 
     def step(y):

@@ -419,3 +419,112 @@ def test_fused_cahn_hilliard_used_by_operator_in_f32():
         assert np.allclose(y_fused, y_generic, atol=1e-4)
     finally:
         jax.config.update("jax_enable_x64", True)
+
+
+def _navier_stokes_cp(re=500.0):
+    from pararealml_tpu import (
+        NavierStokesEquation,
+        vectorize_bc_function,
+    )
+
+    mesh = Mesh([(-1.0, 1.0), (0.0, 2.0)], [0.125, 0.125])
+    bcs = [
+        (
+            DirichletBoundaryCondition(
+                vectorize_bc_function(
+                    lambda x, t: [1.0, 0.1, None, None]
+                ),
+                is_static=True,
+            ),
+            DirichletBoundaryCondition(
+                vectorize_bc_function(
+                    lambda x, t: [0.0, 0.0, None, None]
+                ),
+                is_static=True,
+            ),
+        ),
+        (
+            DirichletBoundaryCondition(
+                vectorize_bc_function(
+                    lambda x, t: [0.0, 0.0, None, None]
+                ),
+                is_static=True,
+            ),
+        )
+        * 2,
+    ]
+    return ConstrainedProblem(NavierStokesEquation(re), mesh, bcs)
+
+
+def test_navier_stokes_applicability_gate():
+    from pararealml_tpu.ops import (
+        fused_navier_stokes_step_applicable,
+        fused_system_step_applicable,
+    )
+
+    cp = _navier_stokes_cp()
+    jax.config.update("jax_enable_x64", False)
+    try:
+        assert fused_navier_stokes_step_applicable(cp, RK4())
+        assert fused_system_step_applicable(cp, RK4())
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def test_fused_navier_stokes_matches_generic():
+    from pararealml_tpu import ContinuousInitialCondition
+    from pararealml_tpu.ops import build_fused_system_rk4_trajectory
+
+    cp = _navier_stokes_cp()
+    ic = ContinuousInitialCondition(
+        cp, lambda x: np.zeros((len(x), 4))
+    )
+    y = np.asarray(ic.discrete_y_0(True), np.float32)
+    d_t, steps = 0.05, 5
+
+    fused = build_fused_system_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    ys_fused = np.asarray(fused(y))
+
+    generic_op = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        d_t,
+        fused_kernels=False,
+    )
+    generic_fn, _ = generic_op.trajectory_function(
+        cp, (0.0, steps * d_t)
+    )
+    ys_generic = np.asarray(generic_fn(y.astype(np.float64), 0.0))
+    assert ys_fused.shape == ys_generic.shape
+    # the Jacobi stream-function solve, velocity assignments, and
+    # vorticity transport must all match the generic path
+    assert np.allclose(ys_fused, ys_generic, atol=1e-4)
+
+
+def test_fused_navier_stokes_used_by_operator_in_f32():
+    from pararealml_tpu import ContinuousInitialCondition
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        cp = _navier_stokes_cp()
+        ic = ContinuousInitialCondition(
+            cp, lambda x: np.zeros((len(x), 4))
+        )
+        ivp = InitialValueProblem(cp, (0.0, 0.25), ic)
+        fused_op = FDMOperator(
+            RK4(), ThreePointCentralDifferenceMethod(), 0.05
+        )
+        generic_op = FDMOperator(
+            RK4(),
+            ThreePointCentralDifferenceMethod(),
+            0.05,
+            fused_kernels=False,
+        )
+        y_fused = fused_op.solve(ivp).discrete_y()
+        y_generic = generic_op.solve(ivp).discrete_y()
+        assert np.allclose(y_fused, y_generic, atol=1e-3)
+        assert np.all(np.isfinite(y_fused))
+    finally:
+        jax.config.update("jax_enable_x64", True)
