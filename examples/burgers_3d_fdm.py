@@ -26,5 +26,5 @@ ivp = InitialValueProblem(cp, (0.0, 20.0), ic)
 solver = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
 solution = solver.solve(ivp)
 
-for i, plot in enumerate(solution.generate_plots()):
+for i, plot in enumerate(solution.generate_plots(n_frames=20)):
     plot.save(f"burgers_3d_fdm_{i}").close()

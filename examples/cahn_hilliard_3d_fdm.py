@@ -42,5 +42,5 @@ ivp = InitialValueProblem(cp, (0.0, 5.0), ic)
 solver = FDMOperator(RK4(), diff, 0.0025)
 solution = solver.solve(ivp)
 
-for i, plot in enumerate(solution.generate_plots()):
+for i, plot in enumerate(solution.generate_plots(n_frames=20)):
     plot.save(f"cahn_hilliard_3d_fdm_{i}").close()

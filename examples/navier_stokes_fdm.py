@@ -38,5 +38,5 @@ ivp = InitialValueProblem(cp, (0.0, 100.0), ic)
 solver = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.05)
 solution = solver.solve(ivp)
 
-for i, plot in enumerate(solution.generate_plots(quiver_scale=1.0)):
+for i, plot in enumerate(solution.generate_plots(quiver_scale=1.0, n_frames=20)):
     plot.save(f"navier_stokes_{i}").close()

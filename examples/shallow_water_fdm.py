@@ -30,5 +30,5 @@ ivp = InitialValueProblem(cp, (0.0, 20.0), ic)
 solver = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.0025)
 solution = solver.solve(ivp)
 
-for i, plot in enumerate(solution.generate_plots(color_map=cm.ocean)):
+for i, plot in enumerate(solution.generate_plots(color_map=cm.ocean, n_frames=20)):
     plot.save(f"shallow_water_fdm_{i}").close()
