@@ -18,6 +18,9 @@ from pararealml_tpu.ops.fused_system import (
 from pararealml_tpu.ops.tiled_diffusion import (
     build_tiled_diffusion_rk4_trajectory,
 )
+from pararealml_tpu.ops.tiled_system import (
+    build_tiled_system_rk4_trajectory,
+)
 
 __all__ = [
     "build_fused_diffusion_rk4_step",
@@ -34,4 +37,5 @@ __all__ = [
     "fused_system_step_applicable",
     "fused_wave_step_applicable",
     "build_tiled_diffusion_rk4_trajectory",
+    "build_tiled_system_rk4_trajectory",
 ]

@@ -395,7 +395,7 @@ def build_fused_diffusion_rk4_trajectory(
             (n_steps, padded_height, padded_width), dtype
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, padded_height, padded_width), dtype),
             pltpu.SemaphoreType.DMA((2,)),

@@ -54,12 +54,21 @@ _SYSTEM_EQUATION_TYPES = (
 )
 
 
+def _fits_vmem(cp) -> bool:
+    # all planes plus the RK4 stage intermediates and the
+    # double-buffered trajectory scratch must fit VMEM: roughly
+    # (5n + 4) live stage planes + 2n scratch planes of f32
+    n_components = cp.differential_equation.y_dimension
+    return _padded_cells(cp.mesh.vertices_shape) <= 3_000_000 // (
+        7 * n_components + 4
+    )
+
+
 def _system_applicable(cp, integrator, equation_type) -> bool:
     from pararealml_tpu.operators.fdm.numerical_integrator import RK4
 
     diff_eq = cp.differential_equation
-    n_components = diff_eq.y_dimension
-    return (
+    if not (
         not jax.config.read("jax_enable_x64")
         and type(diff_eq) is equation_type
         and isinstance(integrator, RK4)
@@ -67,12 +76,15 @@ def _system_applicable(cp, integrator, equation_type) -> bool:
         and cp.mesh is not None
         and cp.mesh.coordinate_system_type == CoordinateSystem.CARTESIAN
         and cp.are_all_boundary_conditions_static
-        # all planes plus the RK4 stage intermediates and the
-        # double-buffered trajectory scratch must fit VMEM: roughly
-        # (5n + 4) live stage planes + 2n scratch planes of f32
-        and _padded_cells(cp.mesh.vertices_shape)
-        <= 3_000_000 // (7 * n_components + 4)
-    )
+    ):
+        return False
+    if _fits_vmem(cp):
+        return True
+
+    # beyond VMEM: the overlapped row-tiling kernel
+    from pararealml_tpu.ops.tiled_system import tiled_system_applicable
+
+    return tiled_system_applicable(cp)
 
 
 def fused_wave_step_applicable(cp, integrator) -> bool:
@@ -537,6 +549,15 @@ def build_fused_system_rk4_trajectory(
     from jax.experimental.pallas import tpu as pltpu
 
     diff_eq = cp.differential_equation
+    if not _fits_vmem(cp):
+        # beyond VMEM: the overlapped row-tiling kernel
+        from pararealml_tpu.ops.tiled_system import (
+            build_tiled_system_rk4_trajectory,
+        )
+
+        return build_tiled_system_rk4_trajectory(
+            cp, d_t, n_steps, interpret=interpret
+        )
     n = diff_eq.y_dimension
     mesh = cp.mesh
     height, width = mesh.vertices_shape
@@ -672,7 +693,7 @@ def build_fused_system_rk4_trajectory(
             (n_steps, n, padded_height, padded_width), dtype
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, n, padded_height, padded_width), dtype),
             pltpu.SemaphoreType.DMA((2,)),

@@ -105,7 +105,9 @@ def dirichlet_is_face_only(cp: ConstrainedProblem) -> bool:
     constraint = cp.static_y_vertex_constraints
     if constraint is None:
         return True
-    mask = np.asarray(constraint.mask).reshape(cp.mesh.vertices_shape)
+    mask = np.asarray(constraint.mask).reshape(
+        tuple(cp.mesh.vertices_shape) + (-1,)
+    )
     return not mask[1:-1, 1:-1].any()
 
 
@@ -568,11 +570,11 @@ def build_tiled_diffusion_rk4_trajectory(
             jax.ShapeDtypeStruct((n_steps, h_traj, w_pad), dtype),
             jax.ShapeDtypeStruct((2, h_buf, w_pad), dtype),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, tile_h, w_pad), dtype),
