@@ -11,8 +11,9 @@ programs (e.g. the ``shard_map`` Parareal).
 Supported methods: adaptive explicit ``"RK45"`` (Dormand-Prince 5(4)
 with its quartic dense-output interpolant, SciPy's default), ``"RK23"``
 (Bogacki-Shampine 3(2)) and ``"DOP853"``; adaptive implicit ``"Radau"``
-(Radau IIA 5th order with jitted simplified-Newton inner solves, for
-stiff systems); plus fixed-step ``"RK4"``, ``"Midpoint"`` and
+(Radau IIA 5th order) and ``"BDF"`` (variable-order 1-5 NDF), both with
+jitted simplified-Newton inner solves for stiff systems; plus
+fixed-step ``"RK4"``, ``"Midpoint"`` and
 ``"Euler"``. This matches the reference's SciPy method coverage
 (/root/reference/pararealml/operators/ode/ode_operator.py:17-44) for
 both non-stiff and stiff problems.
@@ -120,6 +121,7 @@ _ADAPTIVE_TABLEAUS = {"RK45": _RK45, "RK23": _RK23}
 _FIXED_STEP_METHODS = ("RK4", "Midpoint", "Euler")
 _DOP853 = "DOP853"
 _RADAU = "Radau"
+_BDF = "BDF"
 
 _SAFETY = 0.9
 _MIN_FACTOR = 0.2
@@ -871,6 +873,451 @@ def _build_radau_integrator(
     return integrate
 
 
+def _build_bdf_integrator(
+    fn: Callable,
+    t_offsets: np.ndarray,
+    rtol: float,
+    atol: float,
+    max_step: float,
+    first_step: Optional[float],
+    max_steps: int = 1_000_000,
+):
+    """Builds a jit-traceable variable-order (1-5) BDF/NDF integrator
+    for stiff systems.
+
+    The algorithm is the quasi-constant-step-size NDF scheme of Shampine
+    & Reichelt (the SIAM "MATLAB ODE Suite" paper; the same algorithm
+    behind SciPy's ``BDF``): backward differences propagated through
+    step- and order-changes by the ``R(order, factor)`` transform,
+    simplified-Newton corrector solves of ``I - c J``, a truncation
+    error estimate from the corrector increment, and order selection by
+    comparing error norms at orders ``k-1, k, k+1`` — all compiled into
+    a single ``lax.while_loop``. The traced ``order`` operates on
+    fixed-shape difference arrays via block-diagonal masking of the
+    full 5th-order transform matrices.
+    """
+    max_order = 5
+    newton_maxiter = 4
+    kappa = np.array([0.0, -0.1850, -1 / 9, -0.0823, -0.0415, 0.0])
+    gamma_np = np.hstack(
+        (0.0, np.cumsum(1.0 / np.arange(1, max_order + 1)))
+    )
+    alpha_np = (1 - kappa) * gamma_np
+    error_const_np = kappa * gamma_np + 1.0 / np.arange(
+        1, max_order + 2
+    )
+    newton_tol = max(
+        10 * np.finfo(np.float64).eps / rtol, min(0.03, rtol ** 0.5)
+    )
+
+    n_out = len(t_offsets)
+    t_span = float(t_offsets[-1])
+
+    # the factor-change transform entries depend only on (i, j), so the
+    # R matrix for any order <= 5 is the top-left block of the full one
+    row_idx = np.arange(max_order + 1)[:, None]
+    col_idx = np.arange(max_order + 1)[None, :]
+    u_full = np.cumprod(
+        np.where(
+            row_idx == 0,
+            1.0,
+            np.where(
+                col_idx == 0,
+                0.0,
+                (row_idx - 1.0 - col_idx) / np.maximum(row_idx, 1),
+            ),
+        ),
+        axis=0,
+    )  # compute_R(5, factor=1)
+
+    def integrate(y0: jax.Array, t0: jax.Array):
+        dtype = jnp.result_type(y0)
+        y0 = jnp.asarray(y0, dtype)
+        t0 = jnp.asarray(t0, dtype)
+        t_out = t0 + jnp.asarray(t_offsets, dtype)
+        t_bound = t0 + t_span
+        eps = jnp.asarray(1e-10 * max(1.0, abs(t_span)), dtype)
+        # the smallest meaningful step is float-spacing-based (as in
+        # SciPy); BDF legitimately dives far below Radau's heuristic
+        # floor inside relaxation-oscillation transition layers
+        min_h = jnp.asarray(
+            10 * np.finfo(np.dtype(dtype)).eps * max(1.0, abs(t_span)),
+            dtype,
+        )
+        n_dim = y0.shape[0]
+        identity = jnp.eye(n_dim, dtype=dtype)
+
+        gamma = jnp.asarray(gamma_np, dtype)
+        alpha = jnp.asarray(alpha_np, dtype)
+        error_const = jnp.asarray(error_const_np, dtype)
+        u_mat = jnp.asarray(u_full, dtype)
+        rows6 = jnp.arange(max_order + 1)
+        rows8 = jnp.arange(max_order + 3)
+        i_grid = rows6[:, None]
+        j_grid = rows6[None, :]
+        eye6 = jnp.eye(max_order + 1, dtype=dtype)
+
+        jac_fn = jax.jacfwd(fn, argnums=1)
+
+        def compute_r(factor):
+            """``compute_R(5, factor)``: cumulative products of the
+            difference-rescaling multipliers down each column."""
+            m = jnp.where(
+                i_grid == 0,
+                jnp.asarray(1.0, dtype),
+                jnp.where(
+                    j_grid == 0,
+                    jnp.asarray(0.0, dtype),
+                    (i_grid - 1.0 - factor * j_grid)
+                    / jnp.maximum(i_grid, 1),
+                ),
+            )
+            return jnp.cumprod(m, axis=0)
+
+        def change_d(d_arr, order, factor):
+            """Rescales ``D[:order + 1]`` for a step-size change by
+            ``factor``, leaving higher difference rows untouched
+            (block-diagonal masking of the full transform)."""
+            in_block = (i_grid <= order) & (j_grid <= order)
+            r_b = jnp.where(in_block, compute_r(factor), eye6)
+            u_b = jnp.where(in_block, u_mat, eye6)
+            transform = (r_b @ u_b).T
+            head = jnp.tensordot(
+                transform, d_arr[: max_order + 1], axes=1
+            )
+            return d_arr.at[: max_order + 1].set(head)
+
+        def newton_solve(t_new, y_predict, c, psi, scale, jac):
+            """Simplified-Newton corrector solve of the BDF algebraic
+            system (fresh Jacobian per step, so no refresh retry)."""
+            a_mat = identity - c * jac
+
+            def cond(state):
+                k, _, _, _, converged, diverged = state
+                return (k < newton_maxiter) & ~converged & ~diverged
+
+            def body(state):
+                k, y, d, dy_norm_old, _, _ = state
+                f = fn(t_new, y)
+                bad = ~jnp.all(jnp.isfinite(f))
+                dy = jnp.linalg.solve(a_mat, c * f - psi - d)
+                dy_norm = _rms_norm(dy / scale)
+                have_rate = k > 0
+                rate = jnp.where(
+                    have_rate,
+                    dy_norm / jnp.maximum(dy_norm_old, 1e-300),
+                    jnp.asarray(0.0, dtype),
+                )
+                diverging = bad | (
+                    have_rate
+                    & (
+                        (rate >= 1.0)
+                        | (
+                            rate ** (newton_maxiter - k)
+                            / jnp.maximum(1.0 - rate, 1e-10)
+                            * dy_norm
+                            > newton_tol
+                        )
+                    )
+                )
+                y_new = jnp.where(diverging, y, y + dy)
+                d_new = jnp.where(diverging, d, d + dy)
+                converged = ~diverging & (
+                    (dy_norm == 0.0)
+                    | (
+                        have_rate
+                        & (
+                            rate
+                            / jnp.maximum(1.0 - rate, 1e-10)
+                            * dy_norm
+                            < newton_tol
+                        )
+                    )
+                )
+                return (
+                    k + 1,
+                    y_new,
+                    d_new,
+                    dy_norm,
+                    converged,
+                    diverging,
+                )
+
+            state = (
+                0,
+                y_predict,
+                jnp.zeros_like(y_predict),
+                jnp.asarray(0.0, dtype),
+                jnp.asarray(False),
+                jnp.asarray(False),
+            )
+            k, y, d, _, converged, _ = jax.lax.while_loop(
+                cond, body, state
+            )
+            return converged, k, y, d
+
+        def fill_outputs(carry):
+            """Writes every output point covered by the accepted step
+            via the backward-difference interpolant (the BDF dense
+            output), with terms beyond the current order masked out."""
+            t_new, h, order, d_arr, out_idx, ys = carry
+            term_idx = jnp.arange(max_order)
+
+            def cond(c):
+                idx, _ = c
+                return (idx < n_out) & (t_out[idx] <= t_new + eps)
+
+            def body(c):
+                idx, ys_acc = c
+                x = (t_out[idx] - (t_new - h * term_idx)) / (
+                    h * (term_idx + 1)
+                )
+                p = jnp.cumprod(
+                    jnp.where(term_idx < order, x, 1.0)
+                )
+                p = jnp.where(term_idx < order, p, 0.0)
+                y_interp = d_arr[0] + jnp.tensordot(
+                    p, d_arr[1 : max_order + 1], axes=1
+                )
+                return idx + 1, ys_acc.at[idx].set(y_interp)
+
+            return jax.lax.while_loop(cond, body, (out_idx, ys))
+
+        f0 = fn(t0, y0)
+        if first_step is None:
+            h0 = _initial_step_size(
+                fn, t0, y0, f0, max_step, rtol, atol, -1.0 / 2.0
+            )
+        else:
+            h0 = jnp.asarray(first_step, dtype)
+        h0 = jnp.minimum(h0, jnp.asarray(min(t_span, max_step), dtype))
+
+        d_init = (
+            jnp.zeros((max_order + 3, n_dim), dtype)
+            .at[0]
+            .set(y0)
+            .at[1]
+            .set(f0 * h0)
+        )
+
+        def loop_cond(state):
+            out_idx, n_steps, status = state[-3], state[-2], state[-1]
+            return (
+                (out_idx < n_out)
+                & (status == 0)
+                & (n_steps < max_steps)
+            )
+
+        def loop_body(state):
+            (
+                t,
+                y,
+                d_arr,
+                order,
+                h_abs,
+                n_eq,
+                ys,
+                out_idx,
+                n_steps,
+                status,
+            ) = state
+
+            # clamp the step to the integration boundary, rescaling the
+            # differences for the shortened step
+            h = jnp.clip(h_abs, min_h, jnp.maximum(t_bound - t, min_h))
+            clamped = h < h_abs
+            d_arr = jax.lax.cond(
+                clamped,
+                lambda d: change_d(d, order, h / h_abs),
+                lambda d: d,
+                d_arr,
+            )
+            n_eq = jnp.where(clamped, 0, n_eq)
+            t_new = t + h
+
+            order_mask = (rows8 <= order)[:, None]
+            y_predict = jnp.sum(
+                jnp.where(order_mask, d_arr, 0.0), axis=0
+            )
+            scale = atol + rtol * jnp.abs(y_predict)
+            gamma_masked = jnp.where(
+                (rows6 >= 1) & (rows6 <= order), gamma, 0.0
+            )
+            psi = (
+                jnp.tensordot(
+                    gamma_masked, d_arr[: max_order + 1], axes=1
+                )
+                / alpha[order]
+            )
+            c = h / alpha[order]
+
+            jac = jac_fn(t_new, y_predict)
+            converged, n_iter, y_new, d_new = newton_solve(
+                t_new, y_predict, c, psi, scale, jac
+            )
+
+            scale_new = atol + rtol * jnp.abs(y_new)
+            error_norm = _rms_norm(
+                error_const[order] * d_new / scale_new
+            )
+            safety = (
+                0.9
+                * (2 * newton_maxiter + 1)
+                / (2 * newton_maxiter + n_iter)
+            )
+            accepted = converged & (error_norm <= 1.0)
+
+            reject_factor = jnp.where(
+                ~converged,
+                jnp.asarray(0.5, dtype),
+                jnp.maximum(
+                    0.2,
+                    safety
+                    * error_norm
+                    ** (-1.0 / (order.astype(dtype) + 1.0)),
+                ),
+            )
+
+            def rejected_branch(args):
+                d_arr, ys, out_idx = args
+                return (
+                    change_d(d_arr, order, reject_factor),
+                    order,
+                    h * reject_factor,
+                    jnp.asarray(0, n_eq.dtype),
+                    ys,
+                    out_idx,
+                )
+
+            def accepted_branch(args):
+                d_arr, ys, out_idx = args
+                # update the backward differences with the corrector
+                # increment: D[k+2] = d - D[k+1]; D[k+1] = d;
+                # D[i] += D[i+1] for i = k..0 (a reversed cumulative
+                # sum over the leading rows)
+                d_arr = d_arr.at[order + 2].set(
+                    d_new - d_arr[order + 1]
+                )
+                d_arr = d_arr.at[order + 1].set(d_new)
+                lead_mask = (rows8 <= order + 1)[:, None]
+                masked = jnp.where(lead_mask, d_arr, 0.0)
+                suffix = jnp.flip(
+                    jnp.cumsum(jnp.flip(masked, 0), axis=0), 0
+                )
+                d_arr = jnp.where(lead_mask, suffix, d_arr)
+
+                out_idx_new, ys_new = fill_outputs(
+                    (t_new, h, order, d_arr, out_idx, ys)
+                )
+
+                n_eq_new = n_eq + 1
+
+                # order selection once order + 1 equal steps confirm
+                # the error estimates at orders k-1 and k+1
+                error_m_norm = jnp.where(
+                    order > 1,
+                    _rms_norm(
+                        error_const[order - 1]
+                        * d_arr[order]
+                        / scale_new
+                    ),
+                    jnp.asarray(jnp.inf, dtype),
+                )
+                error_p_norm = jnp.where(
+                    order < max_order,
+                    _rms_norm(
+                        error_const[order + 1]
+                        * d_arr[order + 2]
+                        / scale_new
+                    ),
+                    jnp.asarray(jnp.inf, dtype),
+                )
+                norms = jnp.stack(
+                    [error_m_norm, error_norm, error_p_norm]
+                )
+                exponents = -1.0 / (
+                    order.astype(dtype) + jnp.arange(3, dtype=dtype)
+                )
+                factors = jnp.maximum(norms, 1e-300) ** exponents
+                factors = jnp.where(
+                    norms == 0.0, jnp.asarray(jnp.inf, dtype), factors
+                )
+
+                adapt = n_eq_new >= order + 1
+                delta = (jnp.argmax(factors) - 1).astype(order.dtype)
+                order_new = jnp.where(adapt, order + delta, order)
+                grow_factor = jnp.minimum(
+                    jnp.minimum(10.0, safety * jnp.max(factors)),
+                    max_step / jnp.maximum(h, 1e-300),
+                )
+                d_arr = jax.lax.cond(
+                    adapt,
+                    lambda d: change_d(d, order_new, grow_factor),
+                    lambda d: d,
+                    d_arr,
+                )
+                h_next = jnp.where(adapt, h * grow_factor, h)
+                n_eq_new = jnp.where(adapt, 0, n_eq_new)
+                return (
+                    d_arr,
+                    order_new,
+                    h_next,
+                    n_eq_new,
+                    ys_new,
+                    out_idx_new,
+                )
+
+            (
+                d_arr,
+                order_next,
+                h_next,
+                n_eq_next,
+                ys,
+                out_idx,
+            ) = jax.lax.cond(
+                accepted,
+                accepted_branch,
+                rejected_branch,
+                (d_arr, ys, out_idx),
+            )
+
+            status_new = jnp.where(h_next < min_h, 2, status)
+            return (
+                jnp.where(accepted, t_new, t),
+                jnp.where(accepted, y_new, y),
+                d_arr,
+                order_next,
+                h_next,
+                n_eq_next,
+                ys,
+                out_idx,
+                n_steps + 1,
+                status_new,
+            )
+
+        ys_init = jnp.zeros((n_out,) + y0.shape, dtype)
+        init_state = (
+            t0,
+            y0,
+            d_init,
+            jnp.asarray(1, jnp.int32),
+            h0,
+            jnp.asarray(0, jnp.int32),
+            ys_init,
+            0,
+            0,
+            0,
+        )
+        final = jax.lax.while_loop(loop_cond, loop_body, init_state)
+        ys, out_idx, status = final[-4], final[-3], final[-1]
+        status = jnp.where(
+            (out_idx < n_out) & (status == 0), 1, status
+        )
+        return ys, status
+
+    return integrate
+
+
 def _build_fixed_step_integrator(
     fn: Callable, method: str, t_offsets: np.ndarray
 ):
@@ -922,8 +1369,8 @@ class ODEOperator(JaxOperator):
     ):
         """
         :param method: "RK45", "RK23" or "DOP853" (adaptive explicit),
-            "Radau" (adaptive implicit, for stiff systems), or "RK4",
-            "Midpoint", "Euler" (fixed step at ``d_t``)
+            "Radau" or "BDF" (adaptive implicit, for stiff systems),
+            or "RK4", "Midpoint", "Euler" (fixed step at ``d_t``)
         :param d_t: the temporal step size of the output grid
         :param first_step: optional initial integration step size
         :param max_step: the maximum allowed integration step size
@@ -933,11 +1380,11 @@ class ODEOperator(JaxOperator):
         if (
             method not in _ADAPTIVE_TABLEAUS
             and method not in _FIXED_STEP_METHODS
-            and method not in (_DOP853, _RADAU)
+            and method not in (_DOP853, _RADAU, _BDF)
         ):
             raise ValueError(
                 f"unsupported method '{method}'; expected one of "
-                f"{sorted(_ADAPTIVE_TABLEAUS) + [_DOP853, _RADAU] + list(_FIXED_STEP_METHODS)}"
+                f"{sorted(_ADAPTIVE_TABLEAUS) + [_DOP853, _RADAU, _BDF] + list(_FIXED_STEP_METHODS)}"
             )
         super().__init__(d_t, None)
         self._method = method
@@ -969,6 +1416,15 @@ class ODEOperator(JaxOperator):
             )
         if self._method == _RADAU:
             return _build_radau_integrator(
+                fn,
+                t_offsets,
+                self._rtol,
+                self._atol,
+                self._max_step,
+                self._first_step,
+            )
+        if self._method == _BDF:
+            return _build_bdf_integrator(
                 fn,
                 t_offsets,
                 self._rtol,

@@ -262,3 +262,75 @@ def test_radau_trajectory_function_is_jittable():
     assert np.allclose(
         np.asarray(ys)[:, 0], np.exp(t), rtol=1e-6
     )
+
+
+def test_bdf_stiff_van_der_pol_matches_scipy():
+    from scipy.integrate import solve_ivp
+
+    from pararealml_tpu import VanDerPolEquation
+
+    mu = 1000.0
+    cp = ConstrainedProblem(VanDerPolEquation(mu))
+    ic = ContinuousInitialCondition(cp, lambda x: np.array([2.0, 0.0]))
+    t_end = 100.0
+    ivp = InitialValueProblem(cp, (0.0, t_end), ic)
+
+    solution = ODEOperator(
+        "BDF", 5.0, rtol=1e-8, atol=1e-10
+    ).solve(ivp)
+
+    reference = solve_ivp(
+        lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
+        (0.0, t_end),
+        [2.0, 0.0],
+        method="BDF",
+        t_eval=solution.t_coordinates,
+        rtol=1e-8,
+        atol=1e-10,
+    )
+    assert np.allclose(
+        solution.discrete_y(), reference.y.T, atol=1e-6
+    )
+
+
+def test_bdf_population_growth_analytic():
+    r, y_0 = 1.5, 2.0
+    cp = ConstrainedProblem(PopulationGrowthEquation(r))
+    ic = ContinuousInitialCondition(cp, lambda x: np.array([y_0]))
+    ivp = InitialValueProblem(cp, (0.0, 2.0), ic)
+    solution = ODEOperator(
+        "BDF", 0.1, rtol=1e-8, atol=1e-10
+    ).solve(ivp)
+    t = solution.t_coordinates
+    # BDF's global error at these tolerances is ~1e-5 (SciPy's own BDF
+    # measures 1.06e-5 on this exact problem)
+    assert np.allclose(
+        solution.discrete_y()[:, 0], y_0 * np.exp(r * t), rtol=3e-5
+    )
+
+
+def test_bdf_lotka_volterra_matches_rk45():
+    cp = ConstrainedProblem(LotkaVolterraEquation(2.0, 0.04, 0.02, 1.06))
+    ic = ContinuousInitialCondition(
+        cp, lambda x: np.array([100.0, 15.0])
+    )
+    ivp = InitialValueProblem(cp, (0.0, 10.0), ic)
+    bdf = ODEOperator("BDF", 0.1, rtol=1e-9, atol=1e-11).solve(ivp)
+    rk = ODEOperator("RK45", 0.1, rtol=1e-11, atol=1e-13).solve(ivp)
+    assert np.allclose(
+        bdf.discrete_y(), rk.discrete_y(), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_bdf_trajectory_function_is_jittable():
+    import jax
+    import jax.numpy as jnp
+
+    cp = ConstrainedProblem(PopulationGrowthEquation(1.0))
+    op = ODEOperator("BDF", 0.1, rtol=1e-7, atol=1e-9)
+    fn, t = op.trajectory_function(cp, (0.0, 1.0))
+    ys = jax.jit(fn)(jnp.array([1.0]), jnp.asarray(0.0))
+    assert ys.shape == (len(t), 1)
+    assert np.allclose(
+        np.asarray(ys)[:, 0], np.exp(t), rtol=1e-5
+    )
