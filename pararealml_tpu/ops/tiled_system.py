@@ -13,7 +13,10 @@ ping-pong HBM state buffers and the trajectory.
 
 Navier-Stokes is excluded: its per-step Jacobi anti-Laplacian
 stream-function solve iterates to convergence over the *whole* grid,
-which cannot be recomputed from a bounded halo.
+which cannot be recomputed from a bounded halo. Shallow water is
+excluded from *dispatch* (the kernel itself supports and is tested on
+it): XLA schedules the generic 3-component graph well enough that the
+tiled kernel measured 0.81x the generic path at 641^2 on v5e.
 
 Boundary conditions are per-component face vectors (Dirichlet
 row/column values and Neumann ghost data), applied at statically-known
@@ -93,8 +96,18 @@ def make_system_tile_plan(
 def tiled_system_applicable(cp: ConstrainedProblem) -> bool:
     """Whether the tiled system kernel covers this (already
     type/BC/integrator-gated) problem's grid."""
+    from pararealml_tpu.differential_equation import (
+        ShallowWaterEquation,
+    )
+
     diff_eq = cp.differential_equation
     if isinstance(diff_eq, NavierStokesEquation):
+        return False
+    # XLA schedules the generic 3-component shallow-water graph well:
+    # the tiled kernel measured 0.81x the generic path at 641^2 on v5e
+    # (equivalence verified to 2e-9), so beyond-VMEM shallow water
+    # stays on the generic path
+    if isinstance(diff_eq, ShallowWaterEquation):
         return False
     return (
         make_system_tile_plan(

@@ -180,3 +180,14 @@ def test_applicability_extends_beyond_vmem_cap():
     finally:
         jax.config.update("jax_enable_x64", True)
     assert tiled_system_applicable(cp)
+
+
+def test_shallow_water_not_dispatched_to_tiled_beyond_vmem():
+    # the generic XLA shallow-water graph outruns the tiled kernel on
+    # v5e (0.81x at 641^2), so dispatch excludes it beyond VMEM even
+    # though the kernel itself is equivalence-tested above
+    mesh = Mesh([(0.0, 10.0), (0.0, 10.0)], [10.0 / 640] * 2)
+    cp = ConstrainedProblem(
+        ShallowWaterEquation(0.5), mesh, _bcs(3, False)
+    )
+    assert not tiled_system_applicable(cp)
