@@ -295,3 +295,230 @@ def test_batch_vector_laplacian_spherical():
         )
         component = 2.0 * jnp.sum(basis[ind], axis=1, keepdims=True)
         assert np.allclose(out, component, atol=1e-4), ind
+
+
+def test_batch_gradient_cylindrical():
+    x = _random_x(16, 3)
+    r = np.asarray(x[:, :1])
+    # y = theta: physical gradient component along theta is (1/r) dy/dtheta
+    out = AD.batch_gradient(
+        x, lambda x_: x_[:, 1:2], 1, CoordinateSystem.CYLINDRICAL
+    )
+    assert np.allclose(out, 1.0 / r)
+    # y = z: the axial component is the plain derivative
+    out = AD.batch_gradient(
+        x, lambda x_: x_[:, 2:], 2, CoordinateSystem.CYLINDRICAL
+    )
+    assert np.allclose(out, 1.0)
+
+
+def test_batch_hessian_polar():
+    x = _random_x(16, 2)
+    theta = np.asarray(x[:, 1:])
+    y_fn = lambda x_: x_[:, :1] ** 2 * x_[:, 1:]  # y = r^2 theta  # noqa: E731
+    # H_rr = d2y/dr2 = 2 theta
+    assert np.allclose(
+        AD.batch_hessian(x, y_fn, 0, 0, CoordinateSystem.POLAR),
+        2.0 * theta,
+    )
+    # H_tt = (1/r^2) d2y/dt2 + (1/r) dy/dr = 0 + 2 theta
+    assert np.allclose(
+        AD.batch_hessian(x, y_fn, 1, 1, CoordinateSystem.POLAR),
+        2.0 * theta,
+    )
+    # H_rt = (1/r)(d2y/drdt - (1/r) dy/dt) = (2r - r)/r = 1
+    assert np.allclose(
+        AD.batch_hessian(x, y_fn, 0, 1, CoordinateSystem.POLAR), 1.0
+    )
+
+
+def test_batch_hessian_cylindrical():
+    x = _random_x(16, 3)
+    r = np.asarray(x[:, :1])
+    # y = r z: H_rz is the plain mixed derivative
+    y_fn = lambda x_: x_[:, :1] * x_[:, 2:]  # noqa: E731
+    assert np.allclose(
+        AD.batch_hessian(x, y_fn, 0, 2, CoordinateSystem.CYLINDRICAL),
+        1.0,
+    )
+    # y = theta z: H_tz = (1/r) d2y/dtdz
+    y_fn = lambda x_: x_[:, 1:2] * x_[:, 2:]  # noqa: E731
+    assert np.allclose(
+        AD.batch_hessian(x, y_fn, 1, 2, CoordinateSystem.CYLINDRICAL),
+        1.0 / r,
+    )
+
+
+def _smooth_scalar(x_):
+    return (
+        jnp.sin(x_[:, :1])
+        + x_[:, :1] * jnp.cos(x_[:, 1:2])
+        + (x_[:, 2:] ** 2 if x_.shape[1] > 2 else 0.0)
+    )
+
+
+@pytest.mark.parametrize(
+    "cs,dims",
+    [
+        (CoordinateSystem.POLAR, 2),
+        (CoordinateSystem.CYLINDRICAL, 3),
+        (CoordinateSystem.SPHERICAL, 3),
+    ],
+)
+def test_batch_hessian_is_symmetric_curvilinear(cs, dims):
+    x = _random_x(16, dims, seed=3)
+    for i in range(dims):
+        for j in range(i + 1, dims):
+            assert np.allclose(
+                np.asarray(AD.batch_hessian(x, _smooth_scalar, i, j, cs)),
+                np.asarray(AD.batch_hessian(x, _smooth_scalar, j, i, cs)),
+                rtol=1e-6,
+            )
+
+
+@pytest.mark.parametrize(
+    "cs,dims",
+    [
+        (CoordinateSystem.CARTESIAN, 2),
+        (CoordinateSystem.POLAR, 2),
+        (CoordinateSystem.CYLINDRICAL, 3),
+        (CoordinateSystem.SPHERICAL, 3),
+    ],
+)
+def test_batch_laplacian_is_hessian_trace(cs, dims):
+    x = _random_x(16, dims, seed=4)
+    trace = sum(
+        np.asarray(AD.batch_hessian(x, _smooth_scalar, i, i, cs))
+        for i in range(dims)
+    )
+    assert np.allclose(
+        np.asarray(AD.batch_laplacian(x, _smooth_scalar, cs)),
+        trace,
+        rtol=1e-6,
+    )
+
+
+def test_batch_divergence_polar():
+    x = _random_x(16, 2)
+    # field (r, 0): div = (1/r) d(r^2)/dr = 2
+    y_fn = lambda x_: jnp.concatenate(  # noqa: E731
+        [x_[:, :1], jnp.zeros_like(x_[:, :1])], axis=1
+    )
+    out = AD.batch_divergence(x, y_fn, CoordinateSystem.POLAR)
+    assert np.allclose(out, 2.0)
+
+
+def test_batch_curl_polar():
+    x = _random_x(16, 2)
+    # field (0, r): curl = (1/r) d(r^2)/dr = 2
+    y_fn = lambda x_: jnp.concatenate(  # noqa: E731
+        [jnp.zeros_like(x_[:, :1]), x_[:, :1]], axis=1
+    )
+    out = AD.batch_curl(x, y_fn, 0, CoordinateSystem.POLAR)
+    assert np.allclose(out, 2.0)
+
+
+def test_batch_curl_cylindrical():
+    x = _random_x(16, 3)
+    z = np.asarray(x[:, 2:])
+    # field (z^2, 0, 0): curl_theta = dy_r/dz - dy_z/dr = 2z, others 0
+    y_fn = lambda x_: jnp.concatenate(  # noqa: E731
+        [x_[:, 2:] ** 2, jnp.zeros_like(x_[:, :1]),
+         jnp.zeros_like(x_[:, :1])],
+        axis=1,
+    )
+    assert np.allclose(
+        AD.batch_curl(x, y_fn, 1, CoordinateSystem.CYLINDRICAL), 2.0 * z
+    )
+    assert np.allclose(
+        AD.batch_curl(x, y_fn, 0, CoordinateSystem.CYLINDRICAL), 0.0
+    )
+    assert np.allclose(
+        AD.batch_curl(x, y_fn, 2, CoordinateSystem.CYLINDRICAL), 0.0
+    )
+
+
+def test_batch_vector_laplacian_cylindrical():
+    x = _random_x(16, 3)
+    # field (r, 0, 0): radial component laplacian(r) - r/r^2 = 0
+    y_fn = lambda x_: jnp.concatenate(  # noqa: E731
+        [x_[:, :1], jnp.zeros_like(x_[:, :1]),
+         jnp.zeros_like(x_[:, :1])],
+        axis=1,
+    )
+    assert np.allclose(
+        AD.batch_vector_laplacian(
+            x, y_fn, 0, CoordinateSystem.CYLINDRICAL
+        ),
+        0.0,
+        atol=1e-6,
+    )
+    # field (0, 0, r^2): axial component is the scalar laplacian = 4
+    y_fn = lambda x_: jnp.concatenate(  # noqa: E731
+        [jnp.zeros_like(x_[:, :1]), jnp.zeros_like(x_[:, :1]),
+         x_[:, :1] ** 2],
+        axis=1,
+    )
+    assert np.allclose(
+        AD.batch_vector_laplacian(
+            x, y_fn, 2, CoordinateSystem.CYLINDRICAL
+        ),
+        4.0,
+        rtol=1e-6,
+    )
+
+
+def test_batch_vector_laplacian_polar_azimuthal():
+    x = _random_x(16, 2)
+    # field (0, r): theta component laplacian(r) - (r - 0)/r^2 = 0
+    y_fn = lambda x_: jnp.concatenate(  # noqa: E731
+        [jnp.zeros_like(x_[:, :1]), x_[:, :1]], axis=1
+    )
+    assert np.allclose(
+        AD.batch_vector_laplacian(x, y_fn, 1, CoordinateSystem.POLAR),
+        0.0,
+        atol=1e-6,
+    )
+
+
+def test_batch_laplacian_cylindrical():
+    x = _random_x(16, 3)
+    y_fn = lambda x_: x_[:, :1] ** 2 + x_[:, 2:] ** 2  # noqa: E731
+    out = AD.batch_laplacian(x, y_fn, CoordinateSystem.CYLINDRICAL)
+    assert np.allclose(out, 6.0)
+
+
+def test_batch_curl_1d_x_rejected():
+    x = _random_x(4, 1)
+    with pytest.raises(ValueError):
+        AD.batch_curl(x, lambda x_: x_, 0)
+
+
+def test_batch_curl_4d_x_rejected():
+    x = _random_x(4, 4)
+    with pytest.raises(ValueError):
+        AD.batch_curl(x, lambda x_: x_, 0)
+
+
+def test_batch_curl_2d_nonzero_ind_rejected():
+    x = _random_x(4, 2)
+    with pytest.raises(ValueError):
+        AD.batch_curl(x, lambda x_: x_, 1)
+
+
+def test_batch_curl_out_of_bounds_ind_rejected():
+    x = _random_x(4, 3)
+    with pytest.raises(ValueError):
+        AD.batch_curl(x, lambda x_: x_, 3)
+
+
+def test_batch_vector_laplacian_out_of_bounds_ind_rejected():
+    x = _random_x(4, 2)
+    with pytest.raises(ValueError):
+        AD.batch_vector_laplacian(x, lambda x_: x_, 2)
+
+
+def test_batch_vector_laplacian_shape_mismatch_rejected():
+    x = _random_x(4, 2)
+    with pytest.raises(ValueError):
+        AD.batch_vector_laplacian(x, lambda x_: x_[:, :1], 0)
