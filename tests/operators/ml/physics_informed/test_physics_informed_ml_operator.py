@@ -362,3 +362,266 @@ def test_polar_pde_training_smoke():
     losses = np.asarray(history["loss"])
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_auto_regressive_rejects_t_dependent_rhs():
+    from pararealml_tpu import DifferentialEquation, SymbolicEquationSystem
+
+    class DrivenODE(DifferentialEquation):
+        def __init__(self):
+            super().__init__(0, 1)
+
+        @property
+        def symbolic_equation_system(self):
+            return SymbolicEquationSystem([self._symbols.t])
+
+    operator = PhysicsInformedMLOperator(
+        SAMPLER, 0.1, True, auto_regressive=True
+    )
+    cp = ConstrainedProblem(DrivenODE())
+    data_args = DataArgs(
+        y_0_functions=[lambda _: np.array([1.0])],
+        n_domain_points=8,
+        n_batches=1,
+    )
+    model_args = ModelArgs(
+        model=DeepONet(
+            branch_net=FNN([8]),
+            trunk_net=FNN([8]),
+            combiner_net=FNN([8, 1]),
+            branch_net_input_size=1,
+        )
+    )
+    with pytest.raises(ValueError):
+        operator.train(
+            cp,
+            (0.0, 0.1),
+            data_args,
+            OptimizationArgs(optimizer="adam", epochs=1, verbose=0),
+            model_args,
+        )
+
+
+def test_auto_regressive_ode_end_to_end():
+    # AR mode trains on one (0, d_t) step from varied initial states and
+    # rolls the model forward autoregressively at solve time
+    np.random.seed(5)
+    r = 1.0
+    cp = ConstrainedProblem(PopulationGrowthEquation(r))
+    operator = PhysicsInformedMLOperator(
+        SAMPLER, 0.1, True, auto_regressive=True
+    )
+    data_args = DataArgs(
+        y_0_functions=[
+            (lambda v: lambda _: np.array([v]))(v)
+            for v in np.linspace(0.5, 2.0, 16)
+        ],
+        n_domain_points=40,
+        n_batches=1,
+    )
+    model_args = ModelArgs(
+        model=DeepONet(
+            branch_net=FNN([32, 16]),
+            trunk_net=FNN([32, 16]),
+            combiner_net=FNN([32, 1]),
+            branch_net_input_size=1,
+        )
+    )
+    history, _ = operator.train(
+        cp,
+        (0.0, 0.1),
+        data_args,
+        OptimizationArgs(
+            optimizer=optax.adam(3e-3), epochs=800, verbose=0, seed=5
+        ),
+        model_args,
+    )
+    assert history["loss"][-1] < 1e-3
+
+    ic = ContinuousInitialCondition(cp, lambda _: np.array([1.0]))
+    ivp = InitialValueProblem(cp, (0.0, 0.5), ic)
+    solution = operator.solve(ivp)
+    exact = np.exp(solution.t_coordinates)
+    # error compounds across the 5 autoregressive steps
+    assert np.abs(solution.discrete_y()[:, 0] - exact).max() < 0.05
+
+
+def test_auto_regressive_pde_smoke():
+    np.random.seed(6)
+    mesh = Mesh([(0.0, 1.0)], [0.2])
+    bc = DirichletBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 1)), is_static=True
+    )
+    cp = ConstrainedProblem(DiffusionEquation(1, 0.2), mesh, [(bc, bc)])
+    operator = PhysicsInformedMLOperator(
+        SAMPLER, 0.05, True, auto_regressive=True
+    )
+    data_args = DataArgs(
+        y_0_functions=[
+            (lambda a: lambda x: a * np.sin(np.pi * x))(a)
+            for a in np.linspace(0.5, 1.5, 4)
+        ],
+        n_domain_points=40,
+        n_boundary_points=8,
+        n_batches=1,
+    )
+    model_args = ModelArgs(
+        model=DeepONet(
+            branch_net=FNN([16, 8]),
+            trunk_net=FNN([16, 8]),
+            combiner_net=FNN([16, 1]),
+            branch_net_input_size=6,
+        ),
+        ic_loss_weight=10.0,
+        bc_loss_weight=10.0,
+    )
+    history, _ = operator.train(
+        cp,
+        (0.0, 0.05),
+        data_args,
+        OptimizationArgs(
+            optimizer=optax.adam(3e-3), epochs=80, verbose=0, seed=6
+        ),
+        model_args,
+    )
+    losses = np.asarray(history["loss"])
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+    ic = ContinuousInitialCondition(cp, lambda x: np.sin(np.pi * x))
+    ivp = InitialValueProblem(cp, (0.0, 0.2), ic)
+    y = operator.solve(ivp).discrete_y()
+    assert y.shape == (4, 6, 1)
+    assert np.all(np.isfinite(y))
+
+
+def test_cylindrical_pde_training_smoke():
+    from pararealml_tpu import CoordinateSystem, NeumannBoundaryCondition
+
+    np.random.seed(7)
+    mesh = Mesh(
+        [(1.0, 2.0), (0.0, np.pi), (0.0, 1.0)],
+        [0.5, np.pi / 2, 0.5],
+        CoordinateSystem.CYLINDRICAL,
+    )
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 1)), is_static=True
+    )
+    cp = ConstrainedProblem(
+        DiffusionEquation(3, 0.1), mesh, [(bc, bc)] * 3
+    )
+    operator = PhysicsInformedMLOperator(SAMPLER, 0.05, True)
+    data_args = DataArgs(
+        y_0_functions=[lambda x: np.ones((len(x), 1))],
+        n_domain_points=40,
+        n_boundary_points=8,
+        n_batches=1,
+    )
+    model_args = ModelArgs(
+        model=DeepONet(
+            branch_net=FNN([16, 8]),
+            trunk_net=FNN([16, 8]),
+            combiner_net=FNN([16, 1]),
+            branch_net_input_size=np.prod(cp.y_shape(True)).item(),
+        )
+    )
+    history, _ = operator.train(
+        cp,
+        (0.0, 0.2),
+        data_args,
+        OptimizationArgs(
+            optimizer=optax.adam(3e-3), epochs=40, verbose=0, seed=7
+        ),
+        model_args,
+    )
+    losses = np.asarray(history["loss"])
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_spherical_pde_training_smoke():
+    from pararealml_tpu import CoordinateSystem, NeumannBoundaryCondition
+
+    np.random.seed(8)
+    mesh = Mesh(
+        [(1.0, 2.0), (0.0, np.pi), (0.25 * np.pi, 0.75 * np.pi)],
+        [0.5, np.pi / 2, np.pi / 4],
+        CoordinateSystem.SPHERICAL,
+    )
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 1)), is_static=True
+    )
+    cp = ConstrainedProblem(
+        DiffusionEquation(3, 0.1), mesh, [(bc, bc)] * 3
+    )
+    operator = PhysicsInformedMLOperator(SAMPLER, 0.05, True)
+    data_args = DataArgs(
+        y_0_functions=[lambda x: np.ones((len(x), 1))],
+        n_domain_points=40,
+        n_boundary_points=8,
+        n_batches=1,
+    )
+    model_args = ModelArgs(
+        model=DeepONet(
+            branch_net=FNN([16, 8]),
+            trunk_net=FNN([16, 8]),
+            combiner_net=FNN([16, 1]),
+            branch_net_input_size=np.prod(cp.y_shape(True)).item(),
+        )
+    )
+    history, _ = operator.train(
+        cp,
+        (0.0, 0.2),
+        data_args,
+        OptimizationArgs(
+            optimizer=optax.adam(3e-3), epochs=40, verbose=0, seed=8
+        ),
+        model_args,
+    )
+    losses = np.asarray(history["loss"])
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_pde_system_training_smoke():
+    # multi-component PDE (1D wave): per-equation loss terms must all
+    # appear in the history and train stably
+    from pararealml_tpu import NeumannBoundaryCondition, WaveEquation
+
+    np.random.seed(9)
+    mesh = Mesh([(0.0, 1.0)], [0.2])
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 2)), is_static=True
+    )
+    cp = ConstrainedProblem(WaveEquation(1, 0.5), mesh, [(bc, bc)])
+    operator = PhysicsInformedMLOperator(SAMPLER, 0.05, True)
+    data_args = DataArgs(
+        y_0_functions=[
+            lambda x: np.concatenate(
+                [np.sin(np.pi * x), np.zeros_like(x)], axis=-1
+            )
+        ],
+        n_domain_points=40,
+        n_boundary_points=8,
+        n_batches=1,
+    )
+    model_args = ModelArgs(
+        model=DeepONet(
+            branch_net=FNN([16, 8]),
+            trunk_net=FNN([16, 8]),
+            combiner_net=FNN([16, 2]),
+            branch_net_input_size=np.prod(cp.y_shape(True)).item(),
+        )
+    )
+    history, _ = operator.train(
+        cp,
+        (0.0, 0.2),
+        data_args,
+        OptimizationArgs(
+            optimizer=optax.adam(3e-3), epochs=40, verbose=0, seed=9
+        ),
+        model_args,
+    )
+    losses = np.asarray(history["loss"])
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
