@@ -21,6 +21,12 @@ the branch.
 Operators that cannot express their solve as a pure jittable trajectory
 function (or callable termination conditions) fall back to a host-driven
 implementation with identical semantics.
+
+Beyond the reference, ``relaxation="fcf"`` selects MGRIT-style FCF
+relaxation: corrections are computed from fine-propagated states, so
+exactness advances two time slices per iteration for one extra (equally
+parallel) fine solve per iteration — fewer sequential coarse sweeps on
+the critical path when fine solves are cheap relative to the sweep.
 """
 
 from __future__ import annotations
@@ -62,6 +68,7 @@ class PararealOperator(JaxOperator):
         max_iterations: int = sys.maxsize,
         num_time_slices: Optional[int] = None,
         devices: Optional[Sequence] = None,
+        relaxation: str = "f",
     ):
         """
         :param f: the fine (accurate, expensive) operator
@@ -76,7 +83,20 @@ class PararealOperator(JaxOperator):
             world size, parareal_operator.py:113)
         :param devices: the devices forming the ``time`` mesh axis;
             defaults to all visible devices
+        :param relaxation: ``"f"`` for classic Parareal (one fine
+            relaxation per iteration, the reference's schedule) or
+            ``"fcf"`` for MGRIT-style FCF relaxation — the correction
+            for border ``j + 1`` is computed from the fine-propagated
+            state ``F(u_{j-1})`` instead of ``u_j``, so exactness
+            advances two slices per iteration at the cost of a second
+            (equally parallel) fine solve per iteration. Beyond the
+            reference, which only implements classic Parareal.
         """
+        if relaxation not in ("f", "fcf"):
+            raise ValueError(
+                f"unsupported relaxation '{relaxation}'; expected 'f' "
+                "or 'fcf'"
+            )
         super().__init__(f.d_t, f.vertex_oriented)
         self._f = f
         self._g = g
@@ -84,6 +104,7 @@ class PararealOperator(JaxOperator):
         self._max_iterations = max_iterations
         self._devices = list(devices) if devices is not None else None
         self._num_time_slices = num_time_slices
+        self._relaxation = relaxation
         self._compiled_cache = {}
 
     @property
@@ -95,6 +116,13 @@ class PararealOperator(JaxOperator):
     def g(self) -> Operator:
         """The coarse operator."""
         return self._g
+
+    @property
+    def relaxation(self) -> str:
+        """The relaxation scheme: ``"f"`` (classic Parareal) or
+        ``"fcf"`` (MGRIT-style, two slices of exactness per
+        iteration)."""
+        return self._relaxation
 
     # -- termination -------------------------------------------------------
 
@@ -307,12 +335,22 @@ class PararealOperator(JaxOperator):
             coarse_ifn = self._g.indexed_trajectory_function(
                 cp, t_start, slice_duration, n
             )
+            coarse_ifn_vmappable = (
+                coarse_ifn
+                if not needs_vmap
+                else self._g.indexed_trajectory_function(
+                    cp, t_start, slice_duration, n, allow_fused=False
+                )
+            )
 
             def fine_call(y_start, slice_index, t_0):
                 return fine_ifn(y_start, slice_index)
 
             def coarse_call(y_start, slice_index, t_0):
                 return coarse_ifn(y_start, slice_index)
+
+            def coarse_call_vmappable(y_start, slice_index, t_0):
+                return coarse_ifn_vmappable(y_start, slice_index)
 
         else:
 
@@ -335,12 +373,22 @@ class PararealOperator(JaxOperator):
                 self._f, allow_fused=not needs_vmap
             )
             coarse_fn = build_trajectory(self._g, allow_fused=True)
+            coarse_fn_vmappable = (
+                coarse_fn
+                if not needs_vmap
+                else build_trajectory(self._g, allow_fused=False)
+            )
 
             def fine_call(y_start, slice_index, t_0):
                 return fine_fn(y_start, t_0 + slice_index * delta)
 
             def coarse_call(y_start, slice_index, t_0):
                 return coarse_fn(y_start, t_0 + slice_index * delta)
+
+            def coarse_call_vmappable(y_start, slice_index, t_0):
+                return coarse_fn_vmappable(
+                    y_start, t_0 + slice_index * delta
+                )
 
         n_devices = self._mesh_device_count(n)
         slices_per_device = n // n_devices
@@ -378,12 +426,25 @@ class PararealOperator(JaxOperator):
                     y_starts[0], slice_indices[0], t_0
                 )[jnp.newaxis]
 
+            def batched_coarse_ends(y_starts, slice_indices, t_0):
+                return coarse_call_vmappable(
+                    y_starts[0], slice_indices[0], t_0
+                )[-1][jnp.newaxis]
+
         else:
 
             def batched_fine(y_starts, slice_indices, t_0):
                 return jax.vmap(fine_call, in_axes=(0, 0, None))(
                     y_starts, slice_indices, t_0
                 )
+
+            def batched_coarse_ends(y_starts, slice_indices, t_0):
+                return jax.vmap(
+                    lambda y, j: coarse_call_vmappable(y, j, t_0)[-1],
+                    in_axes=(0, 0),
+                )(y_starts, slice_indices)
+
+        fcf = self._relaxation == "fcf"
 
         def program(y_init, t_0):
             device_index = jax.lax.axis_index("time")
@@ -422,9 +483,31 @@ class PararealOperator(JaxOperator):
                         local_slice_indices,
                         t_0,
                     )
-                    local_corrections = (
-                        sub_y_fine[:, -1] - local_slice(coarse_ends)
-                    )
+                    if fcf:
+                        # FCF relaxation: the first fine sweep above is
+                        # the F-relaxation; correct border j + 1 from
+                        # the fine-propagated state z_j = F(u_{j-1})
+                        # (z_0 = u_0), advancing exactness two slices
+                        # per iteration (MGRIT two-level FCF)
+                        fine_ends = jax.lax.all_gather(
+                            sub_y_fine[:, -1], "time"
+                        ).reshape((n,) + y_shape)
+                        z = jnp.concatenate(
+                            [y_borders[:1], fine_ends[:-1]]
+                        )
+                        sub_y_fine = batched_fine(
+                            local_slice(z), local_slice_indices, t_0
+                        )
+                        local_corrections = sub_y_fine[
+                            :, -1
+                        ] - batched_coarse_ends(
+                            local_slice(z), local_slice_indices, t_0
+                        )
+                    else:
+                        local_corrections = (
+                            sub_y_fine[:, -1]
+                            - local_slice(coarse_ends)
+                        )
                     corrections = jax.lax.all_gather(
                         local_corrections, "time"
                     ).reshape((n,) + y_shape)
@@ -433,8 +516,16 @@ class PararealOperator(JaxOperator):
                     def corrective_sweep(j, state):
                         y_borders, coarse_ends = state
                         re_predicted = coarse_end(y_borders[j], j, t_0)
+                        # FCF corrections are computed from per-slice
+                        # coarse solves, so the sweep must re-predict
+                        # at j == i too — reusing the initial
+                        # whole-domain sweep's value there would break
+                        # the telescoping consistency under adaptive
+                        # coarse operators
                         new_coarse_end = jnp.where(
-                            j > i, re_predicted, coarse_ends[j]
+                            (j > i) if not fcf else (j >= i),
+                            re_predicted,
+                            coarse_ends[j],
                         )
                         coarse_ends = coarse_ends.at[j].set(
                             new_coarse_end
@@ -587,6 +678,12 @@ class PararealOperator(JaxOperator):
                 sub_ivp(k, y_start), False
             ).discrete_y(vertex_oriented)
 
+        def coarse_end_solve(k, y_start):
+            return self._g.solve(sub_ivp(k, y_start)).discrete_y(
+                vertex_oriented
+            )[-1]
+
+        fcf = self._relaxation == "fcf"
         sub_trajectories = [None] * n
         with ThreadPoolExecutor(max_workers=n) as executor:
             for i in range(min(n, self._max_iterations)):
@@ -610,19 +707,43 @@ class PararealOperator(JaxOperator):
                             fine_solve, range(n), y_borders[:-1]
                         )
                     )
-                corrections = np.stack(
-                    [
-                        sub_trajectories[k][-1] - y_coarse_ends[k]
-                        for k in range(n)
+                if fcf:
+                    # FCF relaxation: correct border j + 1 from the
+                    # fine-propagated z_j = F(u_{j-1}) (z_0 = u_0)
+                    z = [y_borders[0]] + [
+                        sub_trajectories[k][-1] for k in range(n - 1)
                     ]
-                )
+                    sub_trajectories = list(
+                        executor.map(fine_solve, range(n), z)
+                    )
+                    coarse_z_ends = list(
+                        executor.map(coarse_end_solve, range(n), z)
+                    )
+                    corrections = np.stack(
+                        [
+                            sub_trajectories[k][-1] - coarse_z_ends[k]
+                            for k in range(n)
+                        ]
+                    )
+                else:
+                    corrections = np.stack(
+                        [
+                            sub_trajectories[k][-1] - y_coarse_ends[k]
+                            for k in range(n)
+                        ]
+                    )
 
                 old_ends = np.copy(y_borders[1:])
                 for j in range(i, n):
-                    if j > i:
-                        y_coarse_ends[j] = self._g.solve(
-                            sub_ivp(j, y_borders[j])
-                        ).discrete_y(vertex_oriented)[-1]
+                    if j > i or fcf:
+                        # FCF corrections come from per-slice coarse
+                        # solves; re-predict at j == i too so the sweep
+                        # and the corrections use the same coarse
+                        # propagator (adaptive operators differ between
+                        # whole-domain and per-slice solves)
+                        y_coarse_ends[j] = coarse_end_solve(
+                            j, y_borders[j]
+                        )
                     y_borders[j + 1] = (
                         y_coarse_ends[j] + corrections[j]
                     )

@@ -307,3 +307,95 @@ def test_trajectory_function_uses_operator_orientation():
     # a subsequent solve() must not collide with the cached program
     result = parareal.solve(ivp).discrete_y()
     assert np.allclose(result, np.asarray(ys), atol=1e-8)
+
+
+def test_invalid_relaxation_rejected():
+    f = ODEOperator("RK45", 0.05)
+    g = ODEOperator("RK45", 0.25)
+    with pytest.raises(ValueError):
+        PararealOperator(f, g, 1e-3, relaxation="cfc")
+
+
+def test_fcf_parareal_matches_fine_solve_compiled():
+    # compiled shard_map path (8 slices on the 8-device virtual mesh)
+    ivp = _diffusion_ivp()
+    f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.005)
+    g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.025)
+    parareal = PararealOperator(
+        f, g, 1e-5, num_time_slices=8, relaxation="fcf"
+    )
+    result = parareal.solve(ivp).discrete_y()
+    fine = f.solve(ivp).discrete_y()
+    assert result.shape == fine.shape
+    assert np.abs(result - fine).max() < 1e-4
+
+
+def test_fcf_doubles_the_exactness_horizon():
+    # after k iterations classic Parareal has borders 1..k exact while
+    # FCF has 1..2k: with k = 2 on 8 slices, slice borders 3 and 4 must
+    # be at fine-solver accuracy under FCF but not under classic
+    ivp = _lorenz_ivp(t_end=2.0)
+    f = ODEOperator("RK45", 0.01, rtol=1e-10, atol=1e-12)
+    g = ODEOperator("RK45", 0.125)
+    fine = f.solve(ivp).discrete_y()
+    n = 8
+    steps_per_slice = fine.shape[0] // n
+
+    def border_errors(relaxation):
+        op = PararealOperator(
+            f,
+            g,
+            None,
+            max_iterations=2,
+            num_time_slices=n,
+            relaxation=relaxation,
+        )
+        y = op.solve(ivp).discrete_y()
+        ends = y[steps_per_slice - 1 :: steps_per_slice]
+        fine_ends = fine[steps_per_slice - 1 :: steps_per_slice]
+        return np.abs(ends - fine_ends).max(axis=1)
+
+    e_classic = border_errors("f")
+    e_fcf = border_errors("fcf")
+    # both have borders 1 and 2 exact after two iterations
+    assert e_classic[:2].max() < 1e-8
+    assert e_fcf[:2].max() < 1e-8
+    # FCF additionally has borders 3 and 4 exact; classic does not
+    assert e_fcf[2:4].max() < 1e-8
+    assert e_classic[2:4].max() > 1e-7
+    assert e_fcf[2:4].max() < e_classic[2:4].max() / 100
+
+
+def test_fcf_host_path_matches_fine_solve():
+    # a callable termination condition forces the host fallback
+    ivp = _lorenz_ivp(t_end=2.0)
+    f = ODEOperator("RK45", 0.01, rtol=1e-10, atol=1e-12)
+    g = ODEOperator("RK45", 0.125)
+    calls = []
+
+    def termination(old, new):
+        calls.append(1)
+        return bool(np.abs(new - old).max() < 1e-9)
+
+    parareal = PararealOperator(
+        f, g, termination, num_time_slices=8, relaxation="fcf"
+    )
+    result = parareal.solve(ivp).discrete_y()
+    fine = f.solve(ivp).discrete_y()
+    assert calls
+    assert np.abs(result - fine).max() < 1e-6
+
+
+def test_fcf_vmap_batched_slices():
+    # more slices than devices: the second fine sweep and the batched
+    # coarse re-predictions run under vmap
+    ivp = _diffusion_ivp()
+    f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.005)
+    g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.025)
+    parareal = PararealOperator(
+        f, g, 1e-5, num_time_slices=16, relaxation="fcf"
+    )
+    result = parareal.solve(ivp).discrete_y()
+    fine = f.solve(ivp).discrete_y()
+    assert result.shape == fine.shape
+    assert np.abs(result - fine).max() < 1e-4
