@@ -420,3 +420,51 @@ def test_time_variant_solve_roundtrip():
     y = operator.solve(ivp).discrete_y()
     exact = np.exp(np.arange(0.1, 1.05, 0.1))
     assert np.abs(y[:, 0] - exact).max() < 0.15
+
+
+def test_pde_solve_roundtrip_with_input_d_t():
+    # input-d_t mode on a PDE: the model sees (y_0, d_t, x) and learns
+    # the solution jump; the reference's input layout drops the d_t
+    # column for ODEs only (supervised_ml_operator.py:359-370)
+    np.random.seed(4)
+    from pararealml_tpu import DirichletBoundaryCondition
+
+    mesh = Mesh([(0.0, 1.0)], [0.25])
+    bc = DirichletBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 1)), is_static=True
+    )
+    cp = ConstrainedProblem(DiffusionEquation(1, 0.2), mesh, [(bc, bc)])
+    ic = ContinuousInitialCondition(cp, lambda x: np.sin(np.pi * x))
+    ivp = InitialValueProblem(cp, (0.0, 0.5), ic)
+    oracle = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), 0.0025
+    )
+
+    operator = SupervisedMLOperator(
+        0.1, True, auto_regressive=True, input_d_t=True
+    )
+    model = SKLearnJaxRegressor(
+        lambda: FNN([32, 32, 1]),
+        batch_size=32,
+        epochs=400,
+        verbose=0,
+        seed=4,
+    )
+    operator.train(
+        ivp,
+        oracle,
+        model,
+        iterations=40,
+        perturbation_function=lambda t, y: y
+        * np.random.uniform(0.9, 1.1, y.shape),
+    )
+    y = operator.solve(ivp).discrete_y()
+    exact = oracle.solve(ivp).discrete_y()[
+        np.rint(
+            np.arange(0.1, 0.55, 0.1) / 0.0025
+        ).astype(int)
+        - 1
+    ]
+    assert y.shape == exact.shape
+    # error compounds over 5 autoregressive model steps
+    assert np.abs(y - exact).max() < 0.15

@@ -217,3 +217,28 @@ def test_animated_plot_frame_subsampling(tmp_path):
     plot.save(str(tmp_path / "subsampled"))
     plot.close()
     assert (tmp_path / "subsampled.gif").exists()
+
+
+def test_phase_space_plot_rank_validation():
+    with pytest.raises(ValueError):
+        PhaseSpacePlot(np.random.rand(10))
+
+
+def test_quiver_plot_validation():
+    mesh = Mesh([(0.0, 1.0)] * 2, [0.5] * 2)
+    good = np.random.rand(2, 3, 3, 2)
+    # wrong vector dimension for the mesh
+    with pytest.raises(ValueError):
+        QuiverPlot(np.random.rand(2, 3, 3, 3), mesh, True)
+    # mismatched spatial shape
+    with pytest.raises(ValueError):
+        QuiverPlot(np.random.rand(2, 4, 4, 2), mesh, True)
+    # 1D meshes have no quiver representation
+    with pytest.raises(ValueError):
+        QuiverPlot(
+            np.random.rand(2, 3, 1),
+            Mesh([(0.0, 1.0)], [0.5]),
+            True,
+        )
+    plot = QuiverPlot(good, mesh, True, n_frames=2)
+    plot.close()

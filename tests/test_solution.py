@@ -237,3 +237,29 @@ def test_diff_requires_multiple_solutions():
     solution = Solution(ivp, np.array([0.5, 1.0]), np.ones((2, 3)))
     with pytest.raises(ValueError):
         solution.diff([])
+
+
+def test_generate_plots_3d_vector_field_uses_quiver():
+    from pararealml_tpu import BurgersEquation, QuiverPlot
+
+    mesh = Mesh([(0.0, 1.0)] * 3, [0.5] * 3)
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 3)), is_static=True
+    )
+    cp = ConstrainedProblem(
+        BurgersEquation(3, 100.0), mesh, [(bc, bc)] * 3
+    )
+    ic = ContinuousInitialCondition(
+        cp, lambda x: np.zeros((len(x), 3))
+    )
+    ivp = InitialValueProblem(cp, (0.0, 1.0), ic)
+    solution = Solution(
+        ivp,
+        np.array([1.0]),
+        np.random.rand(1, *cp.y_shape(True)),
+        vertex_oriented=True,
+    )
+    plots = list(solution.generate_plots())
+    assert any(isinstance(p, QuiverPlot) for p in plots)
+    for plot in plots:
+        plot.close()
