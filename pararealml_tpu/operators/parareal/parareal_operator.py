@@ -394,7 +394,12 @@ class PararealOperator(JaxOperator):
         slices_per_device = n // n_devices
         mesh = time_mesh(n_devices, devices=self._devices)
 
-        iterations = min(n, self._max_iterations)
+        # FCF advances exactness two slices per iteration, so all n
+        # borders are exact after ceil(n / 2) iterations
+        exact_after = (
+            -(-n // 2) if self._relaxation == "fcf" else n
+        )
+        iterations = min(exact_after, self._max_iterations)
         tolerances = self._tolerance_vector(
             cp.differential_equation.y_dimension
         )
@@ -414,8 +419,20 @@ class PararealOperator(JaxOperator):
                 max_rms < jnp.asarray(tolerances, diff.dtype)
             )
 
-        def coarse_end(y_start, slice_index, t_0):
-            return coarse_call(y_start, slice_index, t_0)[-1]
+        if self._relaxation == "fcf":
+            # FCF corrections are computed with the vmappable coarse
+            # path; the sweeps must use the *same* propagator or its
+            # fused-vs-generic rounding difference leaks into borders
+            # the schedule treats as exact
+            def coarse_end(y_start, slice_index, t_0):
+                return coarse_call_vmappable(
+                    y_start, slice_index, t_0
+                )[-1]
+
+        else:
+
+            def coarse_end(y_start, slice_index, t_0):
+                return coarse_call(y_start, slice_index, t_0)[-1]
 
         fine_steps = self._fine_steps(slice_duration)
         if slices_per_device == 1:
@@ -684,9 +701,11 @@ class PararealOperator(JaxOperator):
             )[-1]
 
         fcf = self._relaxation == "fcf"
+        # FCF: all n borders are exact after ceil(n / 2) iterations
+        exact_after = -(-n // 2) if fcf else n
         sub_trajectories = [None] * n
         with ThreadPoolExecutor(max_workers=n) as executor:
-            for i in range(min(n, self._max_iterations)):
+            for i in range(min(exact_after, self._max_iterations)):
                 # all fine solves of an iteration are independent;
                 # dispatch them concurrently (the reference's
                 # equivalent path is always rank-parallel,

@@ -123,41 +123,18 @@ def _component_face_tensors(
 ):
     """Per-component face vectors padded to the kernel geometry:
     row-indexed arrays are (2 faces, n, w_pad); column-indexed arrays
-    are pre-sliced per tile, (n_tiles, 2 faces, n, tile_h)."""
+    are pre-sliced per tile, (n_tiles, 2 faces, n, tile_h). The raw
+    constraint extraction is shared with the whole-grid kernel
+    (:func:`fused_system._component_constraint_tensors`)."""
+    from pararealml_tpu.ops.fused_system import (
+        _component_constraint_tensors,
+    )
+
     height, width = cp.mesh.vertices_shape
     dtype = np.float32
-
-    if cp.static_y_vertex_constraints is not None:
-        dir_mask = np.asarray(
-            cp.static_y_vertex_constraints.mask
-        ).reshape(height, width, n)
-        dir_vals = np.asarray(
-            cp.static_y_vertex_constraints.values
-        ).reshape(height, width, n)
-        dir_vals = np.where(dir_mask, dir_vals, 0.0)
-    else:
-        dir_mask = np.zeros((height, width, n), bool)
-        dir_vals = np.zeros((height, width, n))
-
-    def face_vectors(pair, length):
-        masks = np.zeros((2, n, length), bool)
-        values = np.zeros((2, n, length), dtype)
-        for side_index, side in enumerate(
-            (pair.lower, pair.upper) if pair else (None, None)
-        ):
-            if side is None:
-                continue
-            masks[side_index] = np.moveaxis(
-                np.asarray(side.mask).reshape(length, n), -1, 0
-            )
-            values[side_index] = np.moveaxis(
-                np.asarray(side.values).reshape(length, n), -1, 0
-            ).astype(dtype)
-        return masks, values
-
-    d_y = cp.static_boundary_vertex_constraints.d_y
-    ghost_row_mask, ghost_row_vals = face_vectors(d_y[0], width)
-    ghost_col_mask, ghost_col_vals = face_vectors(d_y[1], height)
+    raw = _component_constraint_tensors(cp, n)
+    dir_mask = raw["dir_mask"]  # (n, h, w)
+    dir_vals = raw["dir_vals"]
 
     def pad_rows(array):
         return np.pad(
@@ -177,25 +154,27 @@ def _component_face_tensors(
 
     return dict(
         dir_row_mask=jnp.asarray(
-            pad_rows(np.stack([dir_mask[0].T, dir_mask[-1].T]))
+            pad_rows(np.stack([dir_mask[:, 0, :], dir_mask[:, -1, :]]))
         ),
         dir_row_vals=jnp.asarray(
             pad_rows(
-                np.stack([dir_vals[0].T, dir_vals[-1].T])
+                np.stack([dir_vals[:, 0, :], dir_vals[:, -1, :]])
             ).astype(dtype)
         ),
         dir_col_mask=jnp.asarray(
-            tile_cols(np.stack([dir_mask[:, 0].T, dir_mask[:, -1].T]))
+            tile_cols(
+                np.stack([dir_mask[:, :, 0], dir_mask[:, :, -1]])
+            )
         ),
         dir_col_vals=jnp.asarray(
             tile_cols(
-                np.stack([dir_vals[:, 0].T, dir_vals[:, -1].T])
+                np.stack([dir_vals[:, :, 0], dir_vals[:, :, -1]])
             ).astype(dtype)
         ),
-        ghost_row_mask=jnp.asarray(pad_rows(ghost_row_mask)),
-        ghost_row_vals=jnp.asarray(pad_rows(ghost_row_vals)),
-        ghost_col_mask=jnp.asarray(tile_cols(ghost_col_mask)),
-        ghost_col_vals=jnp.asarray(tile_cols(ghost_col_vals)),
+        ghost_row_mask=jnp.asarray(pad_rows(raw["ghost_row_mask"])),
+        ghost_row_vals=jnp.asarray(pad_rows(raw["ghost_row_vals"])),
+        ghost_col_mask=jnp.asarray(tile_cols(raw["ghost_col_mask"])),
+        ghost_col_vals=jnp.asarray(tile_cols(raw["ghost_col_vals"])),
     )
 
 
@@ -205,7 +184,7 @@ class _TiledStencilHelpers:
     stencil output is sanitized to zero outside the logical domain so
     out-of-range tile rows never feed back."""
 
-    def __init__(self, geometry, faces, tile_index):
+    def __init__(self, geometry, faces, tile_index, present):
         g = geometry
         self._g = g
         self._faces = faces
@@ -232,6 +211,10 @@ class _TiledStencilHelpers:
         # per-tile windows of the column-indexed face vectors
         self._gcm = faces["ghost_col_mask"][tile_index]
         self._gcv = faces["ghost_col_vals"][tile_index]
+        # static emptiness flags skip whole constraint stages (e.g.
+        # pure-Dirichlet problems pay no Neumann ghost machinery)
+        self._ghost_rows_present = present["ghost_rows"]
+        self._ghost_cols_present = present["ghost_cols"][tile_index]
 
     def sanitize(self, state):
         if self.needs_sanitize:
@@ -250,11 +233,11 @@ class _TiledStencilHelpers:
         right = jnp.concatenate([state[:, 1:], g["zero_col"]], axis=1)
         return above, below, left, right
 
-    def _boundary_row_fixes(self, make_fn):
+    def _boundary_row_fixes(self, make_fn, present=(True, True)):
         fixes = []
-        if self.has_top:
+        if self.has_top and present[0]:
             fixes.append((self.top_row, make_fn(0)))
-        if self.has_bottom:
+        if self.has_bottom and present[1]:
             fixes.append((self.bottom_row, make_fn(1)))
         return fixes
 
@@ -283,9 +266,21 @@ class _TiledStencilHelpers:
 
             return fix
 
-        fixes = self._boundary_row_fixes(ghost_fix)
+        fixes = self._boundary_row_fixes(
+            ghost_fix, self._ghost_rows_present
+        )
         if fixes:
             lap = _override_rows(lap, fixes)
+
+        if not self._ghost_cols_present:
+            # no Neumann columns on this tile: only the pad columns
+            # need zeroing (stencil garbage there would feed back
+            # through the next stage's column shifts)
+            if g["col_pad"] is not None:
+                lap = jnp.concatenate(
+                    [lap[:, :width], g["col_pad"]], axis=1
+                )
+            return self.sanitize(lap)
 
         ghost_left = jnp.where(
             self._gcm[0, comp],
@@ -322,7 +317,9 @@ class _TiledStencilHelpers:
 
             return fix
 
-        fixes = self._boundary_row_fixes(constrained_fix)
+        fixes = self._boundary_row_fixes(
+            constrained_fix, self._ghost_rows_present
+        )
         if fixes:
             gradient = _override_rows(gradient, fixes)
         return self.sanitize(gradient)
@@ -332,6 +329,12 @@ class _TiledStencilHelpers:
         width = g["width"]
         _, _, left, right = self._shifts(state)
         gradient = (right - left) * g["inv_two_dx1"]
+        if not self._ghost_cols_present:
+            if g["col_pad"] is not None:
+                gradient = jnp.concatenate(
+                    [gradient[:, :width], g["col_pad"]], axis=1
+                )
+            return self.sanitize(gradient)
         col_parts = [
             jnp.where(
                 self._gcm[0, comp], self._gcv[0, comp], gradient[:, 0]
@@ -384,6 +387,19 @@ def build_tiled_system_rk4_trajectory(
     faces = _component_face_tensors(cp, plan, n)
     dtype = jnp.float32
     step_factory = _make_step_factory(diff_eq, d_t, mesh)
+
+    # static emptiness flags, computed host-side so constraint stages
+    # with no constraints compile to nothing
+    _grm = np.asarray(faces["ghost_row_mask"])
+    _gcm = np.asarray(faces["ghost_col_mask"])
+    _drm = np.asarray(faces["dir_row_mask"])
+    _dcm = np.asarray(faces["dir_col_mask"])
+    present = dict(
+        ghost_rows=(bool(_grm[0].any()), bool(_grm[1].any())),
+        ghost_cols=[bool(_gcm[i].any()) for i in range(n_tiles)],
+        dir_rows=(bool(_drm[0].any()), bool(_drm[1].any())),
+        dir_cols=[bool(_dcm[i].any()) for i in range(n_tiles)],
+    )
 
     geometry_static = dict(
         plan=plan,
@@ -474,11 +490,14 @@ def build_tiled_system_rk4_trajectory(
         # lands on a statically-known row
         tile_steps = []
         for i in range(n_tiles):
-            helpers = _TiledStencilHelpers(geometry, kernel_faces, i)
+            helpers = _TiledStencilHelpers(
+                geometry, kernel_faces, i, present
+            )
             dcm = kernel_faces["dir_col_mask"][i]
             dcv = kernel_faces["dir_col_vals"][i]
+            dir_cols_present = present["dir_cols"][i]
 
-            def make_dirichlet(helpers, dcm, dcv):
+            def make_dirichlet(helpers, dcm, dcv, dir_cols_present):
                 def dirichlet_component(comp, plane):
                     def dir_row_fix(face):
                         def fix(row):
@@ -490,9 +509,15 @@ def build_tiled_system_rk4_trajectory(
 
                         return fix
 
-                    fixes = helpers._boundary_row_fixes(dir_row_fix)
+                    fixes = helpers._boundary_row_fixes(
+                        dir_row_fix, present["dir_rows"]
+                    )
                     if fixes:
                         plane = _override_rows(plane, fixes)
+                    if not dir_cols_present:
+                        # no Dirichlet columns on this tile: the plane
+                        # (pad columns included) passes through as is
+                        return plane
                     left = jnp.where(
                         dcm[0, comp], dcv[0, comp], plane[:, 0]
                     )[:, jnp.newaxis]
@@ -515,7 +540,7 @@ def build_tiled_system_rk4_trajectory(
                 return dirichlet_component, apply_dirichlet
 
             dirichlet_component, apply_dirichlet = make_dirichlet(
-                helpers, dcm, dcv
+                helpers, dcm, dcv, dir_cols_present
             )
             step = step_factory(
                 helpers, apply_dirichlet, dirichlet_component

@@ -191,3 +191,19 @@ def test_shallow_water_not_dispatched_to_tiled_beyond_vmem():
         ShallowWaterEquation(0.5), mesh, _bcs(3, False)
     )
     assert not tiled_system_applicable(cp)
+
+
+def test_tiled_wave_three_tiles_matches_generic():
+    # a 520-row grid plans 3 tiles (block=256), so the steady-state
+    # DMA drain branches (the "i >= 2" waits) actually execute — the
+    # small-grid tests above only ever produce 2-tile plans
+    plan = make_system_tile_plan(520, 9, 2)
+    assert plan is not None and plan.n_tiles == 3
+    d_x = 0.25
+    mesh = Mesh(
+        [(0.0, 519 * d_x), (0.0, 8 * d_x)], [d_x, d_x]
+    )
+    cp = ConstrainedProblem(
+        WaveEquation(2, 1.5), mesh, _bcs(2, False, flux=0.1)
+    )
+    _compare(cp, [1.0, 0.0], d_t=0.02, steps=3)
