@@ -15,6 +15,11 @@ from pararealml_tpu.ops.fused_system import (
     fused_system_step_applicable,
     fused_wave_step_applicable,
 )
+from pararealml_tpu.ops.fused_system_3d import (
+    build_fused_system_3d_rk4_step,
+    build_fused_system_3d_rk4_trajectory,
+    fused_system_3d_step_applicable,
+)
 from pararealml_tpu.ops.tiled_diffusion import (
     build_tiled_diffusion_rk4_trajectory,
 )
@@ -36,6 +41,9 @@ __all__ = [
     "fused_shallow_water_step_applicable",
     "fused_system_step_applicable",
     "fused_wave_step_applicable",
+    "build_fused_system_3d_rk4_step",
+    "build_fused_system_3d_rk4_trajectory",
+    "fused_system_3d_step_applicable",
     "build_tiled_diffusion_rk4_trajectory",
     "build_tiled_system_rk4_trajectory",
 ]
