@@ -364,9 +364,15 @@ def build_fused_system_3d_rk4_trajectory(
     d_t: float,
     n_steps: int,
     interpret: bool = False,
+    _vmem_output: bool = False,
 ):
     """Builds ``trajectory(y) -> ys`` computing ``n_steps`` fused RK4
-    steps of a 3D problem, ``y`` of shape (d, h, w, n)."""
+    steps of a 3D problem, ``y`` of shape (d, h, w, n).
+
+    ``_vmem_output`` is a hardware bring-up aid: the trajectory is
+    written to a VMEM output with plain stores instead of async DMA to
+    HBM, isolating the compute path from the DMA pipeline (only viable
+    for small ``n_steps`` since the whole trajectory must fit VMEM)."""
     from jax.experimental.pallas import tpu as pltpu
 
     diff_eq = cp.differential_equation
@@ -394,8 +400,7 @@ def build_fused_system_3d_rk4_trajectory(
         two_dx=tuple(2.0 * v for v in d_x),
     )
 
-    def kernel(
-        y_ref,  # (n, d, ph, pw)
+    def make_step(
         dir_mask_ref,
         dir_vals_ref,
         ghost_0_mask_ref,
@@ -404,10 +409,9 @@ def build_fused_system_3d_rk4_trajectory(
         ghost_1_vals_ref,
         ghost_2_mask_ref,
         ghost_2_vals_ref,
-        traj_ref,  # (n_steps, n, d, ph, pw) in HBM
-        scratch_ref,  # (2 slots, n, d, ph, pw) VMEM
-        copy_sems,
     ):
+        """Builds the per-step function from the constant refs (shared
+        by the DMA and debug-VMEM-output kernels)."""
         dir_mask = dir_mask_ref[:]
         dir_vals = dir_vals_ref[:]
 
@@ -461,9 +465,44 @@ def build_fused_system_3d_rk4_trajectory(
                 for comp, volume in enumerate(y)
             )
 
-        step = step_factory(
+        return step_factory(
             helpers, apply_dirichlet, dirichlet_component
         )
+
+    def kernel(
+        y_ref,  # (n, d, ph, pw)
+        dir_mask_ref,
+        dir_vals_ref,
+        ghost_0_mask_ref,
+        ghost_0_vals_ref,
+        ghost_1_mask_ref,
+        ghost_1_vals_ref,
+        ghost_2_mask_ref,
+        ghost_2_vals_ref,
+        traj_ref,  # (n_steps, n, d, ph, pw) in HBM
+        scratch_ref,  # (2 slots, n, d, ph, pw) VMEM
+        copy_sems,
+    ):
+        step = make_step(
+            dir_mask_ref,
+            dir_vals_ref,
+            ghost_0_mask_ref,
+            ghost_0_vals_ref,
+            ghost_1_mask_ref,
+            ghost_1_vals_ref,
+            ghost_2_mask_ref,
+            ghost_2_vals_ref,
+        )
+
+        # per-component (d, ph, pw) slab copies — structurally the
+        # same 3D-slab DMA shape the 2D system kernel uses, rather
+        # than one 4D slab per step
+        def traj_copy(slot, comp, k):
+            return pltpu.make_async_copy(
+                scratch_ref.at[slot, comp],
+                traj_ref.at[k, comp],
+                copy_sems.at[slot, comp],
+            )
 
         def body(k, carry):
             y = step(carry)
@@ -471,19 +510,13 @@ def build_fused_system_3d_rk4_trajectory(
 
             @pl.when(k >= 2)
             def _():
-                pltpu.make_async_copy(
-                    scratch_ref.at[slot],
-                    traj_ref.at[k - 2],
-                    copy_sems.at[slot],
-                ).wait()
+                for comp in range(n):
+                    traj_copy(slot, comp, k - 2).wait()
 
             for comp, volume in enumerate(y):
                 scratch_ref[slot, comp] = volume
-            pltpu.make_async_copy(
-                scratch_ref.at[slot],
-                traj_ref.at[k],
-                copy_sems.at[slot],
-            ).start()
+            for comp in range(n):
+                traj_copy(slot, comp, k).start()
             return y
 
         jax.lax.fori_loop(
@@ -496,36 +529,79 @@ def build_fused_system_3d_rk4_trajectory(
         @pl.when(n_steps >= 2)
         def _():
             slot = jax.lax.rem(n_steps - 2, 2)
-            pltpu.make_async_copy(
-                scratch_ref.at[slot],
-                traj_ref.at[n_steps - 2],
-                copy_sems.at[slot],
-            ).wait()
+            for comp in range(n):
+                traj_copy(slot, comp, n_steps - 2).wait()
 
         @pl.when(n_steps >= 1)
         def _():
             slot = jax.lax.rem(n_steps - 1, 2)
-            pltpu.make_async_copy(
-                scratch_ref.at[slot],
-                traj_ref.at[n_steps - 1],
-                copy_sems.at[slot],
-            ).wait()
+            for comp in range(n):
+                traj_copy(slot, comp, n_steps - 1).wait()
 
-    call = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_steps, n, depth, padded_height, padded_width), dtype
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM(
-                (2, n, depth, padded_height, padded_width), dtype
+    def debug_kernel(
+        y_ref,
+        dir_mask_ref,
+        dir_vals_ref,
+        ghost_0_mask_ref,
+        ghost_0_vals_ref,
+        ghost_1_mask_ref,
+        ghost_1_vals_ref,
+        ghost_2_mask_ref,
+        ghost_2_vals_ref,
+        traj_ref,  # (n_steps, n, d, ph, pw) VMEM — plain stores
+    ):
+        step = make_step(
+            dir_mask_ref,
+            dir_vals_ref,
+            ghost_0_mask_ref,
+            ghost_0_vals_ref,
+            ghost_1_mask_ref,
+            ghost_1_vals_ref,
+            ghost_2_mask_ref,
+            ghost_2_vals_ref,
+        )
+
+        def body(k, carry):
+            y = step(carry)
+            for comp, volume in enumerate(y):
+                traj_ref[k, comp] = volume
+            return y
+
+        jax.lax.fori_loop(
+            0,
+            n_steps,
+            body,
+            tuple(y_ref[comp] for comp in range(n)),
+        )
+
+    if _vmem_output:
+        call = pl.pallas_call(
+            debug_kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_steps, n, depth, padded_height, padded_width),
+                dtype,
             ),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )
+    else:
+        call = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_steps, n, depth, padded_height, padded_width),
+                dtype,
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (2, n, depth, padded_height, padded_width), dtype
+                ),
+                pltpu.SemaphoreType.DMA((2, n)),
+            ],
+            interpret=interpret,
+        )
 
     def pad_volumes(array, value_dtype=None):
         return jnp.pad(
