@@ -334,3 +334,58 @@ def test_bdf_trajectory_function_is_jittable():
     assert np.allclose(
         np.asarray(ys)[:, 0], np.exp(t), rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("method", ["BDF", "Radau"])
+def test_stiff_robertson_matches_scipy(method):
+    # the Robertson chemical kinetics problem: rate constants spanning
+    # nine orders of magnitude, the classic extreme-stiffness benchmark
+    from scipy.integrate import solve_ivp
+
+    from pararealml_tpu import (
+        DifferentialEquation,
+        SymbolicEquationSystem,
+    )
+
+    class RobertsonEquation(DifferentialEquation):
+        def __init__(self):
+            super().__init__(0, 3)
+
+        @property
+        def symbolic_equation_system(self):
+            y = self._symbols.y
+            r1 = 0.04 * y[0]
+            r2 = 1e4 * y[1] * y[2]
+            r3 = 3e7 * y[1] ** 2
+            return SymbolicEquationSystem(
+                [-r1 + r2, r1 - r2 - r3, r3]
+            )
+
+    cp = ConstrainedProblem(RobertsonEquation())
+    ic = ContinuousInitialCondition(
+        cp, lambda _: np.array([1.0, 0.0, 0.0])
+    )
+    t_end = 100.0
+    ivp = InitialValueProblem(cp, (0.0, t_end), ic)
+    solution = ODEOperator(
+        method, 10.0, rtol=1e-8, atol=1e-10
+    ).solve(ivp)
+
+    def rhs(t, y):
+        r1 = 0.04 * y[0]
+        r2 = 1e4 * y[1] * y[2]
+        r3 = 3e7 * y[1] ** 2
+        return [-r1 + r2, r1 - r2 - r3, r3]
+
+    reference = solve_ivp(
+        rhs,
+        (0.0, t_end),
+        [1.0, 0.0, 0.0],
+        method=method,
+        t_eval=solution.t_coordinates,
+        rtol=1e-8,
+        atol=1e-10,
+    )
+    assert np.allclose(
+        solution.discrete_y(), reference.y.T, rtol=1e-4, atol=1e-10
+    )
