@@ -1382,9 +1382,14 @@ class ODEOperator(JaxOperator):
             and method not in _FIXED_STEP_METHODS
             and method not in (_DOP853, _RADAU, _BDF)
         ):
+            supported = (
+                sorted(_ADAPTIVE_TABLEAUS)
+                + [_DOP853, _RADAU, _BDF]
+                + list(_FIXED_STEP_METHODS)
+            )
             raise ValueError(
                 f"unsupported method '{method}'; expected one of "
-                f"{sorted(_ADAPTIVE_TABLEAUS) + [_DOP853, _RADAU, _BDF] + list(_FIXED_STEP_METHODS)}"
+                f"{supported}"
             )
         super().__init__(d_t, None)
         self._method = method
