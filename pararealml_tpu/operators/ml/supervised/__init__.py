@@ -1,3 +1,4 @@
+from pararealml_tpu.operators.ml.deeponet import DeepONet
 from pararealml_tpu.operators.ml.supervised.sklearn_jax_regressor import (
     SKLearnJaxRegressor,
 )
@@ -5,4 +6,13 @@ from pararealml_tpu.operators.ml.supervised.supervised_ml_operator import (
     SupervisedMLOperator,
 )
 
-__all__ = ["SKLearnJaxRegressor", "SupervisedMLOperator"]
+# migration alias for the reference's Keras-based regressor name
+# (/root/reference/pararealml/operators/ml/supervised/__init__.py:11-15)
+SKLearnKerasRegressor = SKLearnJaxRegressor
+
+__all__ = [
+    "DeepONet",
+    "SKLearnJaxRegressor",
+    "SKLearnKerasRegressor",
+    "SupervisedMLOperator",
+]
