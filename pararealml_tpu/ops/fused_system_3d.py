@@ -479,9 +479,9 @@ def build_fused_system_3d_rk4_trajectory(
         ghost_1_vals_ref,
         ghost_2_mask_ref,
         ghost_2_vals_ref,
-        traj_ref,  # (n_steps, n, d, ph, pw) in HBM
-        scratch_ref,  # (2 slots, n, d, ph, pw) VMEM
-        copy_sems,
+        traj_ref,  # (n_steps * n, d, ph, pw) in HBM, k-major
+        scratch_ref,  # (2 * n, d, ph, pw) VMEM, slot-major
+        copy_sems,  # (2 * n,)
     ):
         step = make_step(
             dir_mask_ref,
@@ -494,14 +494,15 @@ def build_fused_system_3d_rk4_trajectory(
             ghost_2_vals_ref,
         )
 
-        # per-component (d, ph, pw) slab copies — structurally the
-        # same 3D-slab DMA shape the 2D system kernel uses, rather
-        # than one 4D slab per step
+        # per-component (d, ph, pw) slab copies between rank-4
+        # single-indexed refs — the exact ref/DMA structure the 2D
+        # kernels run in production (rank-5 double-indexed refs hung
+        # on hardware)
         def traj_copy(slot, comp, k):
             return pltpu.make_async_copy(
-                scratch_ref.at[slot, comp],
-                traj_ref.at[k, comp],
-                copy_sems.at[slot, comp],
+                scratch_ref.at[slot * n + comp],
+                traj_ref.at[k * n + comp],
+                copy_sems.at[slot * n + comp],
             )
 
         def body(k, carry):
@@ -514,7 +515,7 @@ def build_fused_system_3d_rk4_trajectory(
                     traj_copy(slot, comp, k - 2).wait()
 
             for comp, volume in enumerate(y):
-                scratch_ref[slot, comp] = volume
+                scratch_ref[slot * n + comp] = volume
             for comp in range(n):
                 traj_copy(slot, comp, k).start()
             return y
@@ -589,16 +590,17 @@ def build_fused_system_3d_rk4_trajectory(
         call = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(
-                (n_steps, n, depth, padded_height, padded_width),
+                (n_steps * n, depth, padded_height, padded_width),
                 dtype,
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM(
-                    (2, n, depth, padded_height, padded_width), dtype
+                    (2 * n, depth, padded_height, padded_width),
+                    dtype,
                 ),
-                pltpu.SemaphoreType.DMA((2, n)),
+                pltpu.SemaphoreType.DMA((2 * n,)),
             ],
             interpret=interpret,
         )
@@ -675,6 +677,10 @@ def build_fused_system_3d_rk4_trajectory(
             ),
         )
         out = call(y_padded, *padded_constants)
+        if not _vmem_output:
+            out = out.reshape(
+                (n_steps, n, depth, padded_height, padded_width)
+            )
         out = jnp.moveaxis(out[:, :, :, :height, :width], 1, -1)
         return out.astype(y.dtype)
 
