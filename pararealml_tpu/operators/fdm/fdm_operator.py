@@ -244,6 +244,11 @@ class FDMOperator(JaxOperator):
                 fused_system_step_applicable,
             )
 
+            from pararealml_tpu.ops.fused_system_3d import (
+                build_fused_system_3d_rk4_trajectory,
+                fused_system_3d_step_applicable,
+            )
+
             if fused_diffusion_step_applicable(cp, self._integrator):
                 fused_trajectory = build_fused_diffusion_rk4_trajectory(
                     cp,
@@ -262,6 +267,14 @@ class FDMOperator(JaxOperator):
                     anti_laplacian_max_iterations=(
                         self._differentiator._max_iterations
                     ),
+                )
+                return lambda y_init, t_start: fused_trajectory(y_init)
+            if fused_system_3d_step_applicable(cp, self._integrator):
+                fused_trajectory = build_fused_system_3d_rk4_trajectory(
+                    cp,
+                    self._d_t,
+                    steps,
+                    interpret=jax.default_backend() != "tpu",
                 )
                 return lambda y_init, t_start: fused_trajectory(y_init)
 
@@ -306,6 +319,11 @@ class FDMOperator(JaxOperator):
                 fused_system_step_applicable,
             )
 
+            from pararealml_tpu.ops.fused_system_3d import (
+                build_fused_system_3d_rk4_step,
+                fused_system_3d_step_applicable,
+            )
+
             fused_step = None
             if fused_diffusion_step_applicable(cp, self._integrator):
                 fused_step = build_fused_diffusion_rk4_step(
@@ -322,6 +340,12 @@ class FDMOperator(JaxOperator):
                     anti_laplacian_max_iterations=(
                         self._differentiator._max_iterations
                     ),
+                )
+            elif fused_system_3d_step_applicable(cp, self._integrator):
+                fused_step = build_fused_system_3d_rk4_step(
+                    cp,
+                    self._d_t,
+                    interpret=jax.default_backend() != "tpu",
                 )
             if fused_step is not None:
 
