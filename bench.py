@@ -296,6 +296,65 @@ def bench_large_grid(timer):
     }
 
 
+def bench_3d(timer):
+    """Fused 3D kernel vs the generic path on the burgers_3d example's
+    21^3 configuration (examples/burgers_3d_fdm.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    import pararealml_tpu as prml
+    from pararealml_tpu.operators.fdm import (
+        FDMOperator,
+        RK4,
+        ThreePointCentralDifferenceMethod,
+    )
+
+    n_comp, d_t, steps = 3, 0.01, 2000
+    mesh = prml.Mesh([(0.0, 5.0)] * 3, [0.25] * 3)
+    bcs = [
+        (
+            prml.NeumannBoundaryCondition(
+                lambda x, t: np.zeros((len(x), n_comp)),
+                is_static=True,
+            ),
+        )
+        * 2
+    ] * 3
+    cp = prml.ConstrainedProblem(
+        prml.BurgersEquation(3, 100.0), mesh, bcs
+    )
+    ic = prml.GaussianInitialCondition(
+        cp,
+        [(np.full(3, 2.5), 0.5 * np.eye(3))] * n_comp,
+        [1.0, 0.0, 0.0],
+    )
+    y_0 = jnp.asarray(
+        np.asarray(ic.discrete_y_0(True), np.float32)
+    )
+    horizon = (0.0, steps * d_t)
+    fused_fn, _ = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), d_t
+    ).trajectory_function(cp, horizon)
+    generic_fn, _ = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        d_t,
+        fused_kernels=False,
+    ).trajectory_function(cp, horizon)
+    fused_time = timer.time(
+        jax.jit(lambda y: jnp.sum(fused_fn(y, 0.0)[-1])), y_0
+    )
+    generic_time = timer.time(
+        jax.jit(lambda y: jnp.sum(generic_fn(y, 0.0)[-1])), y_0
+    )
+    log(
+        f"burgers 3d 21^3, {steps} steps: fused {fused_time:.4f}s "
+        f"generic {generic_time:.4f}s "
+        f"-> {generic_time / fused_time:.2f}x"
+    )
+    return generic_time / fused_time
+
+
 def bench_reference_fine() -> float:
     """Times the reference implementation's fine solve on the same
     problem (downscaled in T and extrapolated linearly — the reference
@@ -341,6 +400,7 @@ def main():
 
     parareal = bench_parareal(timer)
     large = bench_large_grid(timer)
+    burgers_3d = bench_3d(timer)
     ref_time = bench_reference_fine()
 
     extra = {
@@ -370,6 +430,7 @@ def main():
         "large_grid_hbm_peak_fraction": round(
             large["hbm_peak_fraction"], 4
         ),
+        "burgers_3d_fused_speedup_vs_generic": round(burgers_3d, 3),
     }
     speedup = parareal["speedup"]
     suffix = "" if n_devices >= N_SLICES else "_single_chip_vmap"
