@@ -297,8 +297,10 @@ def bench_large_grid(timer):
 
 
 def bench_3d(timer):
-    """Fused 3D kernel vs the generic path on the burgers_3d example's
-    21^3 configuration (examples/burgers_3d_fdm.py)."""
+    """Fused 3D kernel vs the generic path on a 21^3 Cartesian viscous
+    Burgers configuration (the fused 3D kernels' benchmark problem;
+    the burgers_3d example itself reproduces the reference's spherical
+    configuration, which runs on the generic path)."""
     import jax
     import jax.numpy as jnp
 

@@ -17,7 +17,7 @@ set_random_seed(SEEDS[0])
 
 gamma = 0.01
 diff_eq = CahnHilliardEquation(2, gamma=gamma)
-mesh = Mesh([(0.0, 25.0), (0.0, 25.0)], [1.0, 1.0])
+mesh = Mesh([(0.0, 50.0), (0.0, 50.0)], [1.0, 1.0])
 bcs = [
     (
         NeumannBoundaryCondition(
@@ -60,7 +60,7 @@ sml_op = SupervisedMLOperator(1.25, fdm_op.vertex_oriented)
 sml_op.train(
     ivp,
     fdm_op,
-    RandomForestRegressor(max_depth=24, n_estimators=120, n_jobs=4),
+    RandomForestRegressor(max_depth=24, n_estimators=240, n_jobs=4),
     10,
     lambda t, y: y + np.random.normal(0.0, t / 375.0, size=y.shape),
 )

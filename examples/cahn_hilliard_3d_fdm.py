@@ -1,6 +1,6 @@
 # Reproduces the corresponding reference example's problem
-# configuration (/root/reference/examples/) so results and
-# tolerances are directly comparable.
+# configuration (/root/reference/examples/cahn_hilliard_3d_fdm.py) so
+# results and tolerances are directly comparable.
 import _common  # noqa: F401
 import numpy as np
 
@@ -11,16 +11,21 @@ from pararealml_tpu.operators.fdm.numerical_differentiator import (
 )
 
 np.random.seed(0)
-gamma = 0.01
+gamma = 0.5
 diff_eq = CahnHilliardEquation(3, gamma=gamma)
-mesh = Mesh([(0.0, 10.0)] * 3, [0.5] * 3)
+mesh = Mesh(
+    [(1.0, 31.0), (1.0, 31.0), (1.0, 31.0)],
+    [1.0, 1.0, 1.0],
+)
 bcs = [
     (
         NeumannBoundaryCondition(
             lambda x, t: np.zeros((len(x), 2)), is_static=True
         ),
+        NeumannBoundaryCondition(
+            lambda x, t: np.zeros((len(x), 2)), is_static=True
+        ),
     )
-    * 2
 ] * 3
 cp = ConstrainedProblem(diff_eq, mesh, bcs)
 
@@ -37,9 +42,9 @@ y_0_1 = np.asarray(
 ic = DiscreteInitialCondition(
     cp, np.concatenate([y_0_0, y_0_1], axis=-1), True
 )
-ivp = InitialValueProblem(cp, (0.0, 5.0), ic)
+ivp = InitialValueProblem(cp, (0.0, 150.0), ic)
 
-solver = FDMOperator(RK4(), diff, 0.0025)
+solver = FDMOperator(RK4(), diff, 0.05)
 solution = solver.solve(ivp)
 
 for i, plot in enumerate(solution.generate_plots(n_frames=20)):

@@ -21,10 +21,10 @@ cp = ConstrainedProblem(diff_eq, mesh, bcs)
 ic = GaussianInitialCondition(
     cp, [(np.array([12.5, 12.5]), np.eye(2))], [100.0]
 )
-ivp = InitialValueProblem(cp, (0.0, 5.0), ic)
+ivp = InitialValueProblem(cp, (0.0, 30.0), ic)
 
-solver = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.0025)
+solver = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
 solution = solver.solve(ivp)
 
-for i, plot in enumerate(solution.generate_plots()):
+for i, plot in enumerate(solution.generate_plots(n_frames=20)):
     plot.save(f"convection_diffusion_2d_fdm_{i}").close()

@@ -22,6 +22,10 @@ bcs = [
 cp = ConstrainedProblem(diff_eq, mesh, bcs)
 t_interval = (0.0, 0.5)
 
+fdm = FDMOperator(
+    CrankNicolsonMethod(), ThreePointCentralDifferenceMethod(), 0.0001
+)
+
 sampler = UniformRandomCollocationPointSampler()
 piml = PhysicsInformedMLOperator(sampler, 0.001, True)
 training_y_0_functions = [
@@ -48,15 +52,21 @@ piml.train(
     ),
     optimization_args=OptimizationArgs(
         optimizer=optax.adam(
-            optax.exponential_decay(2e-3, 100, 0.95)
+            optax.exponential_decay(2e-3, 25, 0.98)
         ),
-        epochs=500,
+        epochs=5000,
         verbose=0,
     ),
 )
 
-ic = MarginalBetaProductInitialCondition(cp, [[(3.5, 3.5)]])
-ivp = InitialValueProblem(cp, t_interval, ic)
-solution = piml.solve(ivp)
-for i, plot in enumerate(solution.generate_plots()):
-    plot.save(f"diffusion_1d_piml_{i}").close()
+for p in [2.0, 3.5, 5.0]:
+    ic = MarginalBetaProductInitialCondition(cp, [[(p, p)]])
+    ivp = InitialValueProblem(cp, t_interval, ic)
+
+    fdm_solution = fdm.solve(ivp)
+    for i, plot in enumerate(fdm_solution.generate_plots()):
+        plot.save("diff_1d_fdm_{:.1f}_{}".format(p, i)).close()
+
+    piml_solution = piml.solve(ivp)
+    for i, plot in enumerate(piml_solution.generate_plots()):
+        plot.save("diff_1d_pidon_{:.1f}_{}".format(p, i)).close()

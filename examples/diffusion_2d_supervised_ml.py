@@ -1,9 +1,12 @@
 # Reproduces the corresponding reference example's problem
-# configuration (/root/reference/examples/) so results and
-# tolerances are directly comparable.
+# configuration (/root/reference/examples/diffusion_2d_supervised_ml.py)
+# so results and tolerances are directly comparable — including the
+# GridSearchCV hyperparameter sweep over the sklearn-protocol
+# regressor.
 import _common  # noqa: F401
+import joblib
 import numpy as np
-import optax
+from sklearn.model_selection import GridSearchCV
 
 from pararealml_tpu import *
 from pararealml_tpu.operators.fdm import *
@@ -17,37 +20,66 @@ diff_eq = DiffusionEquation(2)
 mesh = Mesh([(0.0, 10.0), (0.0, 10.0)], [1.0, 1.0])
 bcs = [
     (
+        DirichletBoundaryCondition(
+            lambda x, t: np.full((len(x), 1), 1.5), is_static=True
+        ),
+        DirichletBoundaryCondition(
+            lambda x, t: np.full((len(x), 1), 1.5), is_static=True
+        ),
+    ),
+    (
         NeumannBoundaryCondition(
             lambda x, t: np.zeros((len(x), 1)), is_static=True
         ),
-    )
-    * 2
-] * 2
+        NeumannBoundaryCondition(
+            lambda x, t: np.zeros((len(x), 1)), is_static=True
+        ),
+    ),
+]
 cp = ConstrainedProblem(diff_eq, mesh, bcs)
 ic = GaussianInitialCondition(
-    cp, [(np.array([5.0, 5.0]), np.eye(2))], [100.0]
+    cp,
+    [(np.array([5.0, 5.0]), np.array([[2.5, 0.0], [0.0, 2.5]]))],
+    [100.0],
 )
-ivp = InitialValueProblem(cp, (0.0, 5.0), ic)
+ivp = InitialValueProblem(cp, (0.0, 2.0), ic)
 
-fdm_op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.005)
+fdm_op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
+fdm_sol = fdm_op.solve(ivp)
+fdm_sol_y = fdm_sol.discrete_y(fdm_op.vertex_oriented)
+v_min = np.min(fdm_sol_y)
+v_max = np.max(fdm_sol_y)
+for i, plot in enumerate(
+    fdm_sol.generate_plots(v_min=v_min, v_max=v_max)
+):
+    plot.save(f"diffusion_fdm_{i}").close()
 
-sml_op = SupervisedMLOperator(0.25, True)
-model = SKLearnJaxRegressor(
-    lambda: FNN([128, 128, diff_eq.y_dimension]),
-    batch_size=1024,
-    epochs=200,
-    optimizer=optax.adam(2e-3),
-    verbose=0,
-)
-train_score, test_score = sml_op.train(
+
+def build_model(hidden_layer_size: int):
+    return FNN([hidden_layer_size, diff_eq.y_dimension])
+
+
+sml_op = SupervisedMLOperator(0.5, fdm_op.vertex_oriented)
+sml_op.train(
     ivp,
     fdm_op,
-    model,
-    20,
-    lambda t, y: y * np.random.uniform(0.9, 1.1, size=y.shape),
+    GridSearchCV(
+        SKLearnJaxRegressor(build_model, verbose=0),
+        {
+            "hidden_layer_size": [10, 50, 100],
+            "epochs": [100, 200, 500],
+        },
+        cv=5,
+        verbose=5,
+    ),
+    10,
+    lambda t, y: y + np.random.normal(0.0, t / 3.0, size=y.shape),
 )
-print("train MSE:", train_score, "test MSE:", test_score)
-
 sml_sol = sml_op.solve(ivp)
-for i, plot in enumerate(sml_sol.generate_plots()):
-    plot.save(f"diffusion_2d_supervised_ml_{i}").close()
+
+joblib.dump(sml_op.model, "model.tar")
+
+for i, plot in enumerate(
+    sml_sol.generate_plots(v_min=v_min, v_max=v_max)
+):
+    plot.save(f"diffusion_ar_{i}").close()

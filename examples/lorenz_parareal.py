@@ -1,6 +1,9 @@
 # Reproduces the corresponding reference example's problem
-# configuration (/root/reference/examples/) so results and
-# tolerances are directly comparable.
+# configuration (/root/reference/examples/lorenz_parareal.py), except
+# the solver output grids are 10x coarser (1e-5/1e-4 instead of
+# 1e-6/1e-5): the reference's grids imply a 40-million-point dense
+# trajectory sized for a cluster run; the algorithm and problem are
+# otherwise identical and the reference values run unchanged.
 import _common  # noqa: F401
 import numpy as np
 

@@ -20,7 +20,7 @@ cp = ConstrainedProblem(diff_eq)
 ic = ContinuousInitialCondition(
     cp, lambda _: np.append(initial_positions, initial_velocities)
 )
-ivp = InitialValueProblem(cp, (0.0, 4.0), ic)
+ivp = InitialValueProblem(cp, (0.0, 5.0), ic)
 
 f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 1e-3)
 g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 1e-2)

@@ -13,6 +13,8 @@ diff_eq = PopulationGrowthEquation(2.5)
 cp = ConstrainedProblem(diff_eq)
 t_interval = (0.0, 1.0)
 
+fdm = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.001)
+
 sampler = UniformRandomCollocationPointSampler()
 piml = PhysicsInformedMLOperator(sampler, 0.001, True)
 training_y_0_functions = [
@@ -47,15 +49,23 @@ piml.train(
     ),
     optimization_args=OptimizationArgs(
         optimizer=optax.adam(
-            optax.exponential_decay(2e-3, 50, 0.95)
+            optax.exponential_decay(1e-3, 50, 0.97)
         ),
-        epochs=500,
+        epochs=2000,
         verbose=0,
     ),
 )
 
-ic = ContinuousInitialCondition(cp, lambda _: np.array([1.0]))
-ivp = InitialValueProblem(cp, t_interval, ic)
-solution = piml.solve(ivp)
-for i, plot in enumerate(solution.generate_plots()):
-    plot.save(f"population_growth_piml_{i}").close()
+for y_0 in [0.7, 1.0, 1.3]:
+    ic = ContinuousInitialCondition(
+        cp, lambda _, _y_0=y_0: np.array([_y_0])
+    )
+    ivp = InitialValueProblem(cp, t_interval, ic)
+
+    fdm_solution = fdm.solve(ivp)
+    for i, plot in enumerate(fdm_solution.generate_plots()):
+        plot.save("pg_fdm_{:.1f}_{}".format(y_0, i)).close()
+
+    piml_solution = piml.solve(ivp)
+    for i, plot in enumerate(piml_solution.generate_plots()):
+        plot.save("pg_pidon_{:.1f}_{}".format(y_0, i)).close()

@@ -12,12 +12,14 @@ cp = ConstrainedProblem(diff_eq)
 ic = ContinuousInitialCondition(
     cp, lambda _: np.array([999.0, 1.0, 0.0])
 )
-ivp = InitialValueProblem(cp, (0.0, 150.0), ic)
+ivp = InitialValueProblem(cp, (0.0, 160.0), ic)
 
-solver = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.1)
+solver = FDMOperator(
+    ForwardEulerMethod(), ThreePointCentralDifferenceMethod(), 1e-4
+)
 solution = solver.solve(ivp)
 
 for i, plot in enumerate(
-    solution.generate_plots(legend_location="upper right")
+    solution.generate_plots(legend_location="center left")
 ):
     plot.save(f"sir_fdm_{i}").close()

@@ -1,6 +1,7 @@
 # Reproduces the corresponding reference example's problem
-# configuration (/root/reference/examples/) so results and
-# tolerances are directly comparable.
+# configuration (/root/reference/examples/wave_1d_fdm.py) so results
+# and tolerances are directly comparable — including the dynamic
+# (time-dependent) Dirichlet boundary condition driving the left end.
 import _common  # noqa: F401
 import numpy as np
 
@@ -8,25 +9,31 @@ from pararealml_tpu import *
 from pararealml_tpu.operators.fdm import *
 
 diff_eq = WaveEquation(1)
-mesh = Mesh([(0.0, 1.0)], [0.01])
+mesh = Mesh([(-10.0, 10.0)], [0.1])
 bcs = [
     (
         DirichletBoundaryCondition(
+            lambda x, t: np.concatenate(
+                [
+                    np.full((len(x), 1), np.sin(t)),
+                    np.full((len(x), 1), np.cos(t)),
+                ],
+                axis=1,
+            )
+        ),
+        NeumannBoundaryCondition(
             lambda x, t: np.zeros((len(x), 2)), is_static=True
         ),
-    )
-    * 2
+    ),
 ]
 cp = ConstrainedProblem(diff_eq, mesh, bcs)
-ic = GaussianInitialCondition(
-    cp,
-    [(np.array([0.5]), np.array([[0.01]]))] * 2,
-    [1.0, 0.0],
-)
-ivp = InitialValueProblem(cp, (0.0, 2.0), ic)
+ic = ContinuousInitialCondition(cp, lambda x: np.zeros((len(x), 2)))
+ivp = InitialValueProblem(cp, (0.0, 50.0), ic)
 
-solver = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.0005)
+solver = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.005)
 solution = solver.solve(ivp)
 
-for i, plot in enumerate(solution.generate_plots()):
+for i, plot in enumerate(
+    solution.generate_plots(equal_scale=True, n_frames=20)
+):
     plot.save(f"wave_1d_fdm_{i}").close()

@@ -1,6 +1,6 @@
 # Reproduces the corresponding reference example's problem
-# configuration (/root/reference/examples/) so results and
-# tolerances are directly comparable.
+# configuration (/root/reference/examples/wave_2d_fdm.py) so results
+# and tolerances are directly comparable.
 import _common  # noqa: F401
 import numpy as np
 
@@ -11,22 +11,24 @@ diff_eq = WaveEquation(2)
 mesh = Mesh([(-5.0, 5.0), (-5.0, 5.0)], [0.1, 0.1])
 bcs = [
     (
-        NeumannBoundaryCondition(
+        DirichletBoundaryCondition(
+            lambda x, t: np.zeros((len(x), 2)), is_static=True
+        ),
+        DirichletBoundaryCondition(
             lambda x, t: np.zeros((len(x), 2)), is_static=True
         ),
     )
-    * 2
 ] * 2
 cp = ConstrainedProblem(diff_eq, mesh, bcs)
 ic = GaussianInitialCondition(
     cp,
-    [(np.zeros(2), 0.05 * np.eye(2))] * 2,
-    [1.0, 0.0],
+    [(np.array([0.0, 2.5]), np.array([[0.1, 0.0], [0.0, 0.1]]))] * 2,
+    [3.0, 0.0],
 )
-ivp = InitialValueProblem(cp, (0.0, 10.0), ic)
+ivp = InitialValueProblem(cp, (0.0, 20.0), ic)
 
-solver = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.001)
+solver = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
 solution = solver.solve(ivp)
 
-for i, plot in enumerate(solution.generate_plots()):
+for i, plot in enumerate(solution.generate_plots(n_frames=20)):
     plot.save(f"wave_2d_fdm_{i}").close()
