@@ -20,11 +20,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from sklearn.base import BaseEstimator, RegressorMixin
 
 
-class SKLearnJaxRegressor:
-    """A wrapper for Flax regression models implementing the implicit
-    scikit-learn model interface."""
+class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
+    """A wrapper for Flax regression models implementing the
+    scikit-learn estimator interface (``BaseEstimator`` provides the
+    tag protocol newer scikit-learn meta-estimators such as
+    ``GridSearchCV`` require; ``get_params``/``set_params`` are
+    overridden below to expose ``build_fn`` keyword arguments as
+    tunable hyperparameters, matching the reference's Keras wrapper)."""
 
     def __init__(
         self,
