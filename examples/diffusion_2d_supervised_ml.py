@@ -4,7 +4,6 @@
 # GridSearchCV hyperparameter sweep over the sklearn-protocol
 # regressor.
 import _common  # noqa: F401
-import joblib
 import numpy as np
 from sklearn.model_selection import GridSearchCV
 
@@ -77,7 +76,9 @@ sml_op.train(
 )
 sml_sol = sml_op.solve(ivp)
 
-joblib.dump(sml_op.model, "model.tar")
+# the reference joblib-dumps its Keras wrapper; the Flax parameters
+# persist through the regressor's native msgpack save instead
+sml_op.model.best_estimator_.save("model.msgpack")
 
 for i, plot in enumerate(
     sml_sol.generate_plots(v_min=v_min, v_max=v_max)
