@@ -52,7 +52,7 @@ fdm_sol = fdm_op.solve(ivp)
 fdm_sol_y = fdm_sol.discrete_y(fdm_op.vertex_oriented)
 v_min, v_max = np.min(fdm_sol_y), np.max(fdm_sol_y)
 for i, plot in enumerate(
-    fdm_sol.generate_plots(v_min=v_min, v_max=v_max)
+    fdm_sol.generate_plots(v_min=v_min, v_max=v_max, n_frames=20)
 ):
     plot.save(f"cahn_hilliard_fdm_{i}").close()
 
@@ -66,6 +66,6 @@ sml_op.train(
 )
 sml_sol = sml_op.solve(ivp)
 for i, plot in enumerate(
-    sml_sol.generate_plots(v_min=v_min, v_max=v_max)
+    sml_sol.generate_plots(v_min=v_min, v_max=v_max, n_frames=20)
 ):
     plot.save(f"cahn_hilliard_ar_{i}").close()
