@@ -1,6 +1,9 @@
 # Reproduces the corresponding reference example's problem
-# configuration (/root/reference/examples/) so results and
-# tolerances are directly comparable.
+# configuration (/root/reference/examples/
+# cahn_hilliard_2d_supervised_ml.py) so results and tolerances are
+# directly comparable. This is the heaviest demo: eleven implicit
+# Crank-Nicolson oracle solves at 51x51 plus a 240-tree forest fit —
+# expect roughly an hour on a small CPU host.
 import _common  # noqa: F401
 import numpy as np
 from sklearn.ensemble import RandomForestRegressor
