@@ -63,6 +63,7 @@ class JaxOperator(Operator):
         cp,
         t_interval: TemporalDomainInterval,
         allow_fused: bool = True,
+        time_parallel: bool = False,
     ) -> Tuple[Callable[[jax.Array, jax.Array], jax.Array], np.ndarray]:
         """Returns ``(fn, t_coordinates)`` where ``fn(y_0, t_0)`` maps the
         (flattened-over-grid) initial state and the traced interval start
@@ -78,6 +79,13 @@ class JaxOperator(Operator):
             caller that needs to transform the function in ways fused
             kernels do not support (e.g. ``vmap`` batching) passes
             ``False``; operators without fused paths ignore it
+        :param time_parallel: whether the caller is a parallel-in-time
+            composition (e.g. Parareal), in which case the operator may
+            use trajectory formulations that are themselves parallel
+            across time steps (such as affine propagator matmuls,
+            :mod:`pararealml_tpu.ops.linear_propagator`) instead of
+            sequential time-stepping; operators without such paths
+            ignore it
         """
         raise NotImplementedError
 

@@ -72,6 +72,7 @@ class FDMOperator(JaxOperator):
         differentiator: NumericalDifferentiator,
         d_t: float,
         fused_kernels: bool = True,
+        linear_propagator: bool = True,
     ):
         """
         :param integrator: the time integrator to use
@@ -84,11 +85,19 @@ class FDMOperator(JaxOperator):
             kernels, plus the two-component wave and Burgers systems,
             all with static boundary conditions under RK4 in float32);
             the generic jnp path is used otherwise
+        :param linear_propagator: whether parallel-in-time callers
+            (``trajectory_function(..., time_parallel=True)``, i.e.
+            Parareal sub-solves) may compute trajectories of *linear*
+            problems as exact affine-propagator matmuls on the MXU
+            (:mod:`pararealml_tpu.ops.linear_propagator`) instead of
+            sequential stencil stepping; plain ``solve`` calls always
+            time-step
         """
         super().__init__(d_t, True)
         self._integrator = integrator
         self._differentiator = differentiator
         self._fused_kernels = fused_kernels
+        self._linear_propagator = linear_propagator
         self._compiled_cache = {}
 
     def solve(
@@ -140,7 +149,11 @@ class FDMOperator(JaxOperator):
         )
 
     def trajectory_function(
-        self, cp, t_interval, allow_fused: bool = True
+        self,
+        cp,
+        t_interval,
+        allow_fused: bool = True,
+        time_parallel: bool = False,
     ) -> Tuple[Callable, np.ndarray]:
         if (
             cp.differential_equation.x_dimension
@@ -158,6 +171,7 @@ class FDMOperator(JaxOperator):
             steps,
             static_only=True,
             allow_fused=allow_fused,
+            time_parallel=time_parallel,
         )
         return trajectory, t[1:]
 
@@ -230,10 +244,33 @@ class FDMOperator(JaxOperator):
         steps: int,
         static_only: bool,
         allow_fused: bool = True,
+        time_parallel: bool = False,
     ) -> Callable:
-        """Builds ``fn(y_0, t_0) -> ys`` for the whole trajectory: the
-        fused multi-step Pallas kernel when applicable, otherwise a
-        ``lax.scan`` over the per-step function."""
+        """Builds ``fn(y_0, t_0) -> ys`` for the whole trajectory: for
+        parallel-in-time callers on linear problems, the affine
+        propagator matmul formulation; otherwise the fused multi-step
+        Pallas kernel when applicable, else a ``lax.scan`` over the
+        per-step function."""
+        if time_parallel and self._linear_propagator and static_only:
+            from pararealml_tpu.ops.linear_propagator import (
+                build_linear_propagator_trajectory,
+                linear_propagator_applicable,
+            )
+
+            if linear_propagator_applicable(cp, self._integrator):
+                step_fn = self._build_step_function(
+                    cp, t_0, steps, static_only=True, allow_fused=False
+                )
+                y_shape = (
+                    tuple(cp.y_shape(True))
+                    if cp.differential_equation.x_dimension
+                    else (cp.differential_equation.y_dimension,)
+                )
+                trajectory = build_linear_propagator_trajectory(
+                    cp, step_fn, steps, y_shape
+                )
+                trajectory.vmappable = True
+                return trajectory
         if self._fused_kernels and allow_fused and static_only:
             from pararealml_tpu.ops.fused_diffusion import (
                 build_fused_diffusion_rk4_trajectory,
@@ -297,6 +334,11 @@ class FDMOperator(JaxOperator):
             _, ys = jax.lax.scan(body, y_init, xs)
             return ys
 
+        # reaching this point means no fused trajectory kernel applied
+        # (the step-level applicability checks are the same predicates,
+        # so the scanned step is the pure-jnp generic one), and the
+        # generic scan is safe to transform with vmap
+        trajectory.vmappable = True
         return trajectory
 
     def _build_step_function(

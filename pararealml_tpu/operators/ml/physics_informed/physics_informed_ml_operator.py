@@ -176,7 +176,9 @@ class PhysicsInformedMLOperator(JaxOperator):
             d_t=self._d_t,
         )
 
-    def trajectory_function(self, cp, t_interval, allow_fused=True):
+    def trajectory_function(
+        self, cp, t_interval, allow_fused=True, time_parallel=False
+    ):
         """A pure jittable roll-out of the trained model over the time
         grid."""
         if self._model is None or self._model.params is None:

@@ -549,9 +549,6 @@ def _build_radau_integrator(
         ]
     )
     newton_maxiter = 6
-    newton_tol = max(
-        10 * np.finfo(np.float64).eps / rtol, min(0.03, rtol ** 0.5)
-    )
 
     n_out = len(t_offsets)
     t_span = float(t_offsets[-1])
@@ -559,6 +556,14 @@ def _build_radau_integrator(
     def integrate(y0: jax.Array, t0: jax.Array):
         dtype = jnp.result_type(y0)
         cdtype = jnp.result_type(dtype, jnp.complex64)
+        # SciPy's dtype-aware Newton floor: with x64 disabled the
+        # integrator runs in float32, whose much larger eps must raise
+        # the convergence floor or the corrector wastes iterations
+        # chasing sub-precision residuals
+        newton_tol = max(
+            10 * np.finfo(np.dtype(dtype)).eps / rtol,
+            min(0.03, rtol ** 0.5),
+        )
         y0 = jnp.asarray(y0, dtype)
         t0 = jnp.asarray(t0, dtype)
         t_out = t0 + jnp.asarray(t_offsets, dtype)
@@ -906,10 +911,6 @@ def _build_bdf_integrator(
     error_const_np = kappa * gamma_np + 1.0 / np.arange(
         1, max_order + 2
     )
-    newton_tol = max(
-        10 * np.finfo(np.float64).eps / rtol, min(0.03, rtol ** 0.5)
-    )
-
     n_out = len(t_offsets)
     t_span = float(t_offsets[-1])
 
@@ -943,6 +944,11 @@ def _build_bdf_integrator(
         min_h = jnp.asarray(
             10 * np.finfo(np.dtype(dtype)).eps * max(1.0, abs(t_span)),
             dtype,
+        )
+        # SciPy's dtype-aware Newton floor (see the Radau counterpart)
+        newton_tol = max(
+            10 * np.finfo(np.dtype(dtype)).eps / rtol,
+            min(0.03, rtol ** 0.5),
         )
         n_dim = y0.shape[0]
         identity = jnp.eye(n_dim, dtype=dtype)
@@ -1452,7 +1458,11 @@ class ODEOperator(JaxOperator):
         return d_y_over_d_t
 
     def trajectory_function(
-        self, cp, t_interval, allow_fused: bool = True
+        self,
+        cp,
+        t_interval,
+        allow_fused: bool = True,
+        time_parallel: bool = False,
     ) -> Tuple[Callable, np.ndarray]:
         diff_eq = cp.differential_equation
         if diff_eq.x_dimension != 0:

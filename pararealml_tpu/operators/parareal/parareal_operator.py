@@ -25,8 +25,12 @@ implementation with identical semantics.
 Beyond the reference, ``relaxation="fcf"`` selects MGRIT-style FCF
 relaxation: corrections are computed from fine-propagated states, so
 exactness advances two time slices per iteration for one extra (equally
-parallel) fine solve per iteration — fewer sequential coarse sweeps on
-the critical path when fine solves are cheap relative to the sweep.
+parallel) fine solve plus ``n`` parallel per-slice coarse solves per
+iteration — fewer sequential coarse sweeps on the critical path when
+fine solves are cheap relative to the sweep. Note that FCF's per-slice
+coarse solves run on the vmappable generic path when slices are batched
+per device, so its per-iteration cost exceeds classic Parareal's by
+more than the extra fine solve alone.
 """
 
 from __future__ import annotations
@@ -60,6 +64,15 @@ class PararealOperator(JaxOperator):
     """A parallel-in-time solver framework composing a fine and a coarse
     operator over the slices of the time domain."""
 
+    # sub-solves may use parallel-in-time trajectory formulations
+    # (affine propagator matmuls, ops/linear_propagator.py) only when
+    # every termination tolerance exceeds this floor: the dense-matmul
+    # formulation carries an ~1e-6-relative f32 rounding floor vs the
+    # stencil steppers, so users demanding tighter agreement (tolerance
+    # 0.0 / None means "iterate to exactness") keep bitwise-stencil
+    # fine solves
+    _TIME_PARALLEL_TOLERANCE_FLOOR = 1e-5
+
     def __init__(
         self,
         f: Operator,
@@ -89,8 +102,11 @@ class PararealOperator(JaxOperator):
             for border ``j + 1`` is computed from the fine-propagated
             state ``F(u_{j-1})`` instead of ``u_j``, so exactness
             advances two slices per iteration at the cost of a second
-            (equally parallel) fine solve per iteration. Beyond the
-            reference, which only implements classic Parareal.
+            (equally parallel) fine solve plus ``n`` parallel
+            per-slice coarse solves per iteration (which run on the
+            generic, non-fused path when slices are vmap-batched per
+            device). Beyond the reference, which only implements
+            classic Parareal.
         """
         if relaxation not in ("f", "fcf"):
             raise ValueError(
@@ -138,6 +154,18 @@ class PararealOperator(JaxOperator):
                 f"match number of y dimensions ({y_dimension})"
             )
         return np.asarray(condition, dtype=float)
+
+    def _use_time_parallel_trajectories(self, cp) -> bool:
+        """Whether sub-solves may use parallel-in-time trajectory
+        formulations (propagator matmuls): only when the user's
+        termination tolerances all exceed the formulations' rounding
+        floor, so tolerance-0/None runs keep stencil-exact solves."""
+        tolerances = self._tolerance_vector(
+            cp.differential_equation.y_dimension
+        )
+        return tolerances is not None and bool(
+            np.all(tolerances > self._TIME_PARALLEL_TOLERANCE_FLOOR)
+        )
 
     def _should_terminate(
         self, old_y_end_points: np.ndarray, new_y_end_points: np.ndarray
@@ -352,30 +380,46 @@ class PararealOperator(JaxOperator):
             def coarse_call_vmappable(y_start, slice_index, t_0):
                 return coarse_ifn_vmappable(y_start, slice_index)
 
+            def coarse_end_call(y_start, slice_index, t_0):
+                return coarse_call(y_start, slice_index, t_0)[-1]
+
+            def coarse_end_call_vmappable(y_start, slice_index, t_0):
+                return coarse_call_vmappable(
+                    y_start, slice_index, t_0
+                )[-1]
+
         else:
+            time_parallel = self._use_time_parallel_trajectories(cp)
 
             def build_trajectory(operator, allow_fused):
-                # hand-fused Pallas kernels (DMA + scratch) do not
-                # support vmap batching; the fine solves request the
-                # generic path when slices are batched per device,
-                # while coarse sweeps only ever run inside scans and
-                # keep their fused kernels. The sub-trajectory
-                # functions take the absolute slice start time as a
-                # traced argument, so the interval here only fixes the
-                # duration.
+                # the sub-trajectory functions take the absolute slice
+                # start time as a traced argument, so the interval here
+                # only fixes the duration. ``time_parallel=True`` lets
+                # operators use trajectory formulations built for
+                # parallel-in-time composition (affine propagator
+                # matmuls on linear problems), which are also freely
+                # vmappable; it is gated on the termination tolerance
+                # (see _TIME_PARALLEL_TOLERANCE_FLOOR).
                 return operator.trajectory_function(
                     cp,
                     (0.0, slice_duration),
                     allow_fused=allow_fused,
+                    time_parallel=time_parallel,
                 )[0]
 
-            fine_fn = build_trajectory(
-                self._f, allow_fused=not needs_vmap
-            )
+            # hand-fused Pallas kernels (DMA + scratch) do not support
+            # vmap batching; when slices are batched per device, any
+            # non-vmappable fine/coarse trajectory is rebuilt on the
+            # generic path (trajectories tag themselves via the
+            # ``vmappable`` attribute)
+            fine_fn = build_trajectory(self._f, allow_fused=True)
+            if needs_vmap and not getattr(fine_fn, "vmappable", False):
+                fine_fn = build_trajectory(self._f, allow_fused=False)
             coarse_fn = build_trajectory(self._g, allow_fused=True)
             coarse_fn_vmappable = (
                 coarse_fn
                 if not needs_vmap
+                or getattr(coarse_fn, "vmappable", False)
                 else build_trajectory(self._g, allow_fused=False)
             )
 
@@ -389,6 +433,29 @@ class PararealOperator(JaxOperator):
                 return coarse_fn_vmappable(
                     y_start, t_0 + slice_index * delta
                 )
+
+            # trajectories that expose an ``end_function`` (affine
+            # propagators) let the sequential corrective sweep advance
+            # a slice with one matvec instead of expanding and
+            # discarding the slice's interior
+            _end = getattr(coarse_fn, "end_function", None)
+            _end_vmappable = getattr(
+                coarse_fn_vmappable, "end_function", None
+            )
+
+            def coarse_end_call(y_start, slice_index, t_0):
+                if _end is not None:
+                    return _end(y_start, t_0 + slice_index * delta)
+                return coarse_call(y_start, slice_index, t_0)[-1]
+
+            def coarse_end_call_vmappable(y_start, slice_index, t_0):
+                if _end_vmappable is not None:
+                    return _end_vmappable(
+                        y_start, t_0 + slice_index * delta
+                    )
+                return coarse_call_vmappable(
+                    y_start, slice_index, t_0
+                )[-1]
 
         n_devices = self._mesh_device_count(n)
         slices_per_device = n // n_devices
@@ -424,15 +491,9 @@ class PararealOperator(JaxOperator):
             # path; the sweeps must use the *same* propagator or its
             # fused-vs-generic rounding difference leaks into borders
             # the schedule treats as exact
-            def coarse_end(y_start, slice_index, t_0):
-                return coarse_call_vmappable(
-                    y_start, slice_index, t_0
-                )[-1]
-
+            coarse_end = coarse_end_call_vmappable
         else:
-
-            def coarse_end(y_start, slice_index, t_0):
-                return coarse_call(y_start, slice_index, t_0)[-1]
+            coarse_end = coarse_end_call
 
         fine_steps = self._fine_steps(slice_duration)
         if slices_per_device == 1:
@@ -444,9 +505,9 @@ class PararealOperator(JaxOperator):
                 )[jnp.newaxis]
 
             def batched_coarse_ends(y_starts, slice_indices, t_0):
-                return coarse_call_vmappable(
+                return coarse_end_call_vmappable(
                     y_starts[0], slice_indices[0], t_0
-                )[-1][jnp.newaxis]
+                )[jnp.newaxis]
 
         else:
 
@@ -457,11 +518,29 @@ class PararealOperator(JaxOperator):
 
             def batched_coarse_ends(y_starts, slice_indices, t_0):
                 return jax.vmap(
-                    lambda y, j: coarse_call_vmappable(y, j, t_0)[-1],
+                    lambda y, j: coarse_end_call_vmappable(y, j, t_0),
                     in_axes=(0, 0),
                 )(y_starts, slice_indices)
 
         fcf = self._relaxation == "fcf"
+
+        # classic relaxation with static boundary conditions: run the
+        # initial coarse sweep as ONE whole-domain coarse trajectory
+        # (the reference's own structure — a single g.solve(ivp),
+        # parareal_operator.py:133-139) instead of a scan of n per-slice
+        # solves, so fused multi-step kernels / chunked propagators
+        # apply. FCF keeps the per-slice scan: its corrections come from
+        # per-slice coarse solves and the sweeps must use the identical
+        # propagator.
+        coarse_whole_fn = None
+        coarse_steps_per_slice = round(slice_duration / self._g.d_t)
+        if t_start is None and not fcf:
+            coarse_whole_fn = self._g.trajectory_function(
+                cp,
+                (0.0, n * slice_duration),
+                allow_fused=True,
+                time_parallel=self._use_time_parallel_trajectories(cp),
+            )[0]
 
         def program(y_init, t_0):
             device_index = jax.lax.axis_index("time")
@@ -470,13 +549,19 @@ class PararealOperator(JaxOperator):
             local_slice_indices = first_slice + local_slice_offsets
 
             # initial coarse sweep, replicated on every device
-            def sweep(y, j):
-                y_end = coarse_end(y, j, t_0)
-                return y_end, y_end
+            if coarse_whole_fn is not None:
+                coarse_ends = coarse_whole_fn(y_init, t_0)[
+                    coarse_steps_per_slice - 1::coarse_steps_per_slice
+                ]
+            else:
 
-            _, coarse_ends = jax.lax.scan(
-                sweep, y_init, jnp.arange(n)
-            )
+                def sweep(y, j):
+                    y_end = coarse_end(y, j, t_0)
+                    return y_end, y_end
+
+                _, coarse_ends = jax.lax.scan(
+                    sweep, y_init, jnp.arange(n)
+                )
             y_borders = jnp.concatenate(
                 [y_init[jnp.newaxis], coarse_ends]
             )
@@ -491,94 +576,100 @@ class PararealOperator(JaxOperator):
                     array, first_slice, slices_per_device, 0
                 )
 
-            def iteration(i, carry):
-                def body(carry):
-                    y_borders, coarse_ends, _, _ = carry
-                    # this device's fine solves, batched through vmap
-                    sub_y_fine = batched_fine(
-                        local_slice(y_borders[:-1]),
-                        local_slice_indices,
-                        t_0,
-                    )
-                    if fcf:
-                        # FCF relaxation: the first fine sweep above is
-                        # the F-relaxation; correct border j + 1 from
-                        # the fine-propagated state z_j = F(u_{j-1})
-                        # (z_0 = u_0), advancing exactness two slices
-                        # per iteration (MGRIT two-level FCF)
-                        fine_ends = jax.lax.all_gather(
-                            sub_y_fine[:, -1], "time"
-                        ).reshape((n,) + y_shape)
-                        z = jnp.concatenate(
-                            [y_borders[:1], fine_ends[:-1]]
-                        )
-                        sub_y_fine = batched_fine(
-                            local_slice(z), local_slice_indices, t_0
-                        )
-                        local_corrections = sub_y_fine[
-                            :, -1
-                        ] - batched_coarse_ends(
-                            local_slice(z), local_slice_indices, t_0
-                        )
-                    else:
-                        local_corrections = (
-                            sub_y_fine[:, -1]
-                            - local_slice(coarse_ends)
-                        )
-                    corrections = jax.lax.all_gather(
-                        local_corrections, "time"
+            def iteration(carry):
+                i, y_borders, coarse_ends, _, _ = carry
+                # this device's fine solves, batched through vmap
+                sub_y_fine = batched_fine(
+                    local_slice(y_borders[:-1]),
+                    local_slice_indices,
+                    t_0,
+                )
+                if fcf:
+                    # FCF relaxation: the first fine sweep above is
+                    # the F-relaxation; correct border j + 1 from
+                    # the fine-propagated state z_j = F(u_{j-1})
+                    # (z_0 = u_0), advancing exactness two slices
+                    # per iteration (MGRIT two-level FCF)
+                    fine_ends = jax.lax.all_gather(
+                        sub_y_fine[:, -1], "time"
                     ).reshape((n,) + y_shape)
-                    old_ends = y_borders[1:]
-
-                    def corrective_sweep(j, state):
-                        y_borders, coarse_ends = state
-                        re_predicted = coarse_end(y_borders[j], j, t_0)
-                        # FCF corrections are computed from per-slice
-                        # coarse solves, so the sweep must re-predict
-                        # at j == i too — reusing the initial
-                        # whole-domain sweep's value there would break
-                        # the telescoping consistency under adaptive
-                        # coarse operators
-                        new_coarse_end = jnp.where(
-                            (j > i) if not fcf else (j >= i),
-                            re_predicted,
-                            coarse_ends[j],
-                        )
-                        coarse_ends = coarse_ends.at[j].set(
-                            new_coarse_end
-                        )
-                        updated_border = (
-                            new_coarse_end + corrections[j]
-                        )
-                        y_borders = y_borders.at[j + 1].set(
-                            jnp.where(
-                                j >= i,
-                                updated_border,
-                                y_borders[j + 1],
-                            )
-                        )
-                        return y_borders, coarse_ends
-
-                    # slices before the current iteration index are
-                    # already exact (standard Parareal property, and
-                    # the j-masks above make them no-ops), so the
-                    # sweep starts at i
-                    y_borders, coarse_ends = jax.lax.fori_loop(
-                        i, n, corrective_sweep, (y_borders, coarse_ends)
+                    z = jnp.concatenate(
+                        [y_borders[:1], fine_ends[:-1]]
                     )
-                    converged = termination(old_ends, y_borders[1:])
-                    return y_borders, coarse_ends, sub_y_fine, converged
+                    sub_y_fine = batched_fine(
+                        local_slice(z), local_slice_indices, t_0
+                    )
+                    local_corrections = sub_y_fine[
+                        :, -1
+                    ] - batched_coarse_ends(
+                        local_slice(z), local_slice_indices, t_0
+                    )
+                else:
+                    local_corrections = (
+                        sub_y_fine[:, -1]
+                        - local_slice(coarse_ends)
+                    )
+                corrections = jax.lax.all_gather(
+                    local_corrections, "time"
+                ).reshape((n,) + y_shape)
+                old_ends = y_borders[1:]
 
-                _, _, _, converged = carry
-                return jax.lax.cond(
-                    converged, lambda c: c, body, carry
+                def corrective_sweep(j, state):
+                    y_borders, coarse_ends = state
+                    re_predicted = coarse_end(y_borders[j], j, t_0)
+                    # FCF corrections are computed from per-slice
+                    # coarse solves, so the sweep must re-predict
+                    # at j == i too — reusing the initial
+                    # whole-domain sweep's value there would break
+                    # the telescoping consistency under adaptive
+                    # coarse operators
+                    new_coarse_end = jnp.where(
+                        (j > i) if not fcf else (j >= i),
+                        re_predicted,
+                        coarse_ends[j],
+                    )
+                    coarse_ends = coarse_ends.at[j].set(
+                        new_coarse_end
+                    )
+                    updated_border = (
+                        new_coarse_end + corrections[j]
+                    )
+                    y_borders = y_borders.at[j + 1].set(
+                        jnp.where(
+                            j >= i,
+                            updated_border,
+                            y_borders[j + 1],
+                        )
+                    )
+                    return y_borders, coarse_ends
+
+                # slices before the current iteration index are
+                # already exact (standard Parareal property, and
+                # the j-masks above make them no-ops), so the
+                # sweep starts at i
+                y_borders, coarse_ends = jax.lax.fori_loop(
+                    i, n, corrective_sweep, (y_borders, coarse_ends)
+                )
+                converged = termination(old_ends, y_borders[1:])
+                return (
+                    i + 1, y_borders, coarse_ends, sub_y_fine, converged
                 )
 
-            y_borders, _, sub_y_fine, _ = jax.lax.fori_loop(
-                0,
-                iterations,
+            def keep_iterating(carry):
+                i, _, _, _, converged = carry
+                return jnp.logical_and(
+                    i < iterations, jnp.logical_not(converged)
+                )
+
+            # early termination as the while condition: once the border
+            # updates drop below the tolerance (the reference's
+            # criterion and loop break, parareal_operator.py:187-188),
+            # remaining iterations are never dispatched at all
+            _, y_borders, _, sub_y_fine, _ = jax.lax.while_loop(
+                keep_iterating,
                 iteration,
                 (
+                    jnp.asarray(0, jnp.int32),
                     y_borders,
                     coarse_ends,
                     fine_placeholder,
@@ -614,7 +705,11 @@ class PararealOperator(JaxOperator):
         return jax.jit(sharded_program)
 
     def trajectory_function(
-        self, cp, t_interval, allow_fused: bool = True
+        self,
+        cp,
+        t_interval,
+        allow_fused: bool = True,
+        time_parallel: bool = False,
     ):
         """The whole Parareal solve as one jittable ``(y_0, t_0) -> ys``
         program over the device mesh, so Parareal composes into larger
@@ -735,9 +830,21 @@ class PararealOperator(JaxOperator):
                     sub_trajectories = list(
                         executor.map(fine_solve, range(n), z)
                     )
-                    coarse_z_ends = list(
-                        executor.map(coarse_end_solve, range(n), z)
-                    )
+                    if i == 0:
+                        # warm the per-slice coarse program once before
+                        # the fan-out, mirroring the fine-solve warm-up
+                        # (concurrent cold misses would compile the
+                        # same program n times)
+                        coarse_z_ends = [coarse_end_solve(0, z[0])]
+                        coarse_z_ends += list(
+                            executor.map(
+                                coarse_end_solve, range(1, n), z[1:]
+                            )
+                        )
+                    else:
+                        coarse_z_ends = list(
+                            executor.map(coarse_end_solve, range(n), z)
+                        )
                     corrections = np.stack(
                         [
                             sub_trajectories[k][-1] - coarse_z_ends[k]

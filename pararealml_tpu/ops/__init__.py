@@ -15,6 +15,12 @@ from pararealml_tpu.ops.fused_system import (
     fused_system_step_applicable,
     fused_wave_step_applicable,
 )
+from pararealml_tpu.ops.linear_propagator import (
+    build_linear_propagator_trajectory,
+    equation_system_is_affine,
+    linear_propagator_applicable,
+    probe_affine_step,
+)
 from pararealml_tpu.ops.fused_system_3d import (
     build_fused_system_3d_rk4_step,
     build_fused_system_3d_rk4_trajectory,
@@ -46,4 +52,8 @@ __all__ = [
     "fused_system_3d_step_applicable",
     "build_tiled_diffusion_rk4_trajectory",
     "build_tiled_system_rk4_trajectory",
+    "build_linear_propagator_trajectory",
+    "equation_system_is_affine",
+    "linear_propagator_applicable",
+    "probe_affine_step",
 ]

@@ -1,0 +1,255 @@
+"""Exact affine propagators: linear-problem trajectories as MXU matmuls.
+
+For a linear differential equation with static boundary conditions and an
+explicit integrator, one FDM (or ODE) time step is an *affine* map of the
+flattened state vector::
+
+    y_{k+1} = S @ y_k + q
+
+with a constant ``(dim, dim)`` matrix ``S`` and offset ``q`` (Dirichlet
+application, Neumann ghost synthesis, and every explicit Runge-Kutta
+stage are themselves affine, so the composition is too). This module
+recovers ``(S, q)`` *exactly* by probing the generic step function with
+the standard basis, then reformulates the trajectory as a scan of
+matmuls against ``S``. The payoff is in the batched (``vmap``) case —
+the one Parareal creates by stacking time slices: each scan step becomes
+a single ``(B, dim) x (dim, dim)`` matmul on the TPU's MXU systolic
+array, where the stencil formulation of the same batched step is
+elementwise VPU work with O(1) arithmetic intensity scattered over many
+small fused ops. Only ``S`` itself (``dim^2`` scalars) and the
+binary-power chain for the end-state map (``log2(n)`` more matrices)
+ride in the compiled program, so program size stays bounded regardless
+of trajectory length.
+
+End states skip the interior entirely: ``y_n = P y_0 + r`` with
+``(P, r)`` the ``n``-step composition, evaluated through the binary
+expansion of ``n`` (``log2(n)`` matvecs), so Parareal's sequential
+corrective coarse sweep advances a slice in O(log n) matvecs.
+
+This is the TPU-first replacement for the reference's batched fine
+solves inside Parareal (/root/reference/pararealml/operators/parareal/
+parareal_operator.py:163: one fine solve per MPI rank per iteration);
+sequential solves outside the parallel-in-time composition keep using
+the stencil time-steppers, which are the honest sequential baselines.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import sympy as sp
+
+from pararealml_tpu.constrained_problem import ConstrainedProblem
+from pararealml_tpu.differential_equation import LHS
+
+# S alone is dim^2; beyond this the dense formulation loses to stencils
+_MAX_DIM = 4096
+# matmul precision: f32 inputs on the TPU MXU default to bf16 passes,
+# which is far too coarse for chained propagators; HIGHEST requests the
+# full-precision (6-pass) f32 composition
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _all_symbol_arrays(symbols):
+    arrays = [symbols.y]
+    for name in (
+        "y_gradient",
+        "y_hessian",
+        "y_divergence",
+        "y_curl",
+        "y_laplacian",
+        "y_vector_laplacian",
+    ):
+        array = getattr(symbols, name)
+        if array is not None:
+            arrays.append(array)
+    return arrays
+
+
+def equation_system_is_affine(diff_eq) -> bool:
+    """Whether every RHS expression is affine in the solution-dependent
+    symbols (y and all its differential operators) with no explicit
+    time dependence — the condition under which one explicit FDM step is
+    an affine map of the state vector."""
+    symbols = diff_eq.symbols
+    t = symbols.t
+    y_symbols = {
+        s
+        for array in _all_symbol_arrays(symbols)
+        for s in np.asarray(array).flatten()
+    }
+    for expr in diff_eq.symbolic_equation_system.rhs:
+        expr = sp.sympify(expr)
+        free = expr.free_symbols
+        if t in free:
+            return False
+        present = sorted(free & y_symbols, key=str)
+        if not present:
+            continue
+        try:
+            poly = sp.Poly(expr, *present)
+        except sp.PolynomialError:
+            return False
+        if poly.total_degree() > 1:
+            return False
+    return True
+
+
+def linear_propagator_applicable(
+    cp: ConstrainedProblem, integrator, max_dim: int = _MAX_DIM
+) -> bool:
+    """Whether the affine-propagator formulation reproduces the generic
+    step for this problem/integrator combination."""
+    from pararealml_tpu.operators.fdm.numerical_integrator import (
+        ExplicitMidpointMethod,
+        ForwardEulerMethod,
+        RK4,
+    )
+
+    diff_eq = cp.differential_equation
+    if not isinstance(
+        integrator, (ForwardEulerMethod, ExplicitMidpointMethod, RK4)
+    ):
+        return False
+    eq_sys = diff_eq.symbolic_equation_system
+    if eq_sys.equation_indices_by_type(LHS.Y_LAPLACIAN):
+        # the Jacobi anti-Laplacian's data-dependent early exit breaks
+        # exact affinity
+        return False
+    if diff_eq.x_dimension:
+        if not cp.are_all_boundary_conditions_static:
+            return False
+        dim = int(np.prod(cp.y_shape(True)))
+    else:
+        dim = diff_eq.y_dimension
+    if dim > max_dim:
+        return False
+    return equation_system_is_affine(diff_eq)
+
+
+def probe_affine_step(
+    step_fn: Callable, y_shape: Tuple[int, ...], dtype=None
+) -> Tuple[jax.Array, jax.Array]:
+    """Recovers ``(S, q)`` with ``step(y) == S @ vec(y) + q`` by probing
+    ``step_fn(y, i, t)`` with the zero state and the standard basis, and
+    verifies affinity on a random state (guarding against a dispatch
+    bug routing a nonlinear problem here)."""
+    if dtype is None:
+        dtype = jnp.result_type(float)
+    dim = int(np.prod(y_shape))
+
+    def flat_step(y_flat):
+        return step_fn(
+            y_flat.reshape(y_shape).astype(dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0.0, dtype),
+        ).reshape(dim)
+
+    probe = jax.jit(
+        lambda basis, zero: (
+            jax.vmap(flat_step)(basis),
+            flat_step(zero),
+        )
+    )
+    cols, q = probe(jnp.eye(dim, dtype=dtype), jnp.zeros(dim, dtype))
+    s_matrix = cols.T - q[:, jnp.newaxis]
+
+    rng = np.random.default_rng(0)
+    y_random = jnp.asarray(rng.standard_normal(dim), dtype)
+    direct = np.asarray(jax.jit(flat_step)(y_random))
+    via_affine = np.asarray(s_matrix @ y_random + q, np.float64)
+    scale = max(1.0, float(np.abs(direct).max()))
+    deviation = float(np.abs(direct - via_affine).max()) / scale
+    if not np.isfinite(deviation) or deviation > 1e-3:
+        raise ValueError(
+            "step function is not affine in the state (max relative "
+            f"deviation {deviation:.2e}); the linear-propagator "
+            "applicability check should have rejected this problem"
+        )
+    return s_matrix, q
+
+
+def _binary_power_chain(s_matrix, q, n_steps: int):
+    """``[(S^(2^i), r_i)]`` for every set bit needed to compose the
+    ``n_steps``-step affine map, built by repeated squaring: the affine
+    composition rule is ``(S2, q2) o (S1, q1) = (S2 S1, S2 q1 + q2)``."""
+
+    @jax.jit
+    def square(p, r):
+        return (
+            jnp.matmul(p, p, precision=_PRECISION),
+            jnp.matmul(p, r[:, None], precision=_PRECISION)[:, 0] + r,
+        )
+
+    chain = []
+    p, r = s_matrix, q
+    bits = n_steps
+    while bits:
+        chain.append((p, r, bool(bits & 1)))
+        bits >>= 1
+        if bits:
+            p, r = square(p, r)
+    return chain
+
+
+def build_linear_propagator_trajectory(
+    cp: ConstrainedProblem,
+    step_fn: Callable,
+    n_steps: int,
+    y_shape: Tuple[int, ...],
+    dtype=None,
+) -> Callable:
+    """Builds ``trajectory(y, t_0) -> ys`` computing ``n_steps`` steps of
+    the affine step map as a scan of matmuls against ``S``.
+
+    The returned function is pure jnp (no Pallas), so it freely composes
+    with ``vmap`` — under which each scan step is one large
+    ``(B, dim) x (dim, dim)`` MXU matmul over the batch of Parareal
+    slices — and with ``shard_map``. It also exposes ``end_function``,
+    an O(log n)-matvec map to the trajectory's final state for
+    sequential sweeps that never need the interior.
+    """
+    if dtype is None:
+        # follow the ambient default float width: f32 on accelerators,
+        # f64 under jax_enable_x64 (the test suite's oracle precision)
+        dtype = jnp.result_type(float)
+    dim = int(np.prod(y_shape))
+    s_matrix, q = probe_affine_step(step_fn, y_shape, dtype)
+    # row-vector convention so a vmapped batch contracts as (B, dim) x
+    # (dim, dim) without transposes at trace time
+    s_t = jnp.asarray(s_matrix.T)
+    chain = _binary_power_chain(s_matrix, q, n_steps)
+
+    def trajectory(y, t_0=None):
+        y_flat = jnp.asarray(y, dtype).reshape(dim)
+
+        def body(carry, _):
+            nxt = (
+                jnp.matmul(carry, s_t, precision=_PRECISION) + q
+            )
+            return nxt, nxt
+
+        _, ys = jax.lax.scan(body, y_flat, None, length=n_steps)
+        return ys.reshape((n_steps,) + tuple(y_shape)).astype(
+            jnp.result_type(y)
+        )
+
+    def end_state(y, t_0=None):
+        """The trajectory's final state only — the ``n_steps``-step
+        affine map through its binary expansion, O(log n) matvecs,
+        letting sequential sweeps (Parareal's corrective coarse sweep)
+        skip the interior entirely."""
+        out = jnp.asarray(y, dtype).reshape(dim)
+        for p, r, take in chain:
+            if take:
+                out = (
+                    jnp.matmul(out, p.T, precision=_PRECISION) + r
+                )
+        return out.reshape(tuple(y_shape)).astype(jnp.result_type(y))
+
+    trajectory.end_function = end_state
+    trajectory.vmappable = True
+    return trajectory
