@@ -5,9 +5,12 @@ sklearn_keras_regressor.py:13-214 (``get_params``/``set_params``/``fit``/
 ``predict``/``score``, batched prediction with a cap, validation split,
 callbacks) with the Keras engine replaced by a Flax module + optax
 optimizer. Training runs as a jitted ``lax.scan`` over the shuffled
-mini-batches of each epoch, so one device dispatch per epoch; the
-reference's ``lazy_load_to_gpu`` path is unnecessary — the whole dataset
-lives on device and XLA streams batches from HBM.
+mini-batches of each epoch — one device dispatch per epoch when the
+dataset is device-resident, with the data passed as arguments (never
+baked into the program as constants). Datasets beyond a configurable
+device-memory budget (``max_device_data_bytes``) are instead streamed
+to the device in shuffled host shards per epoch, the counterpart of the
+reference's lazy ``tf.data`` GPU loading (``lazy_load_to_gpu``).
 """
 
 from __future__ import annotations
@@ -43,6 +46,7 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
         validation_frequency: int = 1,
         max_predict_batch_size: Optional[int] = None,
         seed: int = 0,
+        max_device_data_bytes: Optional[int] = None,
         **build_args: Any,
     ):
         """
@@ -58,6 +62,13 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
         :param validation_frequency: epochs between validation passes
         :param max_predict_batch_size: cap on the prediction batch size
         :param seed: the PRNG seed for initialization and shuffling
+        :param max_device_data_bytes: device-memory budget for the
+            training set; datasets larger than this are streamed to the
+            device in shuffled host shards per epoch instead of living
+            resident in HBM (the counterpart of the reference's lazy
+            ``tf.data`` GPU loading, /root/reference/pararealml/
+            operators/ml/supervised/sklearn_keras_regressor.py:109-166);
+            ``None`` (the default) keeps the whole dataset on device
         :param build_args: parameters passed through to ``build_fn``
         """
         self.build_fn = build_fn
@@ -70,6 +81,7 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
         self.validation_frequency = validation_frequency
         self.max_predict_batch_size = max_predict_batch_size
         self.seed = seed
+        self.max_device_data_bytes = max_device_data_bytes
         self.build_args = build_args
 
         self._module: Optional[nn.Module] = None
@@ -120,6 +132,7 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
             "validation_frequency": self.validation_frequency,
             "max_predict_batch_size": self.max_predict_batch_size,
             "seed": self.seed,
+            "max_device_data_bytes": self.max_device_data_bytes,
         }
         params.update(self.build_args)
         return params
@@ -138,26 +151,40 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
         return self
 
     def fit(self, x: np.ndarray, y: np.ndarray) -> "SKLearnJaxRegressor":
-        x = jnp.asarray(x)
-        y = jnp.asarray(y)
+        data_bytes = x.nbytes + y.nbytes
+        streaming = (
+            self.max_device_data_bytes is not None
+            and data_bytes > self.max_device_data_bytes
+        )
+        if not streaming:
+            x = jnp.asarray(x)
+            y = jnp.asarray(y)
+        else:
+            x = np.asarray(x)
+            y = np.asarray(y)
 
         self._module = self.build_fn(**self.build_args)
         self._jit_apply = None
         key = jax.random.PRNGKey(self.seed)
         key, init_key = jax.random.split(key)
-        self._params = self._module.init(init_key, x[:1])
+        self._params = self._module.init(
+            init_key, jnp.asarray(x[:1])
+        )
 
         optimizer = self.optimizer or optax.adam(1e-3)
         opt_state = optimizer.init(self._params)
 
         if self.validation_split:
             key, split_key = jax.random.split(key)
-            permutation = jax.random.permutation(split_key, len(x))
+            permutation = np.asarray(
+                jax.random.permutation(split_key, len(x))
+            )
             n_validation = max(1, int(len(x) * self.validation_split))
             validation_idx = permutation[:n_validation]
             train_idx = permutation[n_validation:]
             x_train, y_train = x[train_idx], y[train_idx]
-            x_validate, y_validate = x[validation_idx], y[validation_idx]
+            x_validate = jnp.asarray(x[validation_idx])
+            y_validate = jnp.asarray(y[validation_idx])
         else:
             x_train, y_train = x, y
             x_validate = y_validate = None
@@ -170,18 +197,13 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
             prediction = module.apply(params, xb)
             return jnp.mean(jnp.square(prediction - yb))
 
+        # the dataset rides in as *arguments*, never as jit closure
+        # constants: closed-over concrete arrays are baked into the
+        # compiled program, which both bloats it (a multi-hundred-MB
+        # oracle dataset becomes a multi-hundred-MB executable) and
+        # re-compiles on every fit
         @jax.jit
-        def train_epoch(params, opt_state, shuffle_key):
-            permutation = jax.random.permutation(
-                shuffle_key, len(x_train)
-            )[: n_batches * batch_size]
-            xs = x_train[permutation].reshape(
-                (n_batches, batch_size) + x_train.shape[1:]
-            )
-            ys = y_train[permutation].reshape(
-                (n_batches, batch_size) + y_train.shape[1:]
-            )
-
+        def run_batches(params, opt_state, xs, ys):
             def step(carry, batch):
                 params, opt_state = carry
                 xb, yb = batch
@@ -195,7 +217,80 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
             (params, opt_state), losses = jax.lax.scan(
                 step, (params, opt_state), (xs, ys)
             )
-            return params, opt_state, jnp.mean(losses)
+            return params, opt_state, jnp.sum(losses)
+
+        @jax.jit
+        def train_epoch_resident(
+            params, opt_state, shuffle_key, x_dev, y_dev
+        ):
+            permutation = jax.random.permutation(shuffle_key, len(x_dev))[
+                : n_batches * batch_size
+            ]
+            xs = x_dev[permutation].reshape(
+                (n_batches, batch_size) + x_dev.shape[1:]
+            )
+            ys = y_dev[permutation].reshape(
+                (n_batches, batch_size) + y_dev.shape[1:]
+            )
+            params, opt_state, loss_sum = run_batches(
+                params, opt_state, xs, ys
+            )
+            return params, opt_state, loss_sum / n_batches
+
+        if streaming:
+            # host-streaming fit: the dataset exceeds the device budget
+            # (the reference's lazy tf.data GPU loading,
+            # /root/reference/pararealml/operators/ml/supervised/
+            # sklearn_keras_regressor.py:109-166) — stream shuffled
+            # host shards per epoch, every shard one device dispatch of
+            # a fixed batch count so the scan compiles exactly once
+            row_bytes = max(
+                1, x_train[:1].nbytes + y_train[:1].nbytes
+            )
+            shard_batches = max(
+                1,
+                min(
+                    n_batches,
+                    int(self.max_device_data_bytes)
+                    // max(1, row_bytes * batch_size),
+                ),
+            )
+            shard_rows = shard_batches * batch_size
+            rng = np.random.default_rng(self.seed)
+
+            def train_epoch_streaming(params, opt_state):
+                permutation = rng.permutation(len(x_train))
+                loss_total = jnp.zeros(())
+                for start in range(0, n_batches, shard_batches):
+                    idx = permutation[
+                        start
+                        * batch_size: (start + shard_batches)
+                        * batch_size
+                    ]
+                    if len(idx) < shard_rows:
+                        # pad the final shard by wrapping around the
+                        # epoch's permutation so shapes stay static
+                        idx = np.concatenate(
+                            [idx, permutation[: shard_rows - len(idx)]]
+                        )
+                    xs = jnp.asarray(
+                        x_train[idx].reshape(
+                            (shard_batches, batch_size)
+                            + x_train.shape[1:]
+                        )
+                    )
+                    ys = jnp.asarray(
+                        y_train[idx].reshape(
+                            (shard_batches, batch_size)
+                            + y_train.shape[1:]
+                        )
+                    )
+                    params, opt_state, loss_sum = run_batches(
+                        params, opt_state, xs, ys
+                    )
+                    loss_total = loss_total + loss_sum
+                n_run = -(-n_batches // shard_batches) * shard_batches
+                return params, opt_state, loss_total / n_run
 
         validation_loss_fn = jax.jit(loss_fn)
 
@@ -206,9 +301,14 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
         params = self._params
         for epoch in range(self.epochs):
             key, shuffle_key = jax.random.split(key)
-            params, opt_state, loss = train_epoch(
-                params, opt_state, shuffle_key
-            )
+            if streaming:
+                params, opt_state, loss = train_epoch_streaming(
+                    params, opt_state
+                )
+            else:
+                params, opt_state, loss = train_epoch_resident(
+                    params, opt_state, shuffle_key, x_train, y_train
+                )
             logs = {"loss": float(loss)}
             self._history["loss"].append(float(loss))
             if (

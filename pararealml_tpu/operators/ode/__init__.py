@@ -1,3 +1,6 @@
-from pararealml_tpu.operators.ode.ode_operator import ODEOperator
+from pararealml_tpu.operators.ode.ode_operator import (
+    ODEOperator,
+    RKTableau,
+)
 
-__all__ = ["ODEOperator"]
+__all__ = ["ODEOperator", "RKTableau"]

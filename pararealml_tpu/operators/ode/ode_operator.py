@@ -21,7 +21,7 @@ both non-stiff and stiff problems.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -33,16 +33,32 @@ from pararealml_tpu.operator import JaxOperator, discretize_time_domain
 from pararealml_tpu.solution import Solution
 
 
-class _RKTableau(NamedTuple):
-    """An explicit embedded Runge-Kutta tableau with a dense-output
-    interpolation matrix (standard published coefficients)."""
+class RKTableau(NamedTuple):
+    """An explicit embedded Runge-Kutta tableau, optionally with a
+    dense-output interpolation matrix.
+
+    Users may pass an instance directly as :class:`ODEOperator`'s
+    ``method`` to integrate with custom coefficients — the TPU-native
+    counterpart of the reference's acceptance of custom SciPy
+    ``OdeSolver`` classes (/root/reference/pararealml/operators/ode/
+    ode_operator.py:17-44). ``a``, ``b``, ``c`` are the standard Butcher
+    arrays (``a`` as a tuple of per-stage tuples), ``e`` the embedded
+    error weights over the stages plus the FSAL evaluation, and ``p``
+    the dense-output polynomial matrix; with ``p=None``, output points
+    are interpolated by a cubic Hermite spline over each accepted step
+    (SciPy's fallback interpolant order).
+    """
 
     a: tuple
     b: tuple
     c: tuple
     e: tuple
-    p: tuple
+    p: Optional[tuple]
     error_exponent: float
+
+
+# internal alias (the public name is re-exported by operators.ode)
+_RKTableau = RKTableau
 
 
 _RK45 = _RKTableau(
@@ -122,6 +138,7 @@ _FIXED_STEP_METHODS = ("RK4", "Midpoint", "Euler")
 _DOP853 = "DOP853"
 _RADAU = "Radau"
 _BDF = "BDF"
+_LSODA = "LSODA"
 
 _SAFETY = 0.9
 _MIN_FACTOR = 0.2
@@ -191,7 +208,9 @@ def _build_adaptive_integrator(
             h0 = jnp.asarray(first_step, dtype)
         h0 = jnp.minimum(h0, jnp.asarray(t_span, dtype))
 
-        p_matrix = jnp.asarray(tableau.p, dtype)
+        p_matrix = (
+            None if tableau.p is None else jnp.asarray(tableau.p, dtype)
+        )
         b_vec = jnp.asarray(tableau.b, dtype)
         e_vec = jnp.asarray(tableau.e, dtype)
 
@@ -219,7 +238,27 @@ def _build_adaptive_integrator(
             the dense-output interpolant."""
             t, t_new, h, y, k_full, out_idx, ys = carry
 
-            q = jnp.tensordot(k_full.T, p_matrix, axes=1)  # (n, order)
+            if p_matrix is not None:
+                q = jnp.tensordot(k_full.T, p_matrix, axes=1)
+            else:
+                # no dense-output matrix (custom tableau): cubic
+                # Hermite over the accepted step from (y, f) at both
+                # ends, expressed in the same y + h * q @ powers form
+                f_start = k_full[0]
+                f_end = k_full[-1]
+                # (y_new - y) / h, from the tableau weights
+                d = jnp.tensordot(
+                    b_vec, k_full[: len(tableau.b)], axes=1
+                )
+                q = jnp.stack(
+                    [
+                        f_start,
+                        3.0 * d - 2.0 * f_start - f_end,
+                        -2.0 * d + f_start + f_end,
+                    ],
+                    axis=-1,
+                )
+            order = q.shape[-1]
 
             def cond(c):
                 idx, _ = c
@@ -229,7 +268,7 @@ def _build_adaptive_integrator(
                 idx, ys_acc = c
                 theta = (t_out[idx] - t) / h
                 powers = jnp.cumprod(
-                    jnp.full((p_matrix.shape[1],), theta, dtype)
+                    jnp.full((order,), theta, dtype)
                 )
                 y_interp = y + h * q @ powers
                 return idx + 1, ys_acc.at[idx].set(y_interp)
@@ -1361,12 +1400,111 @@ def _build_fixed_step_integrator(
     return integrate
 
 
+def _build_lsoda_integrator(
+    fn: Callable,
+    t_offsets: np.ndarray,
+    rtol: float,
+    atol: float,
+    max_step: float,
+    first_step: Optional[float],
+    stiffness_threshold: float = 2000.0,
+):
+    """Builds a jit-traceable integrator with automatic stiff/non-stiff
+    method selection — the TPU-native counterpart of the reference's
+    ``"LSODA"`` pass-through to SciPy (/root/reference/pararealml/
+    operators/ode/ode_operator.py:17-44).
+
+    SciPy's LSODA switches between Adams and BDF *per step*; a traced
+    per-step switch would put both correctors inside every loop
+    iteration, so this implementation decides *per solve* instead: a
+    cheap probe estimates the spectral radius ``rho`` of the Jacobian
+    along a short explicit burst (a burst that overflows is itself
+    conclusive evidence of stiffness), and ``lax.cond`` dispatches the
+    whole solve to the compiled RK45 or BDF integrator. Both branches
+    are compiled once; only the selected one executes at run time —
+    under ``lax.cond``, XLA skips the untaken branch's computation.
+    The decision metric ``rho * t_span`` approximates the number of
+    stability-limited explicit steps the solve would need.
+    """
+    nonstiff = _build_adaptive_integrator(
+        fn, _RK45, t_offsets, rtol, atol, max_step, first_step
+    )
+    stiff = _build_bdf_integrator(
+        fn, t_offsets, rtol, atol, max_step, first_step
+    )
+    t_span = float(t_offsets[-1])
+    jac_fn = jax.jacfwd(fn, argnums=1)
+    n_burst = 16
+    n_power_iters = 12
+
+    def integrate(y0: jax.Array, t0: jax.Array):
+        dtype = jnp.result_type(y0)
+        y0 = jnp.asarray(y0, dtype)
+        t0 = jnp.asarray(t0, dtype)
+        h_burst = jnp.asarray(t_span / 512.0, dtype)
+
+        def rk4_step(y, t):
+            k1 = fn(t, y)
+            k2 = fn(t + h_burst / 2, y + h_burst / 2 * k1)
+            k3 = fn(t + h_burst / 2, y + h_burst / 2 * k2)
+            k4 = fn(t + h_burst, y + h_burst * k3)
+            return y + h_burst / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+        def spectral_radius(t, y):
+            jac = jac_fn(t, y)
+
+            def power_iter(v, _):
+                w = jac @ v
+                norm = jnp.linalg.norm(w)
+                return w / jnp.maximum(norm, 1e-30), norm
+
+            v0 = jnp.ones_like(y) / jnp.sqrt(
+                jnp.asarray(y.shape[0], dtype)
+            )
+            _, norms = jax.lax.scan(
+                power_iter, v0, None, length=n_power_iters
+            )
+            return norms[-1]
+
+        def burst_body(carry, i):
+            y, t = carry
+            rho = spectral_radius(t, y)
+            y_next = rk4_step(y, t)
+            return (y_next, t + h_burst), rho
+
+        (y_end, _), rhos = jax.lax.scan(
+            burst_body, (y0, t0), jnp.arange(n_burst)
+        )
+        rho_max = jnp.max(rhos)
+        burst_diverged = jnp.logical_not(
+            jnp.all(jnp.isfinite(y_end))
+        )
+        is_stiff = jnp.logical_or(
+            burst_diverged,
+            rho_max * t_span > stiffness_threshold,
+        )
+
+        def run_stiff(args):
+            ys, status = stiff(*args)
+            return ys, jnp.asarray(status, jnp.int32)
+
+        def run_nonstiff(args):
+            ys, status = nonstiff(*args)
+            return ys, jnp.asarray(status, jnp.int32)
+
+        return jax.lax.cond(
+            is_stiff, run_stiff, run_nonstiff, (y0, t0)
+        )
+
+    return integrate
+
+
 class ODEOperator(JaxOperator):
     """A fully jit-compiled ODE initial-value-problem solver."""
 
     def __init__(
         self,
-        method: str,
+        method: Union[str, "RKTableau", Callable],
         d_t: float,
         first_step: Optional[float] = None,
         max_step: float = np.inf,
@@ -1376,7 +1514,17 @@ class ODEOperator(JaxOperator):
         """
         :param method: "RK45", "RK23" or "DOP853" (adaptive explicit),
             "Radau" or "BDF" (adaptive implicit, for stiff systems),
-            or "RK4", "Midpoint", "Euler" (fixed step at ``d_t``)
+            "LSODA" (automatic stiff/non-stiff selection, see
+            :func:`_build_lsoda_integrator`), "RK4", "Midpoint" or
+            "Euler" (fixed step at ``d_t``); alternatively a custom
+            :class:`RKTableau` instance (adaptive embedded RK with
+            user-supplied coefficients), or a callable
+            ``(fn, t_offsets, rtol, atol, max_step, first_step) ->
+            integrate`` building a jit-traceable
+            ``(y0, t0) -> (ys, status)`` integrator — the counterparts
+            of the reference's acceptance of any SciPy method string or
+            ``OdeSolver`` class (/root/reference/pararealml/operators/
+            ode/ode_operator.py:17-44)
         :param d_t: the temporal step size of the output grid
         :param first_step: optional initial integration step size
         :param max_step: the maximum allowed integration step size
@@ -1384,18 +1532,20 @@ class ODEOperator(JaxOperator):
         :param rtol: relative local-error tolerance
         """
         if (
-            method not in _ADAPTIVE_TABLEAUS
+            not isinstance(method, RKTableau)
+            and not callable(method)
+            and method not in _ADAPTIVE_TABLEAUS
             and method not in _FIXED_STEP_METHODS
-            and method not in (_DOP853, _RADAU, _BDF)
+            and method not in (_DOP853, _RADAU, _BDF, _LSODA)
         ):
             supported = (
                 sorted(_ADAPTIVE_TABLEAUS)
-                + [_DOP853, _RADAU, _BDF]
+                + [_DOP853, _RADAU, _BDF, _LSODA]
                 + list(_FIXED_STEP_METHODS)
             )
             raise ValueError(
                 f"unsupported method '{method}'; expected one of "
-                f"{supported}"
+                f"{supported}, an RKTableau, or a builder callable"
             )
         super().__init__(d_t, None)
         self._method = method
@@ -1406,6 +1556,34 @@ class ODEOperator(JaxOperator):
         self._compiled_cache = {}
 
     def _build_integrator(self, fn: Callable, t_offsets) -> Callable:
+        if isinstance(self._method, RKTableau):
+            return _build_adaptive_integrator(
+                fn,
+                self._method,
+                t_offsets,
+                self._rtol,
+                self._atol,
+                self._max_step,
+                self._first_step,
+            )
+        if callable(self._method):
+            return self._method(
+                fn,
+                t_offsets,
+                self._rtol,
+                self._atol,
+                self._max_step,
+                self._first_step,
+            )
+        if self._method == _LSODA:
+            return _build_lsoda_integrator(
+                fn,
+                t_offsets,
+                self._rtol,
+                self._atol,
+                self._max_step,
+                self._first_step,
+            )
         if self._method in _ADAPTIVE_TABLEAUS:
             return _build_adaptive_integrator(
                 fn,

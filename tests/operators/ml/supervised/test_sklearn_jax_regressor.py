@@ -117,3 +117,51 @@ def test_deeponet_end_to_end():
     )
     model.fit(x, y)
     assert model.score(x, y) > -5e-2
+
+
+def test_streaming_fit_matches_resident_quality():
+    """An artificially tiny device budget forces the host-streaming fit
+    path (shuffled shards per epoch); it must train to the same quality
+    as the resident path (the counterpart of the reference's lazy
+    tf.data GPU loading, sklearn_keras_regressor.py:109-166)."""
+    import optax
+
+    x, y = _linear_data()
+    row_bytes = x[:1].nbytes + y[:1].nbytes
+
+    def make(**kwargs):
+        return SKLearnJaxRegressor(
+            lambda: FNN([16, 2]),
+            batch_size=64,
+            epochs=200,
+            verbose=0,
+            optimizer=optax.adam(1e-2),
+            **kwargs,
+        )
+
+    resident = make().fit(x, y)
+    # budget of two batches' worth of rows -> 4 shards per epoch
+    streaming = make(max_device_data_bytes=2 * 64 * row_bytes).fit(x, y)
+    assert streaming.score(x, y) > -5e-3
+    assert streaming.history["loss"][-1] < streaming.history["loss"][0]
+    # both reach the same loss scale on this convex-ish problem
+    assert (
+        streaming.history["loss"][-1]
+        < 10 * max(resident.history["loss"][-1], 1e-6)
+    )
+
+
+def test_streaming_budget_larger_than_data_stays_resident():
+    import optax
+
+    x, y = _linear_data(n=128)
+    model = SKLearnJaxRegressor(
+        lambda: FNN([8, 2]),
+        batch_size=64,
+        epochs=20,
+        verbose=0,
+        optimizer=optax.adam(1e-2),
+        max_device_data_bytes=10 * (x.nbytes + y.nbytes),
+    )
+    model.fit(x, y)
+    assert len(model.history["loss"]) == 20
