@@ -73,6 +73,7 @@ class FDMOperator(JaxOperator):
         d_t: float,
         fused_kernels: bool = True,
         linear_propagator: bool = True,
+        kernel_storage_dtype=None,
     ):
         """
         :param integrator: the time integrator to use
@@ -92,12 +93,17 @@ class FDMOperator(JaxOperator):
             (:mod:`pararealml_tpu.ops.linear_propagator`) instead of
             sequential stencil stepping; plain ``solve`` calls always
             time-step
+        :param kernel_storage_dtype: HBM state/trajectory precision of
+            the block-tiled fused kernels on beyond-VMEM grids
+            (``jnp.bfloat16`` halves their HBM traffic; stencil
+            arithmetic stays f32 regardless); ``None`` keeps float32
         """
         super().__init__(d_t, True)
         self._integrator = integrator
         self._differentiator = differentiator
         self._fused_kernels = fused_kernels
         self._linear_propagator = linear_propagator
+        self._kernel_storage_dtype = kernel_storage_dtype
         self._compiled_cache = {}
 
     def solve(
@@ -292,6 +298,7 @@ class FDMOperator(JaxOperator):
                     self._d_t,
                     steps,
                     interpret=jax.default_backend() != "tpu",
+                    storage_dtype=self._kernel_storage_dtype,
                 )
                 return lambda y_init, t_start: fused_trajectory(y_init)
             if fused_system_step_applicable(cp, self._integrator):

@@ -1,4 +1,8 @@
-from pararealml_tpu.operators.ml.deeponet import FNN, DeepONet
+from pararealml_tpu.operators.ml.deeponet import (
+    FNN,
+    DeepONet,
+    Standardized,
+)
 from pararealml_tpu.operators.ml.supervised.sklearn_jax_regressor import (
     SKLearnJaxRegressor,
 )
@@ -9,6 +13,7 @@ from pararealml_tpu.operators.ml.supervised.supervised_ml_operator import (
 __all__ = [
     "DeepONet",
     "FNN",
+    "Standardized",
     "SupervisedMLOperator",
     "SKLearnJaxRegressor",
 ]

@@ -37,6 +37,64 @@ class FNN(nn.Module):
         return nn.Dense(self.layer_sizes[-1])(x)
 
 
+class Standardized(nn.Module):
+    """Wraps a regression module with input/output standardization baked
+    into the forward graph: the inner module sees z-scored features and
+    produces z-scored targets, de-standardized on the way out.
+
+    Because the scaling lives inside the module, every compiled consumer
+    of the ``(module, params)`` pair — batched prediction, the
+    supervised auto-regressive roll-out, the Parareal coarse sweep —
+    gets one self-contained function; no separate scaler object to
+    thread through jit boundaries. The statistics are fixed constants
+    computed from the training set (:meth:`from_data`), mirroring a
+    Keras ``Normalization`` layer adapted before training.
+
+    :param inner: the wrapped regression module
+    :param x_mean: per-feature input means
+    :param x_std: per-feature input standard deviations
+    :param y_mean: per-dimension output means
+    :param y_std: per-dimension output standard deviations
+    """
+
+    inner: nn.Module
+    x_mean: Sequence[float]
+    x_std: Sequence[float]
+    y_mean: Sequence[float]
+    y_std: Sequence[float]
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x_mean = jnp.asarray(self.x_mean, x.dtype)
+        x_std = jnp.asarray(self.x_std, x.dtype)
+        y_mean = jnp.asarray(self.y_mean, x.dtype)
+        y_std = jnp.asarray(self.y_std, x.dtype)
+        return y_mean + y_std * self.inner((x - x_mean) / x_std)
+
+    @staticmethod
+    def from_data(
+        inner: nn.Module,
+        x,
+        y,
+        epsilon: float = 1e-7,
+    ) -> "Standardized":
+        """Builds the wrapper with statistics of the given training set
+        (``epsilon`` floors the standard deviations so constant features
+        pass through unscaled rather than dividing by zero)."""
+        import numpy as np
+
+        x = np.asarray(x)
+        y = np.asarray(y)
+        x_std = np.std(x, axis=0)
+        y_std = np.std(y, axis=0)
+        return Standardized(
+            inner,
+            tuple(np.mean(x, axis=0).tolist()),
+            tuple(np.where(x_std < epsilon, 1.0, x_std).tolist()),
+            tuple(np.mean(y, axis=0).tolist()),
+            tuple(np.where(y_std < epsilon, 1.0, y_std).tolist()),
+        )
+
+
 class DeepONet(nn.Module):
     """A Deep Operator Network with a combiner head.
 

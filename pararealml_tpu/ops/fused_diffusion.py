@@ -148,6 +148,7 @@ def build_fused_diffusion_rk4_trajectory(
     n_steps: int,
     diffusion_coefficient: Optional[float] = None,
     interpret: bool = False,
+    storage_dtype=None,
 ):
     """Builds ``trajectory(y) -> ys`` computing ``n_steps`` fused RK4
     diffusion steps in ONE kernel invocation.
@@ -158,6 +159,13 @@ def build_fused_diffusion_rk4_trajectory(
     one initial read plus one write per step — the minimum possible for
     a solver that materializes the trajectory — instead of the dozens of
     intermediate round-trips of the generic XLA path.
+
+    ``storage_dtype`` (beyond-VMEM grids only) selects the HBM
+    state/trajectory precision; ``jnp.bfloat16`` halves the tiled
+    kernel's HBM traffic while all stencil arithmetic stays f32 (see
+    :func:`pararealml_tpu.ops.tiled_diffusion.
+    build_tiled_diffusion_rk4_trajectory`). The VMEM-resident kernel
+    ignores it (its state never round-trips through HBM).
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -179,6 +187,7 @@ def build_fused_diffusion_rk4_trajectory(
             n_steps,
             diffusion_coefficient=diffusion_coefficient,
             interpret=interpret,
+            storage_dtype=storage_dtype,
         )
     d_x0, d_x1 = mesh.d_x
     constants = _constraint_tensors(cp)

@@ -64,37 +64,55 @@ class _TilePlan(NamedTuple):
     h_traj: int
     w_pad: int
     starts: Tuple[int, ...]
+    halo: int = 8
 
 
-def make_tile_plan(height: int, width: int) -> Optional[_TilePlan]:
+def make_tile_plan(
+    height: int, width: int, sublane: int = 8
+) -> Optional[_TilePlan]:
     """Plans the row tiling for a grid, or returns None when the grid is
-    outside the tiled kernel's supported range."""
+    outside the tiled kernel's supported range.
+
+    ``sublane`` is the storage dtype's sublane tile (8 for f32, 16 for
+    bf16): every DMA offset and buffer height is rounded to it so Mosaic
+    can prove the slices tile-aligned. The halo is ``sublane`` rows on
+    each side (the chained RK4 stencil stages need only 4).
+    """
     w_pad = -(-width // 128) * 128
     if w_pad > _MAX_WIDTH_PAD or height > _MAX_HEIGHT:
         return None
-    block = min((_MAX_TILE_ELEMS // w_pad - 16) // 8 * 8, 256)
-    if block < 8:
+    halo = sublane
+    block = min(
+        (_MAX_TILE_ELEMS // w_pad - 2 * halo)
+        // sublane * sublane,
+        256,
+    )
+    if block < sublane:
         return None
     if height <= block:
         # force at least two tiles so the pipeline logic is uniform
-        block = max(8, ((height + 1) // 2 + 7) // 8 * 8)
+        block = max(
+            sublane,
+            -(-((height + 1) // 2) // sublane) * sublane,
+        )
     n_tiles = -(-height // block)
     if n_tiles < 2 or block >= height:
         return None
-    h_traj = -(-height // 8) * 8
+    h_traj = -(-height // sublane) * sublane
     # the last tile is clamped to end exactly at h_traj; its start is a
-    # multiple of 8 because both h_traj and block are
+    # multiple of the sublane tile because both h_traj and block are
     starts = tuple(
         i * block for i in range(n_tiles - 1)
     ) + (h_traj - block,)
     return _TilePlan(
         block=block,
         n_tiles=n_tiles,
-        tile_h=block + 16,
-        h_buf=h_traj + 16,
+        tile_h=block + 2 * halo,
+        h_buf=h_traj + 2 * halo,
         h_traj=h_traj,
         w_pad=w_pad,
         starts=starts,
+        halo=halo,
     )
 
 
@@ -146,9 +164,9 @@ def _face_tensors(cp: ConstrainedProblem, plan: _TilePlan):
 
     def pad_col(vec):
         # column vectors are indexed by buffer row: global row g lives
-        # at buffer row g + 8
+        # at buffer row g + halo
         out = np.zeros(plan.h_buf, vec.dtype)
-        out[8:8 + height] = vec
+        out[plan.halo:plan.halo + height] = vec
         return out
 
     def stack_rows(lo, hi):
@@ -215,12 +233,19 @@ def build_tiled_diffusion_rk4_trajectory(
     n_steps: int,
     diffusion_coefficient: Optional[float] = None,
     interpret: bool = False,
+    storage_dtype=None,
 ):
     """Builds ``trajectory(y) -> ys`` computing ``n_steps`` fused RK4
     diffusion(-convection) steps on a grid too large for VMEM, via
     overlapped row tiles. Semantically identical to
     :func:`pararealml_tpu.ops.fused_diffusion.
     build_fused_diffusion_rk4_trajectory`.
+
+    ``storage_dtype`` selects the precision of the HBM-resident state
+    and trajectory buffers (``jnp.float32`` by default;
+    ``jnp.bfloat16`` halves the kernel's HBM and DMA traffic while all
+    stencil arithmetic stays in f32 — the RK4 stages up-convert each
+    tile on load and round the result once per step on store).
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -229,7 +254,17 @@ def build_tiled_diffusion_rk4_trajectory(
         diffusion_coefficient = diff_eq._d
     mesh = cp.mesh
     height, width = mesh.vertices_shape
-    plan = make_tile_plan(height, width)
+    storage_dtype = jnp.dtype(storage_dtype or jnp.float32)
+    if storage_dtype not in (
+        jnp.dtype(jnp.float32),
+        jnp.dtype(jnp.bfloat16),
+    ):
+        raise ValueError(
+            "storage_dtype must be float32 or bfloat16, got "
+            f"{storage_dtype}"
+        )
+    sublane = 8 if storage_dtype == jnp.dtype(jnp.float32) else 16
+    plan = make_tile_plan(height, width, sublane)
     if plan is None:
         raise ValueError("grid outside the tiled kernel's range")
     if not dirichlet_is_face_only(cp):
@@ -237,7 +272,7 @@ def build_tiled_diffusion_rk4_trajectory(
             "the tiled kernel represents Dirichlet constraints as face "
             "vectors; interior static y constraints are not supported"
         )
-    block, n_tiles, tile_h, h_buf, h_traj, w_pad, starts = plan
+    block, n_tiles, tile_h, h_buf, h_traj, w_pad, starts, halo = plan
     d_x0, d_x1 = mesh.d_x
     faces = _face_tensors(cp, plan)
     dtype = jnp.float32
@@ -317,7 +352,7 @@ def build_tiled_diffusion_rk4_trajectory(
         def state_dma(dst_slot, i, buf_slot):
             return pltpu.make_async_copy(
                 out_state.at[buf_slot],
-                state_ref.at[dst_slot, pl.ds(8 + starts[i], block)],
+                state_ref.at[dst_slot, pl.ds(halo + starts[i], block)],
                 state_sems.at[buf_slot],
             )
 
@@ -331,9 +366,9 @@ def build_tiled_diffusion_rk4_trajectory(
         def compute_tile(tile, i):
             """One full RK4 step over tile ``i`` (a Python index, so
             every boundary fix lands on a statically-known row); rows
-            [8, 8+block) of the result are globally correct."""
+            [halo, halo+block) of the result are globally correct."""
             start = starts[i]
-            first_global = start - 8  # global row of tile row 0
+            first_global = start - halo  # global row of tile row 0
 
             # statically-known tile rows of the global boundary rows,
             # when they fall inside this tile's window
@@ -516,7 +551,7 @@ def build_tiled_diffusion_rk4_trajectory(
                     rhs_value = jnp.where(valid_rows, rhs_value, 0.0)
                 return rhs_value
 
-            state = tile
+            state = tile.astype(dtype)
             if needs_sanitize:
                 state = jnp.where(valid_rows, state, 0.0)
             k1 = d_t * rhs(state)
@@ -526,7 +561,7 @@ def build_tiled_diffusion_rk4_trajectory(
             result = apply_dirichlet(
                 state + (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
             )
-            return result[8:8 + block]
+            return result[halo:halo + block].astype(storage_dtype)
 
         def step(k, _):
             src_slot = jax.lax.rem(k, 2)
@@ -567,8 +602,10 @@ def build_tiled_diffusion_rk4_trajectory(
             # the trajectory keeps the padded width: Mosaic requires
             # every dimension of a sliced HBM buffer to be
             # tile-aligned, so the clean view is sliced off lazily
-            jax.ShapeDtypeStruct((n_steps, h_traj, w_pad), dtype),
-            jax.ShapeDtypeStruct((2, h_buf, w_pad), dtype),
+            jax.ShapeDtypeStruct(
+                (n_steps, h_traj, w_pad), storage_dtype
+            ),
+            jax.ShapeDtypeStruct((2, h_buf, w_pad), storage_dtype),
         ),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
@@ -577,8 +614,8 @@ def build_tiled_diffusion_rk4_trajectory(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, tile_h, w_pad), dtype),
-            pltpu.VMEM((2, block, w_pad), dtype),
+            pltpu.VMEM((2, tile_h, w_pad), storage_dtype),
+            pltpu.VMEM((2, block, w_pad), storage_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -600,8 +637,8 @@ def build_tiled_diffusion_rk4_trajectory(
     def trajectory(y: jax.Array) -> jax.Array:
         y_2d = jnp.asarray(y, dtype).reshape(height, width)
         y_padded = jnp.pad(
-            y_2d, ((8, h_buf - 8 - height), (0, w_pad - width))
-        )
+            y_2d, ((halo, h_buf - halo - height), (0, w_pad - width))
+        ).astype(storage_dtype)
         traj, _ = call(y_padded, *face_args)
         traj = traj[:, :height, :width]
         return traj.reshape(n_steps, height, width, 1).astype(y.dtype)
