@@ -388,6 +388,9 @@ class PararealOperator(JaxOperator):
                     y_start, slice_index, t_0
                 )[-1]
 
+            def fine_end_call(y_start, slice_index, t_0):
+                return fine_call(y_start, slice_index, t_0)[-1]
+
         else:
             time_parallel = self._use_time_parallel_trajectories(cp)
 
@@ -442,6 +445,12 @@ class PararealOperator(JaxOperator):
             _end_vmappable = getattr(
                 coarse_fn_vmappable, "end_function", None
             )
+            _fine_end = getattr(fine_fn, "end_function", None)
+
+            def fine_end_call(y_start, slice_index, t_0):
+                if _fine_end is not None:
+                    return _fine_end(y_start, t_0 + slice_index * delta)
+                return fine_call(y_start, slice_index, t_0)[-1]
 
             def coarse_end_call(y_start, slice_index, t_0):
                 if _end is not None:
@@ -504,6 +513,11 @@ class PararealOperator(JaxOperator):
                     y_starts[0], slice_indices[0], t_0
                 )[jnp.newaxis]
 
+            def batched_fine_ends(y_starts, slice_indices, t_0):
+                return fine_end_call(
+                    y_starts[0], slice_indices[0], t_0
+                )[jnp.newaxis]
+
             def batched_coarse_ends(y_starts, slice_indices, t_0):
                 return coarse_end_call_vmappable(
                     y_starts[0], slice_indices[0], t_0
@@ -515,6 +529,12 @@ class PararealOperator(JaxOperator):
                 return jax.vmap(fine_call, in_axes=(0, 0, None))(
                     y_starts, slice_indices, t_0
                 )
+
+            def batched_fine_ends(y_starts, slice_indices, t_0):
+                return jax.vmap(
+                    lambda y, j: fine_end_call(y, j, t_0),
+                    in_axes=(0, 0),
+                )(y_starts, slice_indices)
 
             def batched_coarse_ends(y_starts, slice_indices, t_0):
                 return jax.vmap(
@@ -566,20 +586,21 @@ class PararealOperator(JaxOperator):
                 [y_init[jnp.newaxis], coarse_ends]
             )
 
-            fine_placeholder = jnp.zeros(
-                (slices_per_device, fine_steps) + y_shape,
-                y_init.dtype,
-            )
-
             def local_slice(array):
                 return jax.lax.dynamic_slice_in_dim(
                     array, first_slice, slices_per_device, 0
                 )
 
             def iteration(carry):
-                i, y_borders, coarse_ends, _, _ = carry
+                # corrections (classic and FCF alike) need only the
+                # fine slice END states, so the loop never materializes
+                # fine trajectories: affine-propagator fine solves
+                # advance a slice in O(log steps) matvecs here, and the
+                # full trajectories are expanded exactly once after
+                # convergence
+                i, y_borders, coarse_ends, _ = carry
                 # this device's fine solves, batched through vmap
-                sub_y_fine = batched_fine(
+                local_fine_ends = batched_fine_ends(
                     local_slice(y_borders[:-1]),
                     local_slice_indices,
                     t_0,
@@ -591,22 +612,19 @@ class PararealOperator(JaxOperator):
                     # (z_0 = u_0), advancing exactness two slices
                     # per iteration (MGRIT two-level FCF)
                     fine_ends = jax.lax.all_gather(
-                        sub_y_fine[:, -1], "time"
+                        local_fine_ends, "time"
                     ).reshape((n,) + y_shape)
                     z = jnp.concatenate(
                         [y_borders[:1], fine_ends[:-1]]
                     )
-                    sub_y_fine = batched_fine(
+                    local_corrections = batched_fine_ends(
                         local_slice(z), local_slice_indices, t_0
-                    )
-                    local_corrections = sub_y_fine[
-                        :, -1
-                    ] - batched_coarse_ends(
+                    ) - batched_coarse_ends(
                         local_slice(z), local_slice_indices, t_0
                     )
                 else:
                     local_corrections = (
-                        sub_y_fine[:, -1]
+                        local_fine_ends
                         - local_slice(coarse_ends)
                     )
                 corrections = jax.lax.all_gather(
@@ -651,12 +669,10 @@ class PararealOperator(JaxOperator):
                     i, n, corrective_sweep, (y_borders, coarse_ends)
                 )
                 converged = termination(old_ends, y_borders[1:])
-                return (
-                    i + 1, y_borders, coarse_ends, sub_y_fine, converged
-                )
+                return (i + 1, y_borders, coarse_ends, converged)
 
             def keep_iterating(carry):
-                i, _, _, _, converged = carry
+                i, _, _, converged = carry
                 return jnp.logical_and(
                     i < iterations, jnp.logical_not(converged)
                 )
@@ -665,20 +681,27 @@ class PararealOperator(JaxOperator):
             # updates drop below the tolerance (the reference's
             # criterion and loop break, parareal_operator.py:187-188),
             # remaining iterations are never dispatched at all
-            _, y_borders, _, sub_y_fine, _ = jax.lax.while_loop(
+            _, y_borders, _, _ = jax.lax.while_loop(
                 keep_iterating,
                 iteration,
                 (
                     jnp.asarray(0, jnp.int32),
                     y_borders,
                     coarse_ends,
-                    fine_placeholder,
                     jnp.asarray(False),
                 ),
             )
 
-            # shift the local fine trajectories onto the corrected
-            # borders
+            # materialize the fine trajectories once, from the FINAL
+            # borders (at or above the accuracy of the reference's
+            # last-iteration trajectories, which start one correction
+            # earlier), and shift them onto the corrected borders for
+            # continuity — the reference's final shift semantics
+            sub_y_fine = batched_fine(
+                local_slice(y_borders[:-1]),
+                local_slice_indices,
+                t_0,
+            )
             shifts = (
                 local_slice(y_borders[1:]) - sub_y_fine[:, -1]
             )

@@ -47,6 +47,10 @@ from pararealml_tpu.differential_equation import LHS
 
 # S alone is dim^2; beyond this the dense formulation loses to stencils
 _MAX_DIM = 4096
+# element budget for the stacked chunk powers [S^1..S^c] used to expand
+# trajectory interiors chunk-at-a-time (32 MB of f32): caps both the
+# compiled program's constant size and the per-chunk matmul width
+_MAX_CHUNK_STACK_ELEMS = 8_388_608
 # matmul precision: f32 inputs on the TPU MXU default to bf16 passes,
 # which is far too coarse for chained propagators; HIGHEST requests the
 # full-precision (6-pass) f32 composition
@@ -223,16 +227,51 @@ def build_linear_propagator_trajectory(
     s_t = jnp.asarray(s_matrix.T)
     chain = _binary_power_chain(s_matrix, q, n_steps)
 
+    # chunked interior expansion: with the stacked powers
+    # [S^1.T .. S^c.T] (precomputed once, (dim, c*dim) flattened), a
+    # whole chunk of c trajectory states is ONE (B, dim) x (dim, c*dim)
+    # MXU matmul from the chunk-start state — the time axis itself is
+    # parallelized within a chunk, cutting the serial scan length by c
+    chunk = max(
+        1, min(32, n_steps, _MAX_CHUNK_STACK_ELEMS // (dim * dim))
+    )
+    if chunk > 1:
+        pow_ts, offsets = [s_t], [q]
+        for _ in range(chunk - 1):
+            pow_ts.append(
+                jnp.matmul(pow_ts[-1], s_t, precision=_PRECISION)
+            )
+            offsets.append(
+                jnp.matmul(offsets[-1], s_t, precision=_PRECISION) + q
+            )
+        pow_flat = jnp.stack(pow_ts, axis=1).reshape(dim, chunk * dim)
+        offset_stack = jnp.stack(offsets, axis=0)
+        n_chunks = -(-n_steps // chunk)
+
     def trajectory(y, t_0=None):
         y_flat = jnp.asarray(y, dtype).reshape(dim)
 
-        def body(carry, _):
-            nxt = (
-                jnp.matmul(carry, s_t, precision=_PRECISION) + q
-            )
-            return nxt, nxt
+        if chunk > 1:
 
-        _, ys = jax.lax.scan(body, y_flat, None, length=n_steps)
+            def body(carry, _):
+                states = jnp.matmul(
+                    carry, pow_flat, precision=_PRECISION
+                ).reshape(chunk, dim) + offset_stack
+                return states[-1], states
+
+            _, ys = jax.lax.scan(
+                body, y_flat, None, length=n_chunks
+            )
+            ys = ys.reshape(n_chunks * chunk, dim)[:n_steps]
+        else:
+
+            def body(carry, _):
+                nxt = (
+                    jnp.matmul(carry, s_t, precision=_PRECISION) + q
+                )
+                return nxt, nxt
+
+            _, ys = jax.lax.scan(body, y_flat, None, length=n_steps)
         return ys.reshape((n_steps,) + tuple(y_shape)).astype(
             jnp.result_type(y)
         )

@@ -468,3 +468,94 @@ def test_pde_solve_roundtrip_with_input_d_t():
     assert y.shape == exact.shape
     # error compounds over 5 autoregressive model steps
     assert np.abs(y - exact).max() < 0.15
+
+
+def test_trajectory_function_hoists_deeponet_trunk():
+    # a (Standardized-wrapped) DeepONet whose branch consumes exactly
+    # the flattened state takes the trunk-hoisted roll-out path; it
+    # must agree with solve(), which predicts through the generic
+    # tiled input layout
+    import optax
+
+    from pararealml_tpu.operators.ml import DeepONet, Standardized
+    from pararealml_tpu.operators.ml.supervised.supervised_ml_operator import (  # noqa: E501
+        SupervisedMLOperator as _Op,
+    )
+
+    np.random.seed(0)
+    ivp = _diffusion_ivp()
+    cp = ivp.constrained_problem
+    n_y = int(np.prod(cp.y_shape(True)))
+    oracle = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), 0.001
+    )
+    op = SupervisedMLOperator(0.25, True)
+    data = op.generate_data(ivp, oracle, 3, lambda t, y: y * 1.01)
+
+    def build():
+        return Standardized.from_data(
+            DeepONet(
+                branch_net=FNN([8], activation=lambda h: h),
+                trunk_net=FNN([16, 8]),
+                combiner_net=FNN([1], activation=lambda h: h),
+                branch_net_input_size=n_y,
+            ),
+            *data,
+        )
+
+    model = SKLearnJaxRegressor(
+        build, batch_size=64, epochs=30,
+        optimizer=optax.adam(2e-3), verbose=0,
+    )
+    op.fit_model(model, data)
+
+    # the fast path must actually engage for this model shape
+    module, params = model.model
+    x = np.asarray(
+        cp.mesh.all_index_coordinates(True, flatten=True)
+    )
+    import jax.numpy as jnp
+
+    assert (
+        _Op._build_hoisted_deeponet_apply(
+            module, params, jnp.asarray(x), False
+        )
+        is not None
+    )
+
+    solution = op.solve(ivp).discrete_y()
+    fn, _ = op.trajectory_function(cp, (0.0, 0.5))
+    y_0 = np.asarray(ivp.initial_condition.discrete_y_0(True))
+    rollout = np.asarray(jax.jit(fn)(y_0, 0.0))
+    assert np.allclose(rollout, solution, atol=1e-8)
+
+
+def test_trajectory_function_hoists_bare_deeponet():
+    from pararealml_tpu.operators.ml import DeepONet
+
+    np.random.seed(0)
+    ivp = _diffusion_ivp()
+    cp = ivp.constrained_problem
+    n_y = int(np.prod(cp.y_shape(True)))
+    oracle = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), 0.001
+    )
+    op = SupervisedMLOperator(0.25, True)
+    model = SKLearnJaxRegressor(
+        lambda: DeepONet(
+            branch_net=FNN([8]),
+            trunk_net=FNN([16, 8]),
+            combiner_net=FNN([1]),
+            branch_net_input_size=n_y,
+        ),
+        batch_size=64,
+        epochs=20,
+        verbose=0,
+    )
+    op.train(ivp, oracle, model, 3, lambda t, y: y * 1.01)
+
+    solution = op.solve(ivp).discrete_y()
+    fn, _ = op.trajectory_function(cp, (0.0, 0.5))
+    y_0 = np.asarray(ivp.initial_condition.discrete_y_0(True))
+    rollout = np.asarray(jax.jit(fn)(y_0, 0.0))
+    assert np.allclose(rollout, solution, atol=1e-8)
