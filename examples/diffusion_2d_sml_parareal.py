@@ -11,8 +11,8 @@ import numpy as np
 import optax
 
 from pararealml_tpu import *
+from pararealml_tpu.operators.ml import DeepONet, FNN, Standardized
 from pararealml_tpu.operators.fdm import *
-from pararealml_tpu.operators.ml import FNN
 from pararealml_tpu.operators.ml.supervised import *
 from pararealml_tpu.operators.parareal import PararealOperator
 from pararealml_tpu.utils.rand import SEEDS, set_random_seed
@@ -39,24 +39,37 @@ ivp = InitialValueProblem(cp, (0.0, 4.0), ic)
 n_slices = 10
 fine = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.001)
 
-# the coarse operator: a network learning the solution jump over one
+# the coarse operator: a DeepONet learning the solution jump over one
 # whole time slice, trained on fine-solver trajectories of perturbed
-# initial conditions
+# initial conditions. The linear branch over the flattened state makes
+# the surrogate affine in the state, so its (constant) Jacobian tracks
+# the true propagator and the Parareal iteration contracts stably — a
+# plain per-vertex MLP stagnates here once iterates leave the training
+# manifold. Standardized bakes the feature scaling into the module.
 coarse_sml = SupervisedMLOperator(4.0 / n_slices, True)
+data = coarse_sml.generate_data(
+    ivp,
+    fine,
+    10,
+    lambda t, y: y * np.random.uniform(0.9, 1.1, size=y.shape),
+)
+n_y = int(np.prod(cp.y_shape(True)))
 model = SKLearnJaxRegressor(
-    lambda: FNN([128, 128, diff_eq.y_dimension]),
+    lambda: Standardized.from_data(
+        DeepONet(
+            branch_net=FNN([64], activation=lambda h: h),
+            trunk_net=FNN([128, 128, 64]),
+            combiner_net=FNN([1], activation=lambda h: h),
+            branch_net_input_size=n_y,
+        ),
+        *data,
+    ),
     batch_size=4096,
     epochs=200,
     optimizer=optax.adam(2e-3),
     verbose=0,
 )
-train_score, test_score = coarse_sml.train(
-    ivp,
-    fine,
-    model,
-    10,
-    lambda t, y: y * np.random.uniform(0.9, 1.1, size=y.shape),
-)
+train_score, test_score = coarse_sml.fit_model(model, data)
 print("coarse surrogate train MSE:", train_score, "test:", test_score)
 
 parareal = PararealOperator(
