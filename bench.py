@@ -98,11 +98,12 @@ COARSE_D_T = 0.01
 TOLERANCE = 0.0025
 N_SLICES = 8
 # the time axis is decoupled from the device count (slices are
-# vmap-batched per device), so the slice count is a tunable — 40
-# slices of 1000 fine steps each is the measured optimum on one chip
-# with the affine-propagator sub-solves and the ends-only iteration
-# (2.93/3.30/3.27 ms at n = 40/100/200)
-BEST_N_SLICES = 40
+# vmap-batched per device), so the slice count is a tunable — 100
+# slices of 400 fine steps each is the measured optimum on one chip
+# with the affine-propagator sub-solves, the ends-only iteration, and
+# the per-slice initial coarse sweep (2.59/2.03/2.92 ms at
+# n = 40/100/200)
+BEST_N_SLICES = 100
 BEST_COARSE_D_T = 0.05
 
 

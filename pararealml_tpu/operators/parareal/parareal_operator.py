@@ -548,13 +548,21 @@ class PararealOperator(JaxOperator):
         # initial coarse sweep as ONE whole-domain coarse trajectory
         # (the reference's own structure — a single g.solve(ivp),
         # parareal_operator.py:133-139) instead of a scan of n per-slice
-        # solves, so fused multi-step kernels / chunked propagators
-        # apply. FCF keeps the per-slice scan: its corrections come from
-        # per-slice coarse solves and the sweeps must use the identical
-        # propagator.
+        # solves, so fused multi-step kernels apply. A coarse operator
+        # that exposes an affine end_function skips this: its per-slice
+        # scan is O(n log steps) matvecs, far cheaper than expanding
+        # (and discarding) the whole coarse interior, and it keeps the
+        # initial sweep on the identical propagator the corrective
+        # sweeps use. FCF always keeps the per-slice scan: its
+        # corrections come from per-slice coarse solves and the sweeps
+        # must match.
         coarse_whole_fn = None
         coarse_steps_per_slice = round(slice_duration / self._g.d_t)
-        if t_start is None and not fcf:
+        if (
+            t_start is None
+            and not fcf
+            and getattr(coarse_fn, "end_function", None) is None
+        ):
             coarse_whole_fn = self._g.trajectory_function(
                 cp,
                 (0.0, n * slice_duration),

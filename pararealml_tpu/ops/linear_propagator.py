@@ -48,9 +48,9 @@ from pararealml_tpu.differential_equation import LHS
 # S alone is dim^2; beyond this the dense formulation loses to stencils
 _MAX_DIM = 4096
 # element budget for the stacked chunk powers [S^1..S^c] used to expand
-# trajectory interiors chunk-at-a-time (32 MB of f32): caps both the
+# trajectory interiors chunk-at-a-time (64 MB of f32): caps both the
 # compiled program's constant size and the per-chunk matmul width
-_MAX_CHUNK_STACK_ELEMS = 8_388_608
+_MAX_CHUNK_STACK_ELEMS = 16_777_216
 # matmul precision: f32 inputs on the TPU MXU default to bf16 passes,
 # which is far too coarse for chained propagators; HIGHEST requests the
 # full-precision (6-pass) f32 composition
@@ -233,7 +233,7 @@ def build_linear_propagator_trajectory(
     # MXU matmul from the chunk-start state — the time axis itself is
     # parallelized within a chunk, cutting the serial scan length by c
     chunk = max(
-        1, min(32, n_steps, _MAX_CHUNK_STACK_ELEMS // (dim * dim))
+        1, min(64, n_steps, _MAX_CHUNK_STACK_ELEMS // (dim * dim))
     )
     if chunk > 1:
         pow_ts, offsets = [s_t], [q]
