@@ -311,6 +311,7 @@ class FDMOperator(JaxOperator):
                     anti_laplacian_max_iterations=(
                         self._differentiator._max_iterations
                     ),
+                    storage_dtype=self._kernel_storage_dtype,
                 )
                 return lambda y_init, t_start: fused_trajectory(y_init)
             if fused_system_3d_step_applicable(cp, self._integrator):

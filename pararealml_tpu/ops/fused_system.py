@@ -543,9 +543,14 @@ def build_fused_system_rk4_trajectory(
     interpret: bool = False,
     anti_laplacian_tol: float = 1e-3,
     anti_laplacian_max_iterations: int = 100_000,
+    storage_dtype=None,
 ):
     """Builds ``trajectory(y) -> ys`` computing ``n_steps`` fused RK4
-    steps of a multi-component system, ``y`` of shape (h, w, n)."""
+    steps of a multi-component system, ``y`` of shape (h, w, n).
+
+    ``storage_dtype`` (beyond-VMEM grids only) selects the tiled
+    kernel's HBM state/trajectory precision; the VMEM-resident kernel
+    ignores it."""
     from jax.experimental.pallas import tpu as pltpu
 
     diff_eq = cp.differential_equation
@@ -556,7 +561,11 @@ def build_fused_system_rk4_trajectory(
         )
 
         return build_tiled_system_rk4_trajectory(
-            cp, d_t, n_steps, interpret=interpret
+            cp,
+            d_t,
+            n_steps,
+            interpret=interpret,
+            storage_dtype=storage_dtype,
         )
     n = diff_eq.y_dimension
     mesh = cp.mesh

@@ -59,37 +59,47 @@ class _SystemTilePlan(NamedTuple):
     h_traj: int
     w_pad: int
     starts: Tuple[int, ...]
+    halo: int = 8
 
 
 def make_system_tile_plan(
-    height: int, width: int, n_components: int
+    height: int, width: int, n_components: int, sublane: int = 8
 ) -> Optional[_SystemTilePlan]:
     """Plans the row tiling for an ``n_components``-plane grid, or None
-    when outside the tiled kernel's supported range."""
+    when outside the tiled kernel's supported range. ``sublane`` is the
+    storage dtype's sublane tile (8 for f32, 16 for bf16), governing
+    the alignment of every DMA offset and the halo depth."""
     w_pad = -(-width // 128) * 128
     if w_pad > _MAX_WIDTH_PAD or height > _MAX_HEIGHT:
         return None
+    halo = sublane
     max_elems = _MAX_TILE_ELEMS_PER_COMPONENT // max(n_components, 1)
-    block = min((max_elems // w_pad - 16) // 8 * 8, 256)
-    if block < 8:
+    block = min(
+        (max_elems // w_pad - 2 * halo) // sublane * sublane, 256
+    )
+    if block < sublane:
         return None
     if height <= block:
-        block = max(8, ((height + 1) // 2 + 7) // 8 * 8)
+        block = max(
+            sublane,
+            -(-((height + 1) // 2) // sublane) * sublane,
+        )
     n_tiles = -(-height // block)
     if n_tiles < 2 or block >= height:
         return None
-    h_traj = -(-height // 8) * 8
+    h_traj = -(-height // sublane) * sublane
     starts = tuple(
         i * block for i in range(n_tiles - 1)
     ) + (h_traj - block,)
     return _SystemTilePlan(
         block=block,
         n_tiles=n_tiles,
-        tile_h=block + 16,
-        h_buf=h_traj + 16,
+        tile_h=block + 2 * halo,
+        h_buf=h_traj + 2 * halo,
         h_traj=h_traj,
         w_pad=w_pad,
         starts=starts,
+        halo=halo,
     )
 
 
@@ -142,11 +152,16 @@ def _component_face_tensors(
         )
 
     def tile_cols(array):
-        # global row g lives at buffer row g + 8; entry i holds the
+        # global row g lives at buffer row g + halo; entry i holds the
         # (2, n, tile_h) window of tile i (sliced host-side: dynamic
         # lane-dim offsets cannot be proven aligned by Mosaic)
         padded = np.pad(
-            array, ((0, 0), (0, 0), (8, plan.h_buf - 8 - height))
+            array,
+            (
+                (0, 0),
+                (0, 0),
+                (plan.halo, plan.h_buf - plan.halo - height),
+            ),
         )
         return np.stack(
             [padded[:, :, s:s + plan.tile_h] for s in plan.starts]
@@ -191,7 +206,7 @@ class _TiledStencilHelpers:
         plan = g["plan"]
         height, width = g["height"], g["width"]
         start = plan.starts[tile_index]
-        first_global = start - 8
+        first_global = start - plan.halo
         self.first_global = first_global
         top_row = -first_global
         self.top_row = top_row
@@ -356,11 +371,17 @@ def build_tiled_system_rk4_trajectory(
     d_t: float,
     n_steps: int,
     interpret: bool = False,
+    storage_dtype=None,
 ):
     """Builds ``trajectory(y) -> ys`` computing ``n_steps`` fused RK4
     system steps on a grid too large for VMEM, via overlapped row
     tiles. Semantically identical to :func:`pararealml_tpu.ops.
-    fused_system.build_fused_system_rk4_trajectory`."""
+    fused_system.build_fused_system_rk4_trajectory`.
+
+    ``storage_dtype`` selects the HBM state/trajectory precision
+    (``jnp.bfloat16`` halves the kernel's HBM and DMA traffic; all
+    stencil arithmetic stays f32 — tiles up-convert on load and round
+    once per step on store)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from pararealml_tpu.ops.fused_system import _make_step_factory
@@ -374,7 +395,17 @@ def build_tiled_system_rk4_trajectory(
     n = diff_eq.y_dimension
     mesh = cp.mesh
     height, width = mesh.vertices_shape
-    plan = make_system_tile_plan(height, width, n)
+    storage_dtype = jnp.dtype(storage_dtype or jnp.float32)
+    if storage_dtype not in (
+        jnp.dtype(jnp.float32),
+        jnp.dtype(jnp.bfloat16),
+    ):
+        raise ValueError(
+            "storage_dtype must be float32 or bfloat16, got "
+            f"{storage_dtype}"
+        )
+    sublane = 8 if storage_dtype == jnp.dtype(jnp.float32) else 16
+    plan = make_system_tile_plan(height, width, n, sublane)
     if plan is None:
         raise ValueError("grid outside the tiled kernel's range")
     if not dirichlet_is_face_only(cp):
@@ -382,7 +413,7 @@ def build_tiled_system_rk4_trajectory(
             "the tiled kernel represents Dirichlet constraints as face "
             "vectors; interior static y constraints are not supported"
         )
-    block, n_tiles, tile_h, h_buf, h_traj, w_pad, starts = plan
+    block, n_tiles, tile_h, h_buf, h_traj, w_pad, starts, halo = plan
     d_x0, d_x1 = mesh.d_x
     faces = _component_face_tensors(cp, plan, n)
     dtype = jnp.float32
@@ -474,7 +505,7 @@ def build_tiled_system_rk4_trajectory(
             return pltpu.make_async_copy(
                 out_state.at[buf_slot, comp],
                 state_ref.at[
-                    dst_slot, comp, pl.ds(8 + starts[i], block)
+                    dst_slot, comp, pl.ds(halo + starts[i], block)
                 ],
                 state_sems.at[buf_slot, comp],
             )
@@ -548,9 +579,14 @@ def build_tiled_system_rk4_trajectory(
 
             def compute_tile(y, helpers=helpers, step=step):
                 return tuple(
-                    helpers.sanitize(plane)[8:8 + block]
+                    helpers.sanitize(plane)[
+                        halo:halo + block
+                    ].astype(storage_dtype)
                     for plane in step(
-                        tuple(helpers.sanitize(p) for p in y)
+                        tuple(
+                            helpers.sanitize(p.astype(dtype))
+                            for p in y
+                        )
                     )
                 )
 
@@ -597,8 +633,10 @@ def build_tiled_system_rk4_trajectory(
     call = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n_steps, n, h_traj, w_pad), dtype),
-            jax.ShapeDtypeStruct((2, n, h_buf, w_pad), dtype),
+            jax.ShapeDtypeStruct(
+                (n_steps, n, h_traj, w_pad), storage_dtype
+            ),
+            jax.ShapeDtypeStruct((2, n, h_buf, w_pad), storage_dtype),
         ),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
@@ -607,8 +645,8 @@ def build_tiled_system_rk4_trajectory(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, n, tile_h, w_pad), dtype),
-            pltpu.VMEM((2, n, block, w_pad), dtype),
+            pltpu.VMEM((2, n, tile_h, w_pad), storage_dtype),
+            pltpu.VMEM((2, n, block, w_pad), storage_dtype),
             pltpu.SemaphoreType.DMA((2, n)),
             pltpu.SemaphoreType.DMA((2, n)),
             pltpu.SemaphoreType.DMA((2, n)),
@@ -633,8 +671,12 @@ def build_tiled_system_rk4_trajectory(
         )
         y_padded = jnp.pad(
             planes,
-            ((0, 0), (8, h_buf - 8 - height), (0, w_pad - width)),
-        )
+            (
+                (0, 0),
+                (halo, h_buf - halo - height),
+                (0, w_pad - width),
+            ),
+        ).astype(storage_dtype)
         traj, _ = call(y_padded, *face_args)
         traj = jnp.moveaxis(traj[:, :, :height, :width], 1, -1)
         return traj.astype(y.dtype)

@@ -207,3 +207,37 @@ def test_tiled_wave_three_tiles_matches_generic():
         WaveEquation(2, 1.5), mesh, _bcs(2, False, flux=0.1)
     )
     _compare(cp, [1.0, 0.0], d_t=0.02, steps=3)
+
+
+def test_bf16_storage_matches_f32_within_bf16_resolution():
+    import jax.numpy as jnp
+
+    from pararealml_tpu.ops.tiled_system import (
+        build_tiled_system_rk4_trajectory,
+        make_system_tile_plan,
+    )
+
+    plan = make_system_tile_plan(641, 641, 2, sublane=16)
+    assert plan is not None and plan.halo == 16
+    assert all(s % 16 == 0 for s in plan.starts)
+    assert plan.block % 16 == 0 and plan.h_traj % 16 == 0
+
+    cp = ConstrainedProblem(
+        WaveEquation(2, 0.5), _mesh(), _bcs(2, True)
+    )
+    y = np.asarray(
+        _gaussian_ic(cp, [1.0, 0.0]).discrete_y_0(True), np.float32
+    )
+    d_t, steps = 0.002, 4
+
+    f32 = build_tiled_system_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    bf16 = build_tiled_system_rk4_trajectory(
+        cp, d_t, steps, interpret=True, storage_dtype=jnp.bfloat16
+    )
+    ys_f32 = np.asarray(f32(y), np.float32)
+    ys_bf16 = np.asarray(bf16(y), np.float32)
+    assert ys_bf16.shape == ys_f32.shape
+    scale = np.max(np.abs(ys_f32))
+    assert np.max(np.abs(ys_bf16 - ys_f32)) < 0.02 * scale
