@@ -559,15 +559,21 @@ def bench_large_grid(timer):
         measured_kernel_gb_s = (
             kernel_traffic / profile["kernel_device_s"] / 1e9
         )
+        epilogue_gb_s = profile["epilogue_copy_gb_s"]
+        epilogue_note = (
+            f"trajectory epilogue copy "
+            f"{profile['epilogue_copy_s'] * 1e3:.1f}ms at "
+            f"{epilogue_gb_s:.0f} GB/s "
+            f"({epilogue_gb_s / V5E_HBM_PEAK_GB_S:.0%} of peak - the "
+            "attainable-HBM yardstick)"
+            if epilogue_gb_s
+            else "no epilogue-copy event in trace"
+        )
         log(
             "large grid measured on-device: kernel "
             f"{profile['kernel_device_s'] * 1e3:.1f}ms "
             f"({measured_kernel_gb_s:.0f} GB/s over modeled traffic), "
-            f"trajectory epilogue copy "
-            f"{profile['epilogue_copy_s'] * 1e3:.1f}ms at "
-            f"{profile['epilogue_copy_gb_s']:.0f} GB/s "
-            f"({profile['epilogue_copy_gb_s'] / V5E_HBM_PEAK_GB_S:.0%} "
-            "of peak - the attainable-HBM yardstick)"
+            + epilogue_note
         )
     return {
         "fused_speedup_vs_generic": generic_time / fused_time,

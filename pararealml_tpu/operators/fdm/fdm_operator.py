@@ -272,11 +272,10 @@ class FDMOperator(JaxOperator):
                     if cp.differential_equation.x_dimension
                     else (cp.differential_equation.y_dimension,)
                 )
-                trajectory = build_linear_propagator_trajectory(
+                # the propagator trajectory tags itself vmappable
+                return build_linear_propagator_trajectory(
                     cp, step_fn, steps, y_shape
                 )
-                trajectory.vmappable = True
-                return trajectory
         if self._fused_kernels and allow_fused and static_only:
             from pararealml_tpu.ops.fused_diffusion import (
                 build_fused_diffusion_rk4_trajectory,

@@ -155,17 +155,29 @@ class PararealOperator(JaxOperator):
             )
         return np.asarray(condition, dtype=float)
 
-    def _use_time_parallel_trajectories(self, cp) -> bool:
+    def _use_time_parallel_trajectories(self, cp, y_0=None) -> bool:
         """Whether sub-solves may use parallel-in-time trajectory
         formulations (propagator matmuls): only when the user's
         termination tolerances all exceed the formulations' rounding
-        floor, so tolerance-0/None runs keep stencil-exact solves."""
+        floor, so tolerance-0/None runs keep stencil-exact solves.
+
+        The floor is ~relative to the state magnitude while the
+        termination tolerances are absolute RMS values, so when the
+        initial state is available the floor is scaled by its largest
+        magnitude — a large-amplitude problem demanding an absolute
+        tolerance the f32 matmul formulation cannot reach keeps the
+        stencil path instead of iterating forever."""
         tolerances = self._tolerance_vector(
             cp.differential_equation.y_dimension
         )
-        return tolerances is not None and bool(
-            np.all(tolerances > self._TIME_PARALLEL_TOLERANCE_FLOOR)
-        )
+        if tolerances is None:
+            return False
+        floor = self._TIME_PARALLEL_TOLERANCE_FLOOR
+        if y_0 is not None:
+            scale = float(np.max(np.abs(np.asarray(y_0))))
+            if np.isfinite(scale):
+                floor = floor * max(1.0, scale)
+        return bool(np.all(tolerances > floor))
 
     def _should_terminate(
         self, old_y_end_points: np.ndarray, new_y_end_points: np.ndarray
@@ -392,7 +404,9 @@ class PararealOperator(JaxOperator):
                 return fine_call(y_start, slice_index, t_0)[-1]
 
         else:
-            time_parallel = self._use_time_parallel_trajectories(cp)
+            time_parallel = self._use_time_parallel_trajectories(
+                cp, y_0
+            )
 
             def build_trajectory(operator, allow_fused):
                 # the sub-trajectory functions take the absolute slice
@@ -563,12 +577,20 @@ class PararealOperator(JaxOperator):
             and not fcf
             and getattr(coarse_fn, "end_function", None) is None
         ):
-            coarse_whole_fn = self._g.trajectory_function(
+            coarse_whole_fn, coarse_whole_t = self._g.trajectory_function(
                 cp,
                 (0.0, n * slice_duration),
                 allow_fused=True,
-                time_parallel=self._use_time_parallel_trajectories(cp),
-            )[0]
+                time_parallel=self._use_time_parallel_trajectories(
+                    cp, y_0
+                ),
+            )
+            if len(coarse_whole_t) != coarse_steps_per_slice * n:
+                # accumulated rounding made the whole-domain grid
+                # disagree with n x per-slice steps; the strided
+                # border extraction would silently mis-slice, so fall
+                # back to the per-slice sweep
+                coarse_whole_fn = None
 
         def program(y_init, t_0):
             device_index = jax.lax.axis_index("time")

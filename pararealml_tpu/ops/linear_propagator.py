@@ -164,7 +164,13 @@ def probe_affine_step(
     rng = np.random.default_rng(0)
     y_random = jnp.asarray(rng.standard_normal(dim), dtype)
     direct = np.asarray(jax.jit(flat_step)(y_random))
-    via_affine = np.asarray(s_matrix @ y_random + q, np.float64)
+    # the verification matmul must itself run at the full-precision
+    # f32 composition: the default MXU bf16 passes carry ~1e-3
+    # relative error — the very threshold being tested
+    via_affine = np.asarray(
+        jnp.matmul(s_matrix, y_random, precision=_PRECISION) + q,
+        np.float64,
+    )
     scale = max(1.0, float(np.abs(direct).max()))
     deviation = float(np.abs(direct - via_affine).max()) / scale
     if not np.isfinite(deviation) or deviation > 1e-3:

@@ -518,7 +518,7 @@ def test_trajectory_function_hoists_deeponet_trunk():
 
     assert (
         _Op._build_hoisted_deeponet_apply(
-            module, params, jnp.asarray(x), False
+            module, params, jnp.asarray(x), False, n_y
         )
         is not None
     )
@@ -559,3 +559,62 @@ def test_trajectory_function_hoists_bare_deeponet():
     y_0 = np.asarray(ivp.initial_condition.discrete_y_0(True))
     rollout = np.asarray(jax.jit(fn)(y_0, 0.0))
     assert np.allclose(rollout, solution, atol=1e-8)
+
+
+def test_hoisted_deeponet_keeps_f32_carry_under_x64():
+    # with x64 enabled the mesh coordinates are f64; an f32 state must
+    # not be promoted by the hoisted path or the auto-regressive scan
+    # carry changes dtype mid-loop
+    from pararealml_tpu.operators.ml import DeepONet
+
+    np.random.seed(0)
+    ivp = _diffusion_ivp()
+    cp = ivp.constrained_problem
+    n_y = int(np.prod(cp.y_shape(True)))
+    oracle = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), 0.001
+    )
+    op = SupervisedMLOperator(0.25, True)
+    model = SKLearnJaxRegressor(
+        lambda: DeepONet(
+            branch_net=FNN([8]),
+            trunk_net=FNN([8, 8]),
+            combiner_net=FNN([1]),
+            branch_net_input_size=n_y,
+        ),
+        batch_size=64,
+        epochs=5,
+        verbose=0,
+    )
+    op.train(ivp, oracle, model, 2, lambda t, y: y)
+    fn, _ = op.trajectory_function(cp, (0.0, 0.5))
+    y_0 = np.asarray(
+        ivp.initial_condition.discrete_y_0(True), np.float32
+    )
+    rollout = jax.jit(fn)(y_0, np.float32(0.0))
+    assert rollout.dtype == np.float32
+
+
+def test_hoisting_guard_rejects_mismatched_branch_width():
+    # a DeepONet whose branch consumes fewer features than the
+    # flattened state must fall back to the generic tiled layout
+    import jax.numpy as jnp
+
+    from pararealml_tpu.operators.ml import DeepONet
+    from pararealml_tpu.operators.ml.supervised.supervised_ml_operator import (  # noqa: E501
+        SupervisedMLOperator as _Op,
+    )
+
+    module = DeepONet(
+        branch_net=FNN([8]),
+        trunk_net=FNN([8, 8]),
+        combiner_net=FNN([1]),
+        branch_net_input_size=3,
+    )
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 5)))
+    x = jnp.zeros((4, 2))
+    # state has 5 flattened features but the branch consumes 3
+    assert (
+        _Op._build_hoisted_deeponet_apply(module, params, x, False, 5)
+        is None
+    )

@@ -272,3 +272,20 @@ def test_parareal_propagator_solve_matches_fine():
         fine.discrete_y(fine.vertex_oriented),
         atol=5 * tolerance,
     )
+
+
+def test_parareal_tolerance_gating_is_scale_aware():
+    # the rounding floor is ~relative to the state magnitude while the
+    # termination tolerance is absolute: a large-amplitude initial
+    # state must disable the propagator path for tolerances the f32
+    # matmul formulation cannot reach in absolute terms
+    cp = _diffusion_cp()
+    f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.005)
+    g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.025)
+    parareal = PararealOperator(f, g, 1e-3, num_time_slices=4)
+    small_state = np.ones(cp.y_shape(True))
+    large_state = np.full(cp.y_shape(True), 1e6)
+    assert parareal._use_time_parallel_trajectories(cp, small_state)
+    assert not parareal._use_time_parallel_trajectories(cp, large_state)
+    # without a state the absolute floor applies (backward compatible)
+    assert parareal._use_time_parallel_trajectories(cp)
