@@ -16,6 +16,7 @@ import math
 from enum import Enum
 from typing import Sequence, Tuple, TypeVar
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -252,9 +253,14 @@ class Mesh:
         """
         key = bool(vertex_oriented)
         if key not in self._device_grid_cache:
-            self._device_grid_cache[key] = tuple(
-                jnp.asarray(g) for g in self.coordinate_grids(vertex_oriented)
-            )
+            # the first call may come from inside a jit trace; the
+            # compile-time-eval scope keeps the cached arrays concrete
+            # (caching a tracer would poison every later trace)
+            with jax.ensure_compile_time_eval():
+                self._device_grid_cache[key] = tuple(
+                    jnp.asarray(g)
+                    for g in self.coordinate_grids(vertex_oriented)
+                )
         return self._device_grid_cache[key]
 
     # -- construction helpers ---------------------------------------------

@@ -16,6 +16,9 @@ from pararealml_tpu.operators.fdm.numerical_integrator import (
     NumericalIntegrator,
     RK4,
 )
+from pararealml_tpu.operators.fdm.padded_grid import (
+    PaddedThreePointCentralDifferenceMethod,
+)
 
 __all__ = [
     "FDMOperator",
@@ -23,6 +26,7 @@ __all__ = [
     "FDMSymbolMapper",
     "NumericalDifferentiator",
     "ThreePointCentralDifferenceMethod",
+    "PaddedThreePointCentralDifferenceMethod",
     "NumericalIntegrator",
     "ForwardEulerMethod",
     "ExplicitMidpointMethod",

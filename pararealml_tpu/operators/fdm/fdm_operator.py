@@ -26,6 +26,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
 
 from pararealml_tpu.constrained_problem import ConstrainedProblem
 from pararealml_tpu.constraint import (
@@ -74,6 +75,8 @@ class FDMOperator(JaxOperator):
         fused_kernels: bool = True,
         linear_propagator: bool = True,
         kernel_storage_dtype=None,
+        spatial_mesh=None,
+        spatial_partition=None,
     ):
         """
         :param integrator: the time integrator to use
@@ -97,6 +100,26 @@ class FDMOperator(JaxOperator):
             the block-tiled fused kernels on beyond-VMEM grids
             (``jnp.bfloat16`` halves their HBM traffic; stencil
             arithmetic stays f32 regardless); ``None`` keeps float32
+        :param spatial_mesh: an optional ``jax.sharding.Mesh`` over
+            which :meth:`solve` partitions the *spatial* grid (domain
+            decomposition). The whole compiled program — state, stencil
+            evaluations, and the output trajectory — is sharded across
+            the mesh's devices by XLA's SPMD partitioner, which inserts
+            the halo exchanges for the stencil shifts as ICI
+            collective-permutes; there is no separate "distributed"
+            code path to keep in sync with the single-device math. The
+            reference has no spatial scaling story at all (its
+            parallelism is time-only, via MPI ranks —
+            /root/reference/pararealml/operators/parareal/
+            parareal_operator.py:102-197); this lifts both the compute
+            *and the HBM capacity* wall of a single chip, since each
+            device stores only its trajectory shard.
+        :param spatial_partition: an optional ``PartitionSpec`` over
+            the leading spatial axes of ``y`` naming which mesh axis
+            shards which grid axis (e.g. ``P("space")`` to shard grid
+            rows, ``P("sx", "sy")`` to shard both axes of a 2D grid).
+            Defaults to sharding the first grid axis over the first
+            mesh axis. Ignored unless ``spatial_mesh`` is given.
         """
         super().__init__(d_t, True)
         self._integrator = integrator
@@ -104,6 +127,8 @@ class FDMOperator(JaxOperator):
         self._fused_kernels = fused_kernels
         self._linear_propagator = linear_propagator
         self._kernel_storage_dtype = kernel_storage_dtype
+        self._spatial_mesh = spatial_mesh
+        self._spatial_partition = spatial_partition
         self._compiled_cache = {}
 
     def solve(
@@ -137,21 +162,131 @@ class FDMOperator(JaxOperator):
             steps,
             round(float(t[0]), 12) if dynamic else None,
         )
+        plan = (
+            self._spatial_plan(cp)
+            if self._spatial_mesh is not None
+            else None
+        )
         entry = self._compiled_cache.get(cache_key)
         if entry is None or entry[0] is not cp:
-            entry = (
+            padded_shape = None
+            if plan is not None and plan[2] != plan[1]:
+                padded_shape = plan[2]
+            trajectory_fn = self._build_trajectory_fn(
                 cp,
-                jax.jit(
-                    self._build_trajectory_fn(
-                        cp, float(t[0]), steps, static_only=not dynamic
-                    )
-                ),
+                float(t[0]),
+                steps,
+                static_only=not dynamic,
+                # the hand-fused Pallas kernels are single-device
+                # programs; domain decomposition uses the generic path,
+                # which the SPMD partitioner can split
+                allow_fused=plan is None,
+                padded_shape=padded_shape,
             )
+            if plan is None:
+                compiled = jax.jit(trajectory_fn)
+            else:
+                compiled = self._spatially_sharded_jit(
+                    plan[0], trajectory_fn
+                )
+            entry = (cp, compiled)
             self._compiled_cache[cache_key] = entry
 
-        ys = entry[1](y_0, t[0])
+        if plan is not None:
+            y_spec, real_shape, padded_shape = plan
+            if padded_shape != real_shape:
+                from pararealml_tpu.operators.fdm.padded_grid import (
+                    pad_state,
+                )
+
+                y_0 = pad_state(y_0, real_shape, padded_shape)
+            y_0 = jax.device_put(
+                y_0, NamedSharding(self._spatial_mesh, y_spec)
+            )
+        ys = np.asarray(entry[1](y_0, t[0]))
+        if plan is not None and plan[2] != plan[1]:
+            ys = ys[
+                (slice(None),) + tuple(slice(0, n) for n in plan[1])
+            ]
         return Solution(
-            ivp, t[1:], np.asarray(ys), vertex_oriented=True, d_t=self._d_t
+            ivp, t[1:], ys, vertex_oriented=True, d_t=self._d_t
+        )
+
+    # -- spatial domain decomposition ---------------------------------------
+
+    def _spatial_plan(
+        self, cp: ConstrainedProblem
+    ) -> Tuple[PartitionSpec, Tuple[int, ...], Tuple[int, ...]]:
+        """Resolves the configured spatial mesh against the problem:
+        the state's ``PartitionSpec`` (spatial axes then the component
+        axis), the real grid shape, and the tail-padded shape that
+        makes every sharded axis divisible by its shard count."""
+        from pararealml_tpu.operators.fdm.numerical_differentiator import (
+            ThreePointCentralDifferenceMethod,
+        )
+        from pararealml_tpu.operators.fdm.padded_grid import (
+            padded_spatial_shape,
+        )
+
+        x_dimension = cp.differential_equation.x_dimension
+        if x_dimension == 0:
+            raise ValueError(
+                "spatial sharding requires a PDE (the problem has no "
+                "spatial dimensions to decompose)"
+            )
+        spec = self._spatial_partition
+        if spec is None:
+            spec = PartitionSpec(self._spatial_mesh.axis_names[0])
+        if len(spec) > x_dimension:
+            raise ValueError(
+                f"spatial partition {spec} names more axes than the "
+                f"problem's {x_dimension} spatial dimensions"
+            )
+        entries = tuple(spec) + (None,) * (x_dimension - len(spec))
+
+        shard_counts = []
+        for entry in entries:
+            if entry is None:
+                shard_counts.append(1)
+                continue
+            names = entry if isinstance(entry, tuple) else (entry,)
+            count = 1
+            for name in names:
+                count *= self._spatial_mesh.shape[name]
+            shard_counts.append(count)
+
+        real_shape = tuple(cp.mesh.vertices_shape)
+        padded_shape = padded_spatial_shape(real_shape, shard_counts)
+        if padded_shape != real_shape and not isinstance(
+            self._differentiator, ThreePointCentralDifferenceMethod
+        ):
+            raise ValueError(
+                "spatial sharding over shard counts that do not divide "
+                "the grid requires the three-point central "
+                "differentiator (the padded-grid boundary handling is "
+                "implemented for its stencils)"
+            )
+        return PartitionSpec(*entries, None), real_shape, padded_shape
+
+    def _spatially_sharded_jit(
+        self, y_spec: PartitionSpec, trajectory_fn: Callable
+    ) -> Callable:
+        """Compiles the trajectory function with the state and the
+        output trajectory sharded over the spatial mesh.
+
+        Only the in/out shardings are annotated; XLA's SPMD partitioner
+        propagates them through the whole ``lax.scan`` program and
+        inserts the stencil halo exchanges (collective-permutes over
+        ICI) on its own — the single-device and decomposed solves are
+        literally the same traced program.
+        """
+        mesh = self._spatial_mesh
+        return jax.jit(
+            trajectory_fn,
+            in_shardings=(NamedSharding(mesh, y_spec), None),
+            out_shardings=NamedSharding(
+                mesh, PartitionSpec(None, *y_spec)
+            ),
         )
 
     def trajectory_function(
@@ -251,13 +386,19 @@ class FDMOperator(JaxOperator):
         static_only: bool,
         allow_fused: bool = True,
         time_parallel: bool = False,
+        padded_shape: Optional[Tuple[int, ...]] = None,
     ) -> Callable:
         """Builds ``fn(y_0, t_0) -> ys`` for the whole trajectory: for
         parallel-in-time callers on linear problems, the affine
         propagator matmul formulation; otherwise the fused multi-step
         Pallas kernel when applicable, else a ``lax.scan`` over the
         per-step function."""
-        if time_parallel and self._linear_propagator and static_only:
+        if (
+            time_parallel
+            and self._linear_propagator
+            and static_only
+            and padded_shape is None
+        ):
             from pararealml_tpu.ops.linear_propagator import (
                 build_linear_propagator_trajectory,
                 linear_propagator_applicable,
@@ -276,7 +417,12 @@ class FDMOperator(JaxOperator):
                 return build_linear_propagator_trajectory(
                     cp, step_fn, steps, y_shape
                 )
-        if self._fused_kernels and allow_fused and static_only:
+        if (
+            self._fused_kernels
+            and allow_fused
+            and static_only
+            and padded_shape is None
+        ):
             from pararealml_tpu.ops.fused_diffusion import (
                 build_fused_diffusion_rk4_trajectory,
                 fused_diffusion_step_applicable,
@@ -324,7 +470,7 @@ class FDMOperator(JaxOperator):
 
         step_fn = self._build_step_function(
             cp, t_0, steps, static_only=static_only,
-            allow_fused=allow_fused,
+            allow_fused=allow_fused, padded_shape=padded_shape,
         )
         d_t = self._d_t
 
@@ -355,10 +501,23 @@ class FDMOperator(JaxOperator):
         steps: int,
         static_only: bool,
         allow_fused: bool = True,
+        padded_shape: Optional[Tuple[int, ...]] = None,
     ) -> Callable:
         """Builds ``step(y, i, t_i) -> y_next`` for one time step, with
-        all constraint data resolved to traceable tensors."""
-        if self._fused_kernels and allow_fused and static_only:
+        all constraint data resolved to traceable tensors.
+
+        With ``padded_shape``, the step operates on a tail-padded grid
+        (spatial domain decomposition over uneven shard counts): the
+        stencils, constraint tensors, and coordinate grids are all
+        reshaped through :mod:`pararealml_tpu.operators.fdm.padded_grid`
+        so real vertices evolve identically to the unpadded program.
+        """
+        if (
+            self._fused_kernels
+            and allow_fused
+            and static_only
+            and padded_shape is None
+        ):
             from pararealml_tpu.ops.fused_diffusion import (
                 build_fused_diffusion_rk4_step,
                 fused_diffusion_step_applicable,
@@ -403,9 +562,28 @@ class FDMOperator(JaxOperator):
 
                 return step_fused
 
+        differentiator = self._differentiator
+        pad_tree = None
+        if padded_shape is not None:
+            from pararealml_tpu.operators.fdm.padded_grid import (
+                PaddedThreePointCentralDifferenceMethod,
+                pad_spatial_tree,
+            )
+
+            real_shape = cp.mesh.vertices_shape
+            differentiator = PaddedThreePointCentralDifferenceMethod(
+                real_shape,
+                padded_shape,
+                tol=self._differentiator._tol,
+                max_iterations=self._differentiator._max_iterations,
+            )
+
+            def pad_tree(tree):  # noqa: F811
+                return pad_spatial_tree(tree, real_shape, padded_shape)
+
         diff_eq = cp.differential_equation
         eq_sys = diff_eq.symbolic_equation_system
-        mapper = FDMSymbolMapper(cp, self._differentiator)
+        mapper = FDMSymbolMapper(cp, differentiator)
 
         d_y_over_d_t_indices = tuple(
             eq_sys.equation_indices_by_type(LHS.D_Y_OVER_D_T)
@@ -419,6 +597,15 @@ class FDMOperator(JaxOperator):
         y_constraint_at, d_y_constraints_at = self._constraint_selectors(
             cp, t_0, steps, static_only
         )
+        if pad_tree is not None:
+            unpadded_y_at = y_constraint_at
+            unpadded_d_y_at = d_y_constraints_at
+
+            def y_constraint_at(i, offset):  # noqa: F811
+                return pad_tree(unpadded_y_at(i, offset))
+
+            def d_y_constraints_at(i, offset):  # noqa: F811
+                return pad_tree(unpadded_d_y_at(i, offset))
 
         d_t = self._d_t
 
@@ -472,7 +659,7 @@ class FDMOperator(JaxOperator):
                 d_y_constraints = slice_all_constraint_pairs(
                     d_y_constraints_at(i, 1.0), indices
                 )
-                anti_laplacian = self._differentiator.anti_laplacian(
+                anti_laplacian = differentiator.anti_laplacian(
                     laplacian_rhs,
                     cp.mesh,
                     y_constraint,
@@ -481,6 +668,11 @@ class FDMOperator(JaxOperator):
                 )
                 y_next = y_next.at[..., indices].set(anti_laplacian)
 
+            if padded_shape is not None:
+                # pad vertices never feed real ones (the padded
+                # differentiator masks them on read), but zeroing them
+                # keeps the stored trajectory clean
+                y_next = differentiator.zero_all_pads(y_next)
             return y_next
 
         return step

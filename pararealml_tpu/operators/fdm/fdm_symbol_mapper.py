@@ -64,9 +64,12 @@ class FDMSymbolMapper(SymbolMapper):
         return lambda arg: arg.y[..., y_ind: y_ind + 1]
 
     def x_map_function(self, x_axis: int):
-        return lambda arg: self._mesh.device_coordinate_grids(True)[
-            x_axis
-        ][..., jnp.newaxis]
+        # routed through the differentiator so grid-padding subclasses
+        # (spatial domain decomposition) can shape the coordinate grids
+        # consistently with the state arrays
+        return lambda arg: self._differentiator._grid(
+            self._mesh, x_axis
+        )
 
     def y_gradient_map_function(self, y_ind: int, x_axis: int):
         component = slice(y_ind, y_ind + 1)

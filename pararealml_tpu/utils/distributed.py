@@ -69,6 +69,31 @@ def is_distributed() -> bool:
     return jax.process_count() > 1
 
 
+def space_mesh(
+    n_devices: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("space",),
+) -> Mesh:
+    """A mesh for spatial domain decomposition (``FDMOperator``'s
+    ``spatial_mesh``), 1D over ``space`` by default or reshaped to
+    ``shape`` × ``axis_names`` for multi-axis grid partitions."""
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    device_array = np.asarray(devices)
+    if shape is not None:
+        device_array = device_array.reshape(tuple(shape))
+        if len(axis_names) != device_array.ndim:
+            raise ValueError(
+                f"axis_names {tuple(axis_names)} must name all "
+                f"{device_array.ndim} mesh axes"
+            )
+    return Mesh(device_array, tuple(axis_names))
+
+
 def time_mesh(
     n_devices: Optional[int] = None,
     devices: Optional[Sequence] = None,
