@@ -230,6 +230,54 @@ def test_two_axis_partition():
     np.testing.assert_allclose(actual, expected, rtol=0, atol=1e-12)
 
 
+def test_coordinate_dependent_source_sharded():
+    # an RHS referencing the coordinate symbols drives the padded
+    # (edge-extended) coordinate grids through the symbol mapper
+    from pararealml_tpu import SymbolicEquationSystem
+    from pararealml_tpu.differential_equation import DifferentialEquation
+
+    class SpatialSourceDiffusionEquation(DifferentialEquation):
+        def __init__(self):
+            super().__init__(2, 1)
+
+        @property
+        def symbolic_equation_system(self):
+            return SymbolicEquationSystem(
+                [
+                    0.1 * self._symbols.y_laplacian[0]
+                    + self._symbols.x[0]
+                    - 0.5 * self._symbols.x[1]
+                ]
+            )
+
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.1, 0.1])
+    cp = ConstrainedProblem(
+        SpatialSourceDiffusionEquation(),
+        mesh,
+        [(_zero_neumann(1),) * 2] * 2,
+    )
+    ic = ContinuousInitialCondition(
+        cp, lambda x: np.zeros((len(x), 1))
+    )
+    ivp = InitialValueProblem(cp, (0.0, 0.1), ic)
+
+    expected, actual = _solve_both(ivp, 0.01)
+    np.testing.assert_allclose(actual, expected, rtol=0, atol=1e-12)
+
+
+def test_diffusion_3d_sharded():
+    diff_eq = DiffusionEquation(3, 0.25)
+    mesh = Mesh([(0.0, 1.0)] * 3, [0.2] * 3)  # 6x6x6 over 8
+    cp = ConstrainedProblem(diff_eq, mesh, [(_zero_neumann(1),) * 2] * 3)
+    ic = GaussianInitialCondition(
+        cp, [(np.full(3, 0.5), 0.1 * np.eye(3))]
+    )
+    ivp = InitialValueProblem(cp, (0.0, 0.1), ic)
+
+    expected, actual = _solve_both(ivp, 0.01)
+    np.testing.assert_allclose(actual, expected, rtol=0, atol=1e-12)
+
+
 def test_ode_problem_rejects_spatial_mesh():
     cp = ConstrainedProblem(LorenzEquation())
     ic = ContinuousInitialCondition(cp, lambda _: np.ones(3))
