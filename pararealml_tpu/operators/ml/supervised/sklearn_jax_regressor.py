@@ -47,6 +47,7 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
         max_predict_batch_size: Optional[int] = None,
         seed: int = 0,
         max_device_data_bytes: Optional[int] = None,
+        device_mesh=None,
         **build_args: Any,
     ):
         """
@@ -69,6 +70,16 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
             ``tf.data`` GPU loading, /root/reference/pararealml/
             operators/ml/supervised/sklearn_keras_regressor.py:109-166);
             ``None`` (the default) keeps the whole dataset on device
+        :param device_mesh: an optional ``jax.sharding.Mesh`` for
+            data-parallel training: the training set and every batch
+            are sharded over the mesh's first axis while the parameters
+            and optimizer state stay replicated, with the gradient
+            all-reduces inserted by XLA's SPMD partitioner — the
+            training program is the same traced code as the
+            single-device one. ``batch_size`` must be divisible by the
+            mesh's device count. The reference trains on a single GPU
+            (sklearn_keras_regressor.py); this is TPU-first headroom
+            for oracle datasets and surrogates too large for one chip.
         :param build_args: parameters passed through to ``build_fn``
         """
         self.build_fn = build_fn
@@ -82,6 +93,7 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
         self.max_predict_batch_size = max_predict_batch_size
         self.seed = seed
         self.max_device_data_bytes = max_device_data_bytes
+        self.device_mesh = device_mesh
         self.build_args = build_args
 
         self._module: Optional[nn.Module] = None
@@ -133,6 +145,7 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
             "max_predict_batch_size": self.max_predict_batch_size,
             "seed": self.seed,
             "max_device_data_bytes": self.max_device_data_bytes,
+            "device_mesh": self.device_mesh,
         }
         params.update(self.build_args)
         return params
@@ -193,6 +206,37 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
         batch_size = min(self.batch_size, len(x_train))
         n_batches = len(x_train) // batch_size
 
+        mesh = self.device_mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            data_axis = mesh.axis_names[0]
+            n_data_shards = mesh.shape[data_axis]
+            if batch_size % n_data_shards:
+                raise ValueError(
+                    f"batch size ({batch_size}) must be divisible by "
+                    f"the device mesh's {n_data_shards} shards for "
+                    "data-parallel training"
+                )
+            replicated = NamedSharding(mesh, PartitionSpec())
+            # (n_batches, batch_size, ...features) with the per-step
+            # batch axis sharded over the data axis; the parameters
+            # stay replicated, so XLA inserts the gradient all-reduce
+            batch_sharding = NamedSharding(
+                mesh, PartitionSpec(None, data_axis)
+            )
+
+            def constrain_batches(xs, ys):
+                return (
+                    jax.lax.with_sharding_constraint(xs, batch_sharding),
+                    jax.lax.with_sharding_constraint(ys, batch_sharding),
+                )
+
+        else:
+
+            def constrain_batches(xs, ys):
+                return xs, ys
+
         def loss_fn(params, xb, yb):
             prediction = module.apply(params, xb)
             return jnp.mean(jnp.square(prediction - yb))
@@ -202,8 +246,9 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
         # compiled program, which both bloats it (a multi-hundred-MB
         # oracle dataset becomes a multi-hundred-MB executable) and
         # re-compiles on every fit
-        @jax.jit
         def run_batches(params, opt_state, xs, ys):
+            xs, ys = constrain_batches(xs, ys)
+
             def step(carry, batch):
                 params, opt_state = carry
                 xb, yb = batch
@@ -219,7 +264,20 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
             )
             return params, opt_state, jnp.sum(losses)
 
-        @jax.jit
+        if mesh is None:
+            run_batches_jit = jax.jit(run_batches)
+        else:
+            run_batches_jit = jax.jit(
+                run_batches,
+                in_shardings=(
+                    replicated,
+                    replicated,
+                    batch_sharding,
+                    batch_sharding,
+                ),
+                out_shardings=(replicated, replicated, replicated),
+            )
+
         def train_epoch_resident(
             params, opt_state, shuffle_key, x_dev, y_dev
         ):
@@ -236,6 +294,15 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
                 params, opt_state, xs, ys
             )
             return params, opt_state, loss_sum / n_batches
+
+        if mesh is None:
+            train_epoch_resident = jax.jit(train_epoch_resident)
+        else:
+            train_epoch_resident = jax.jit(
+                train_epoch_resident,
+                in_shardings=(replicated, replicated, None, None, None),
+                out_shardings=(replicated, replicated, replicated),
+            )
 
         if streaming:
             # host-streaming fit: the dataset exceeds the device budget
@@ -285,7 +352,7 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
                             + y_train.shape[1:]
                         )
                     )
-                    params, opt_state, loss_sum = run_batches(
+                    params, opt_state, loss_sum = run_batches_jit(
                         params, opt_state, xs, ys
                     )
                     loss_total = loss_total + loss_sum

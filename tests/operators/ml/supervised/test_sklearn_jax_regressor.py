@@ -165,3 +165,72 @@ def test_streaming_budget_larger_than_data_stays_resident():
     )
     model.fit(x, y)
     assert len(model.history["loss"]) == 20
+
+
+def test_data_parallel_fit_matches_single_device():
+    """Data-parallel training over the 8-device mesh is the same traced
+    program with sharded batches and replicated parameters; with the
+    same seed it must reproduce the single-device losses/predictions up
+    to collective reduction reordering."""
+    import optax
+    from pararealml_tpu.utils.distributed import space_mesh
+
+    x, y = _linear_data()
+
+    def make(**kwargs):
+        return SKLearnJaxRegressor(
+            lambda: FNN([16, 2]),
+            batch_size=128,
+            epochs=50,
+            verbose=0,
+            optimizer=optax.adam(1e-2),
+            seed=7,
+            **kwargs,
+        )
+
+    single = make().fit(x, y)
+    parallel = make(
+        device_mesh=space_mesh(8, axis_names=("data",))
+    ).fit(x, y)
+
+    np.testing.assert_allclose(
+        parallel.history["loss"], single.history["loss"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        parallel.predict(x), single.predict(x), rtol=0, atol=1e-5
+    )
+
+
+def test_data_parallel_streaming_fit():
+    import optax
+    from pararealml_tpu.utils.distributed import space_mesh
+
+    x, y = _linear_data()
+    row_bytes = x[:1].nbytes + y[:1].nbytes
+    model = SKLearnJaxRegressor(
+        lambda: FNN([16, 2]),
+        batch_size=64,
+        epochs=100,
+        verbose=0,
+        optimizer=optax.adam(1e-2),
+        max_device_data_bytes=2 * 64 * row_bytes,
+        device_mesh=space_mesh(8, axis_names=("data",)),
+    )
+    model.fit(x, y)
+    assert model.score(x, y) > -5e-3
+    assert model.history["loss"][-1] < model.history["loss"][0]
+
+
+def test_data_parallel_indivisible_batch_rejected():
+    from pararealml_tpu.utils.distributed import space_mesh
+
+    x, y = _linear_data(n=128)
+    model = SKLearnJaxRegressor(
+        lambda: FNN([8, 2]),
+        batch_size=100,
+        epochs=1,
+        verbose=0,
+        device_mesh=space_mesh(8, axis_names=("data",)),
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        model.fit(x, y)
