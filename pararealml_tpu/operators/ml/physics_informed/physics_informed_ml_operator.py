@@ -70,7 +70,15 @@ class ModelArgs(NamedTuple):
 
 
 class OptimizationArgs(NamedTuple):
-    """Arguments for training the physics-informed model."""
+    """Arguments for training the physics-informed model.
+
+    ``device_mesh`` enables data-parallel training over a
+    ``jax.sharding.Mesh``: collocation batches shard over the mesh's
+    first axis (any batch whose size does not divide the device count
+    stays replicated), parameters and optimizer state stay replicated,
+    and the gradient all-reduces are inserted by XLA's SPMD
+    partitioner. The reference trains on a single GPU.
+    """
 
     optimizer: Union[str, Dict[str, Any], optax.GradientTransformation]
     epochs: int
@@ -78,6 +86,7 @@ class OptimizationArgs(NamedTuple):
     callbacks: Sequence = ()
     verbose: Union[str, int] = "auto"
     seed: int = 0
+    device_mesh: Optional[Any] = None
 
 
 def _resolve_optimizer(optimizer) -> optax.GradientTransformation:
@@ -275,13 +284,44 @@ class PhysicsInformedMLOperator(JaxOperator):
         optimizer = _resolve_optimizer(optimization_args.optimizer)
         opt_state = optimizer.init(model.params)
 
+        mesh = optimization_args.device_mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            data_axis = mesh.axis_names[0]
+            n_data_shards = mesh.shape[data_axis]
+            replicated = NamedSharding(mesh, PartitionSpec())
+            batch_sharding = NamedSharding(
+                mesh, PartitionSpec(None, data_axis)
+            )
+
+            def shard_stacked(stacked):
+                # (n_batches, batch_size, ...) leaves shard over the
+                # per-step batch axis; batches whose size does not
+                # divide the device count stay replicated (GSPMD
+                # requires even splits)
+                def place(leaf):
+                    leaf = jnp.asarray(leaf)
+                    if (
+                        leaf.ndim >= 2
+                        and leaf.shape[1] % n_data_shards == 0
+                    ):
+                        return jax.device_put(leaf, batch_sharding)
+                    return jax.device_put(leaf, replicated)
+
+                return jax.tree_util.tree_map(place, stacked)
+
+        else:
+
+            def shard_stacked(stacked):
+                return stacked
+
         def loss_fn(params, domain_batch, initial_batch, boundary_batch):
             loss, metrics = model.compute_batch_loss(
                 params, domain_batch, initial_batch, boundary_batch
             )
             return loss, metrics
 
-        @jax.jit
         def train_epoch(params, opt_state, stacked):
             domain, initial, boundary = stacked
 
@@ -306,7 +346,6 @@ class PhysicsInformedMLOperator(JaxOperator):
                 jax.tree_util.tree_map(jnp.mean, metrics),
             )
 
-        @jax.jit
         def evaluate_epoch(params, stacked):
             domain, initial, boundary = stacked
 
@@ -322,10 +361,27 @@ class PhysicsInformedMLOperator(JaxOperator):
             )
             return jax.tree_util.tree_map(jnp.mean, metrics)
 
+        if mesh is None:
+            train_epoch = jax.jit(train_epoch)
+            evaluate_epoch = jax.jit(evaluate_epoch)
+        else:
+            # parameters/optimizer state replicated, batches sharded
+            # (carried by the device_put placement of `stacked`)
+            train_epoch = jax.jit(
+                train_epoch,
+                in_shardings=(replicated, replicated, None),
+                out_shardings=(replicated, replicated, replicated),
+            )
+            evaluate_epoch = jax.jit(
+                evaluate_epoch,
+                in_shardings=(replicated, None),
+                out_shardings=replicated,
+            )
+
         history: Dict[str, list] = {}
         params = model.params
         for epoch in range(optimization_args.epochs):
-            stacked = training_iterator.stacked_batches()
+            stacked = shard_stacked(training_iterator.stacked_batches())
             params, opt_state, metrics = train_epoch(
                 params, opt_state, stacked
             )
@@ -342,7 +398,7 @@ class PhysicsInformedMLOperator(JaxOperator):
                 == 0
             ):
                 validation_metrics = evaluate_epoch(
-                    params, validation_iterator.stacked_batches()
+                    params, shard_stacked(validation_iterator.stacked_batches())
                 )
                 for key, value in validation_metrics.items():
                     history.setdefault(f"val_{key}", []).append(
@@ -367,7 +423,7 @@ class PhysicsInformedMLOperator(JaxOperator):
             test_metrics = {
                 key: np.asarray(value)
                 for key, value in evaluate_epoch(
-                    params, test_iterator.stacked_batches()
+                    params, shard_stacked(test_iterator.stacked_batches())
                 ).items()
             }
 

@@ -625,3 +625,38 @@ def test_pde_system_training_smoke():
     losses = np.asarray(history["loss"])
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_data_parallel_training_matches_single_device():
+    """OptimizationArgs(device_mesh=...) shards collocation batches
+    over the 8-device mesh with replicated parameters; with the same
+    seed it must reproduce the single-device training losses up to
+    collective reduction reordering."""
+    from pararealml_tpu.utils.distributed import space_mesh
+
+    def run(device_mesh):
+        # the sampler draws from NumPy's global RNG; pin it so both
+        # runs train on identical collocation points
+        np.random.seed(123)
+        cp, model_args, data_args = _population_growth_setup()
+        operator = PhysicsInformedMLOperator(SAMPLER, 0.1, True)
+        history, _ = operator.train(
+            cp,
+            (0.0, 1.0),
+            data_args,
+            OptimizationArgs(
+                optimizer=optax.adam(1e-3),
+                epochs=15,
+                verbose=0,
+                seed=4,
+                device_mesh=device_mesh,
+            ),
+            model_args,
+        )
+        return history
+
+    single = run(None)
+    parallel = run(space_mesh(8, axis_names=("data",)))
+    np.testing.assert_allclose(
+        parallel["loss"], single["loss"], rtol=1e-4
+    )
