@@ -618,3 +618,43 @@ def test_hoisting_guard_rejects_mismatched_branch_width():
         _Op._build_hoisted_deeponet_apply(module, params, x, False, 5)
         is None
     )
+
+
+def test_generate_data_sharded_matches_single_device():
+    """device_mesh shards the perturbed-IC batch over the 8-device mesh;
+    with deterministic perturbations the generated dataset must be
+    identical to the single-device batch (both modes)."""
+    from pararealml_tpu.utils.distributed import space_mesh
+
+    mesh = space_mesh(8, axis_names=("data",))
+
+    def perturb(t, y):
+        return y + 0.01 * np.sin(100.0 * y)
+
+    for auto_regressive, time_variant in ((True, None), (False, True)):
+        ivp = _diffusion_ivp()
+        oracle = FDMOperator(
+            RK4(), ThreePointCentralDifferenceMethod(), 0.025,
+            fused_kernels=False,
+        )
+        op = SupervisedMLOperator(
+            0.1, True,
+            auto_regressive=auto_regressive,
+            time_variant=bool(time_variant),
+        )
+        single = op.generate_data(ivp, oracle, 8, perturb)
+        sharded = op.generate_data(
+            ivp, oracle, 8, perturb, device_mesh=mesh
+        )
+        np.testing.assert_allclose(
+            sharded[0], single[0], rtol=0, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            sharded[1], single[1], rtol=0, atol=1e-12
+        )
+
+        # an indivisible iteration count silently runs unsharded
+        uneven = op.generate_data(
+            ivp, oracle, 3, perturb, device_mesh=mesh
+        )
+        assert len(uneven[0]) == len(single[0]) // 8 * 3
