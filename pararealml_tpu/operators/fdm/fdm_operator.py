@@ -113,7 +113,10 @@ class FDMOperator(JaxOperator):
             /root/reference/pararealml/operators/parareal/
             parareal_operator.py:102-197); this lifts both the compute
             *and the HBM capacity* wall of a single chip, since each
-            device stores only its trajectory shard.
+            device stores only its trajectory shard. Applies to
+            :meth:`solve` only — ``trajectory_function`` (the Parareal
+            sub-solve path) stays single-device, since it runs inside
+            the time-axis ``shard_map``.
         :param spatial_partition: an optional ``PartitionSpec`` over
             the leading spatial axes of ``y`` naming which mesh axis
             shards which grid axis (e.g. ``P("space")`` to shard grid
