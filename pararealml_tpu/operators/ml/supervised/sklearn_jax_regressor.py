@@ -402,7 +402,29 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
 
         cap = self.max_predict_batch_size
         if cap is None or len(x) <= cap:
-            return np.asarray(apply(self._params, jnp.asarray(x)))
+            x = jnp.asarray(x)
+            if (
+                self.device_mesh is not None
+                and len(x) % self._n_data_shards() == 0
+            ):
+                # shard inference over the mesh too: each device scores
+                # its slice of the batch with the replicated parameters
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                x = jax.device_put(
+                    x,
+                    NamedSharding(
+                        self.device_mesh,
+                        PartitionSpec(self.device_mesh.axis_names[0]),
+                    ),
+                )
+                # no-op after a data-parallel fit; covers models fitted
+                # (or loaded) without the mesh
+                self._params = jax.device_put(
+                    self._params,
+                    NamedSharding(self.device_mesh, PartitionSpec()),
+                )
+            return np.asarray(apply(self._params, x))
 
         outputs = []
         for start in range(0, len(x), cap):
@@ -433,6 +455,10 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
             jax.random.PRNGKey(self.seed), jnp.asarray(x_sample[:1])
         )
         self._params = load_pytree(path, template)
+
+    def _n_data_shards(self) -> int:
+        data_axis = self.device_mesh.axis_names[0]
+        return self.device_mesh.shape[data_axis]
 
     def _apply_fn(self):
         if not hasattr(self, "_jit_apply") or self._jit_apply is None:

@@ -234,3 +234,41 @@ def test_data_parallel_indivisible_batch_rejected():
     )
     with pytest.raises(ValueError, match="divisible"):
         model.fit(x, y)
+
+
+def test_sharded_predict_matches_host_batched():
+    import jax
+    import optax
+    from pararealml_tpu.utils.distributed import space_mesh
+
+    x, y = _linear_data()
+    mesh = space_mesh(8, axis_names=("data",))
+    model = SKLearnJaxRegressor(
+        lambda: FNN([16, 2]),
+        batch_size=128,
+        epochs=30,
+        verbose=0,
+        optimizer=optax.adam(1e-2),
+        device_mesh=mesh,
+    )
+    model.fit(x, y)
+
+    sharded = model.predict(x)  # 512 rows divide 8 -> sharded
+    uneven = model.predict(x[:510])  # falls back to one device
+    np.testing.assert_allclose(uneven, sharded[:510], atol=1e-6)
+
+    # a model fitted without the mesh can still predict sharded
+    single = SKLearnJaxRegressor(
+        lambda: FNN([16, 2]),
+        batch_size=128,
+        epochs=30,
+        verbose=0,
+        optimizer=optax.adam(1e-2),
+        seed=0,
+    )
+    single.fit(x, y)
+    expected = np.asarray(single.predict(x))
+    single.device_mesh = mesh
+    np.testing.assert_allclose(single.predict(x), expected, atol=1e-6)
+    leaf = jax.tree_util.tree_leaves(single.params)[0]
+    assert len(leaf.sharding.device_set) == 8
