@@ -1,0 +1,205 @@
+"""Space x time Parareal (``SpaceTimePararealOperator``).
+
+The reference has neither spatial decomposition nor any space-time
+composition (time-only MPI,
+/root/reference/pararealml/operators/parareal/parareal_operator.py:102-197);
+these tests pin the GSPMD program against this framework's own fine
+solves and its compiled shard_map Parareal.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec
+
+from pararealml_tpu import (
+    BurgersEquation,
+    ConstrainedProblem,
+    ContinuousInitialCondition,
+    DiffusionEquation,
+    DirichletBoundaryCondition,
+    GaussianInitialCondition,
+    InitialValueProblem,
+    LorenzEquation,
+    Mesh as GridMesh,
+    NeumannBoundaryCondition,
+)
+from pararealml_tpu.operators.fdm import (
+    FDMOperator,
+    RK4,
+    ThreePointCentralDifferenceMethod,
+)
+from pararealml_tpu.operators.ode import ODEOperator
+from pararealml_tpu.operators.parareal import (
+    PararealOperator,
+    SpaceTimePararealOperator,
+)
+
+
+def _zero_neumann(y_dim):
+    return NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), y_dim)), is_static=True
+    )
+
+
+def _space_time_mesh(time_size, space_size):
+    devices = np.array(jax.devices()[: time_size * space_size])
+    return Mesh(
+        devices.reshape(time_size, space_size), ("time", "space")
+    )
+
+
+def _diffusion_ivp(t_end=2.0):
+    diff_eq = DiffusionEquation(2)
+    grid = GridMesh([(0.0, 10.0), (0.0, 10.0)], [0.5, 0.5])  # 21x21
+    bcs = [
+        (
+            DirichletBoundaryCondition(
+                lambda x, t: np.full((len(x), 1), 1.5), is_static=True
+            ),
+        )
+        * 2,
+        (_zero_neumann(1),) * 2,
+    ]
+    cp = ConstrainedProblem(diff_eq, grid, bcs)
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 5.0), np.eye(2))], [100.0]
+    )
+    return InitialValueProblem(cp, (0.0, t_end), ic)
+
+
+def _operators(fine_d_t=0.005, coarse_d_t=0.025):
+    f = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        fine_d_t,
+        fused_kernels=False,
+    )
+    g = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        coarse_d_t,
+        fused_kernels=False,
+    )
+    return f, g
+
+
+def test_matches_fine_solve_and_compiled_parareal():
+    ivp = _diffusion_ivp()
+    f, g = _operators()
+    fine_y = f.solve(ivp).discrete_y()
+
+    st = SpaceTimePararealOperator(
+        f, g, 1e-5, num_time_slices=4, mesh=_space_time_mesh(2, 4)
+    )
+    st_y = st.solve(ivp).discrete_y()
+    assert st_y.shape == fine_y.shape
+    assert np.max(np.abs(st_y - fine_y)) < 1e-4
+
+    classic = PararealOperator(f, g, 1e-5, num_time_slices=4)
+    classic_y = classic.solve(ivp).discrete_y()
+    np.testing.assert_allclose(st_y, classic_y, rtol=0, atol=1e-12)
+
+
+def test_more_slices_than_time_shards():
+    ivp = _diffusion_ivp()
+    f, g = _operators()
+    st = SpaceTimePararealOperator(
+        f, g, 1e-5, num_time_slices=8, mesh=_space_time_mesh(2, 4)
+    )
+    st_y = st.solve(ivp).discrete_y()
+    classic_y = (
+        PararealOperator(f, g, 1e-5, num_time_slices=8)
+        .solve(ivp)
+        .discrete_y()
+    )
+    np.testing.assert_allclose(st_y, classic_y, rtol=0, atol=1e-12)
+
+
+def test_nonlinear_system_space_time():
+    grid = GridMesh([(0.0, 1.0), (0.0, 1.0)], [0.1, 0.1])  # 11x11
+    cp = ConstrainedProblem(
+        BurgersEquation(2, 100.0), grid, [(_zero_neumann(2),) * 2] * 2
+    )
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 0.5), 0.1 * np.eye(2))] * 2
+    )
+    ivp = InitialValueProblem(cp, (0.0, 0.2), ic)
+    f, g = _operators(0.0025, 0.0125)
+
+    fine_y = f.solve(ivp).discrete_y()
+    st = SpaceTimePararealOperator(
+        f, g, 1e-6, num_time_slices=4, mesh=_space_time_mesh(2, 4)
+    )
+    st_y = st.solve(ivp).discrete_y()
+    assert np.max(np.abs(st_y - fine_y)) < 1e-4
+
+
+def test_time_only_mesh():
+    # a 1D ('time',) mesh degrades to pure time parallelism with no
+    # spatial sharding
+    ivp = _diffusion_ivp(t_end=1.0)
+    f, g = _operators()
+    mesh = Mesh(np.array(jax.devices()[:4]), ("time",))
+    st = SpaceTimePararealOperator(
+        f, g, 1e-5, num_time_slices=4, mesh=mesh
+    )
+    st_y = st.solve(ivp).discrete_y()
+    classic_y = (
+        PararealOperator(f, g, 1e-5, num_time_slices=4)
+        .solve(ivp)
+        .discrete_y()
+    )
+    np.testing.assert_allclose(st_y, classic_y, rtol=0, atol=1e-12)
+
+
+def test_validation_errors():
+    f, g = _operators()
+    mesh = _space_time_mesh(2, 4)
+
+    with pytest.raises(ValueError, match="FDMOperator"):
+        SpaceTimePararealOperator(
+            ODEOperator("RK4", 0.005), g, 1e-5, mesh=mesh
+        )
+    with pytest.raises(ValueError, match="mesh is required"):
+        SpaceTimePararealOperator(f, g, 1e-5)
+    with pytest.raises(ValueError, match="no 'time' axis"):
+        SpaceTimePararealOperator(
+            f,
+            g,
+            1e-5,
+            mesh=Mesh(np.array(jax.devices()), ("space",)),
+        )
+    with pytest.raises(ValueError, match="callable"):
+        SpaceTimePararealOperator(
+            f, g, lambda old, new: True, mesh=mesh
+        )
+
+    st = SpaceTimePararealOperator(
+        f, g, 1e-5, num_time_slices=3, mesh=mesh
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        st.solve(_diffusion_ivp())
+
+    ode_ivp = InitialValueProblem(
+        ConstrainedProblem(LorenzEquation()),
+        (0.0, 1.0),
+        ContinuousInitialCondition(
+            ConstrainedProblem(LorenzEquation()), lambda _: np.ones(3)
+        ),
+    )
+    st = SpaceTimePararealOperator(
+        f, g, 1e-5, num_time_slices=4, mesh=mesh
+    )
+    with pytest.raises(ValueError, match="requires a PDE"):
+        st.solve(ode_ivp)
+
+    with pytest.raises(ValueError, match="time axis cannot appear"):
+        SpaceTimePararealOperator(
+            f,
+            g,
+            1e-5,
+            num_time_slices=4,
+            mesh=mesh,
+            spatial_partition=PartitionSpec("time"),
+        ).solve(_diffusion_ivp())
