@@ -68,6 +68,7 @@ class SpaceTimePararealOperator(PararealOperator):
         mesh=None,
         time_axis: str = "time",
         spatial_partition: Optional[PartitionSpec] = None,
+        relaxation: str = "f",
     ):
         """
         :param f: the fine (accurate, expensive) FDM operator
@@ -86,6 +87,10 @@ class SpaceTimePararealOperator(PararealOperator):
             spatial grid axes (defaults to sharding the first grid axis
             over the first non-time mesh axis, or no spatial sharding
             if the mesh is 1D)
+        :param relaxation: ``"f"`` (classic Parareal) or ``"fcf"``
+            (MGRIT-style — two slices of exactness per iteration for a
+            second, equally parallel fine sweep plus per-slice coarse
+            solves), matching :class:`PararealOperator`
         """
         if not isinstance(f, FDMOperator) or not isinstance(
             g, FDMOperator
@@ -119,7 +124,7 @@ class SpaceTimePararealOperator(PararealOperator):
                 else mesh.shape[time_axis]
             ),
             devices=list(mesh.devices.flatten()),
-            relaxation="f",
+            relaxation=relaxation,
         )
         self._mesh = mesh
         self._time_axis = time_axis
@@ -329,17 +334,19 @@ class SpaceTimePararealOperator(PararealOperator):
                 max_rms < jnp.asarray(tolerances, diff.dtype)
             )
 
-        def batched_fine_ends(starts):
+        def batched_ends(end_fn, starts):
             # the heavy stage: shard slices over `time`, stencils over
             # the space axes; replicate the results for the sweep (the
             # analog of the shard_map program's all_gather)
             starts = jax.lax.with_sharding_constraint(
                 starts, batched_sharding
             )
-            ends = jax.vmap(fine_end)(starts, slice_starts)
+            ends = jax.vmap(end_fn)(starts, slice_starts)
             return jax.lax.with_sharding_constraint(
                 ends, replicated_batch_sharding
             )
+
+        fcf = self._relaxation == "fcf"
 
         def program(y_init):
             def sweep(y, t_start):
@@ -353,8 +360,21 @@ class SpaceTimePararealOperator(PararealOperator):
 
             def iteration(carry):
                 i, y_borders, coarse_ends, _ = carry
-                fine_ends = batched_fine_ends(y_borders[:-1])
-                corrections = fine_ends - coarse_ends
+                fine_ends = batched_ends(fine_end, y_borders[:-1])
+                if fcf:
+                    # FCF relaxation: the first fine sweep is the
+                    # F-relaxation; correct border j + 1 from the
+                    # fine-propagated state z_j = F(u_{j-1}) (z_0 =
+                    # u_0) — the same schedule as the shard_map
+                    # program's FCF branch
+                    z = jnp.concatenate(
+                        [y_borders[:1], fine_ends[:-1]]
+                    )
+                    corrections = batched_ends(
+                        fine_end, z
+                    ) - batched_ends(coarse_end, z)
+                else:
+                    corrections = fine_ends - coarse_ends
                 old_ends = y_borders[1:]
 
                 def corrective_sweep(j, state):
@@ -363,7 +383,9 @@ class SpaceTimePararealOperator(PararealOperator):
                         y_borders[j], slice_starts[j]
                     )
                     new_coarse_end = jnp.where(
-                        j > i, re_predicted, coarse_ends[j]
+                        (j > i) if not fcf else (j >= i),
+                        re_predicted,
+                        coarse_ends[j],
                     )
                     coarse_ends = coarse_ends.at[j].set(
                         new_coarse_end
@@ -402,11 +424,11 @@ class SpaceTimePararealOperator(PararealOperator):
             # materialize the fine trajectories once from the final
             # borders and shift them onto the corrected borders — the
             # same continuity semantics as the shard_map program
-            starts = jax.lax.with_sharding_constraint(
+            trajectory_starts = jax.lax.with_sharding_constraint(
                 y_borders[:-1], batched_sharding
             )
             sub_y_fine = jax.vmap(fine_trajectory)(
-                starts, slice_starts
+                trajectory_starts, slice_starts
             )
             shifts = y_borders[1:] - sub_y_fine[:, -1]
             sub_y_fine = sub_y_fine + shifts[:, jnp.newaxis]

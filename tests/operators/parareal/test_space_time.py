@@ -203,3 +203,27 @@ def test_validation_errors():
             mesh=mesh,
             spatial_partition=PartitionSpec("time"),
         ).solve(_diffusion_ivp())
+
+
+def test_fcf_relaxation_space_time():
+    ivp = _diffusion_ivp()
+    f, g = _operators()
+    st = SpaceTimePararealOperator(
+        f,
+        g,
+        1e-5,
+        num_time_slices=4,
+        mesh=_space_time_mesh(2, 4),
+        relaxation="fcf",
+    )
+    st_y = st.solve(ivp).discrete_y()
+    classic_fcf_y = (
+        PararealOperator(
+            f, g, 1e-5, num_time_slices=4, relaxation="fcf"
+        )
+        .solve(ivp)
+        .discrete_y()
+    )
+    np.testing.assert_allclose(st_y, classic_fcf_y, rtol=0, atol=1e-12)
+    fine_y = f.solve(ivp).discrete_y()
+    assert np.max(np.abs(st_y - fine_y)) < 1e-4
