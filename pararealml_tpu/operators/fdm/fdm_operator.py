@@ -229,6 +229,7 @@ class FDMOperator(JaxOperator):
         )
         from pararealml_tpu.operators.fdm.padded_grid import (
             padded_spatial_shape,
+            resolve_spatial_partition,
         )
 
         x_dimension = cp.differential_equation.x_dimension
@@ -237,26 +238,20 @@ class FDMOperator(JaxOperator):
                 "spatial sharding requires a PDE (the problem has no "
                 "spatial dimensions to decompose)"
             )
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "spatially decomposed solves fetch the sharded "
+                "trajectory to the host, which requires all mesh "
+                "devices to be addressable by this process; "
+                "multi-host spatial decomposition needs an output "
+                "replication step that is not implemented yet"
+            )
         spec = self._spatial_partition
         if spec is None:
             spec = PartitionSpec(self._spatial_mesh.axis_names[0])
-        if len(spec) > x_dimension:
-            raise ValueError(
-                f"spatial partition {spec} names more axes than the "
-                f"problem's {x_dimension} spatial dimensions"
-            )
-        entries = tuple(spec) + (None,) * (x_dimension - len(spec))
-
-        shard_counts = []
-        for entry in entries:
-            if entry is None:
-                shard_counts.append(1)
-                continue
-            names = entry if isinstance(entry, tuple) else (entry,)
-            count = 1
-            for name in names:
-                count *= self._spatial_mesh.shape[name]
-            shard_counts.append(count)
+        entries, shard_counts = resolve_spatial_partition(
+            self._spatial_mesh, spec, x_dimension
+        )
 
         real_shape = tuple(cp.mesh.vertices_shape)
         padded_shape = padded_spatial_shape(real_shape, shard_counts)

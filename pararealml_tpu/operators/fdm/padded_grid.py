@@ -43,6 +43,40 @@ from pararealml_tpu.operators.fdm.numerical_differentiator import (
 )
 
 
+def resolve_spatial_partition(
+    mesh, spec, x_dimension: int, forbidden_axes: Sequence[str] = ()
+):
+    """Expands a spatial ``PartitionSpec`` to one entry per grid axis
+    and derives each axis's shard count from the mesh.
+
+    Shared by ``FDMOperator``'s decomposed solve and the space-time
+    Parareal so partition-entry handling cannot desynchronize between
+    them. Returns ``(entries, shard_counts)``.
+    """
+    if len(spec) > x_dimension:
+        raise ValueError(
+            f"spatial partition {spec} names more axes than the "
+            f"problem's {x_dimension} spatial dimensions"
+        )
+    entries = tuple(spec) + (None,) * (x_dimension - len(spec))
+    shard_counts = []
+    for entry in entries:
+        if entry is None:
+            shard_counts.append(1)
+            continue
+        names = entry if isinstance(entry, tuple) else (entry,)
+        count = 1
+        for name in names:
+            if name in forbidden_axes:
+                raise ValueError(
+                    f"the {name} axis cannot appear in the spatial "
+                    "partition"
+                )
+            count *= mesh.shape[name]
+        shard_counts.append(count)
+    return entries, shard_counts
+
+
 def padded_spatial_shape(
     real_shape: Sequence[int], shard_counts: Sequence[int]
 ) -> Tuple[int, ...]:

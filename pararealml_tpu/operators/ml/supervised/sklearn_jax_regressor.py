@@ -402,35 +402,42 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
 
         cap = self.max_predict_batch_size
         if cap is None or len(x) <= cap:
-            x = jnp.asarray(x)
-            if (
-                self.device_mesh is not None
-                and len(x) % self._n_data_shards() == 0
-            ):
-                # shard inference over the mesh too: each device scores
-                # its slice of the batch with the replicated parameters
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                x = jax.device_put(
-                    x,
-                    NamedSharding(
-                        self.device_mesh,
-                        PartitionSpec(self.device_mesh.axis_names[0]),
-                    ),
-                )
-                # no-op after a data-parallel fit; covers models fitted
-                # (or loaded) without the mesh
-                self._params = jax.device_put(
-                    self._params,
-                    NamedSharding(self.device_mesh, PartitionSpec()),
-                )
-            return np.asarray(apply(self._params, x))
+            return np.asarray(
+                apply(self._params, self._place_predict_batch(x))
+            )
 
         outputs = []
         for start in range(0, len(x), cap):
-            batch = jnp.asarray(x[start: start + cap])
+            batch = self._place_predict_batch(x[start: start + cap])
             outputs.append(np.asarray(apply(self._params, batch)))
         return np.concatenate(outputs, axis=0)
+
+    def _place_predict_batch(self, batch):
+        """Shards an inference batch over the device mesh (each device
+        scores its slice with the replicated parameters); batches that
+        do not divide the device count stay on one device."""
+        batch = jnp.asarray(batch)
+        if (
+            self.device_mesh is None
+            or len(batch) % self._n_data_shards() != 0
+        ):
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch = jax.device_put(
+            batch,
+            NamedSharding(
+                self.device_mesh,
+                PartitionSpec(self.device_mesh.axis_names[0]),
+            ),
+        )
+        # no-op after a data-parallel fit; covers models fitted (or
+        # loaded) without the mesh
+        self._params = jax.device_put(
+            self._params,
+            NamedSharding(self.device_mesh, PartitionSpec()),
+        )
+        return batch
 
     def score(self, x: np.ndarray, y: np.ndarray) -> float:
         prediction = self.predict(x)

@@ -60,6 +60,27 @@ TerminationCondition = Union[
 ]
 
 
+def make_rms_termination(tolerances):
+    """Builds the traceable border-update termination predicate shared
+    by the compiled Parareal programs: per-component RMS of the border
+    updates, reduced over space, maxed over slices, compared against
+    the per-component tolerances (the reference's criterion,
+    /root/reference/pararealml/operators/parareal/
+    parareal_operator.py:187-188). ``None`` tolerances disable early
+    termination."""
+
+    def termination(old_ends, new_ends):
+        if tolerances is None:
+            return jnp.asarray(False)
+        diff = new_ends - old_ends
+        reduce_axes = tuple(range(1, diff.ndim - 1))
+        rms = jnp.sqrt(jnp.mean(jnp.square(diff), axis=reduce_axes))
+        max_rms = jnp.max(rms, axis=0)
+        return jnp.all(max_rms < jnp.asarray(tolerances, diff.dtype))
+
+    return termination
+
+
 class PararealOperator(JaxOperator):
     """A parallel-in-time solver framework composing a fine and a coarse
     operator over the slices of the time domain."""
@@ -496,18 +517,7 @@ class PararealOperator(JaxOperator):
 
         y_shape = y_0.shape
 
-        def termination(old_ends, new_ends):
-            if tolerances is None:
-                return jnp.asarray(False)
-            diff = new_ends - old_ends
-            reduce_axes = tuple(range(1, diff.ndim - 1))
-            rms = jnp.sqrt(
-                jnp.mean(jnp.square(diff), axis=reduce_axes)
-            )
-            max_rms = jnp.max(rms, axis=0)
-            return jnp.all(
-                max_rms < jnp.asarray(tolerances, diff.dtype)
-            )
+        termination = make_rms_termination(tolerances)
 
         if self._relaxation == "fcf":
             # FCF corrections are computed with the vmappable coarse

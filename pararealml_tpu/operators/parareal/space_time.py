@@ -43,6 +43,7 @@ from pararealml_tpu.operators.fdm.fdm_operator import FDMOperator
 from pararealml_tpu.operators.parareal.parareal_operator import (
     PararealOperator,
     TerminationCondition,
+    make_rms_termination,
 )
 from pararealml_tpu.solution import Solution
 
@@ -133,8 +134,13 @@ class SpaceTimePararealOperator(PararealOperator):
 
     # -- plan ---------------------------------------------------------------
 
-    def _space_spec_entries(self, x_dimension: int):
-        """Per-grid-axis PartitionSpec entries for the spatial axes."""
+    def _resolve_space_partition(self, x_dimension: int):
+        """Per-grid-axis PartitionSpec entries and shard counts for the
+        spatial axes (the time axis is reserved for slices)."""
+        from pararealml_tpu.operators.fdm.padded_grid import (
+            resolve_spatial_partition,
+        )
+
         spec = self._spatial_partition
         if spec is None:
             non_time = [
@@ -147,36 +153,28 @@ class SpaceTimePararealOperator(PararealOperator):
                 if non_time
                 else PartitionSpec()
             )
-        if len(spec) > x_dimension:
-            raise ValueError(
-                f"spatial partition {spec} names more axes than the "
-                f"problem's {x_dimension} spatial dimensions"
-            )
-        return tuple(spec) + (None,) * (x_dimension - len(spec))
-
-    def _shard_counts(self, entries):
-        counts = []
-        for entry in entries:
-            if entry is None:
-                counts.append(1)
-                continue
-            names = entry if isinstance(entry, tuple) else (entry,)
-            count = 1
-            for name in names:
-                if name == self._time_axis:
-                    raise ValueError(
-                        "the time axis cannot appear in the spatial "
-                        "partition"
-                    )
-                count *= self._mesh.shape[name]
-            counts.append(count)
-        return counts
+        return resolve_spatial_partition(
+            self._mesh,
+            spec,
+            x_dimension,
+            forbidden_axes=(self._time_axis,),
+        )
 
     # -- solving ------------------------------------------------------------
 
     def solve(
         self, ivp: InitialValueProblem, parallel_enabled: bool = True
     ) -> Solution:
+        if not parallel_enabled:
+            return self._f.solve(ivp)
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "the space-time Parareal fetches the sharded "
+                "trajectory to the host, which requires all mesh "
+                "devices to be addressable by this process; for "
+                "multi-host runs use PararealOperator (its shard_map "
+                "program replicates the output across processes)"
+            )
         cp = ivp.constrained_problem
         diff_eq = cp.differential_equation
         if diff_eq.x_dimension == 0:
@@ -204,7 +202,12 @@ class SpaceTimePararealOperator(PararealOperator):
 
         y_0 = jnp.asarray(ivp.initial_condition.discrete_y_0(True))
 
-        cache_key = (id(cp), n, round(float(t_interval[0]), 12))
+        cache_key = (
+            id(cp),
+            n,
+            round(float(t_interval[0]), 12),
+            round(float(slice_duration), 12),
+        )
         entry = self._st_compiled_cache.get(cache_key)
         if entry is None or entry[0] is not cp:
             entry = (
@@ -245,9 +248,13 @@ class SpaceTimePararealOperator(PararealOperator):
         diff_eq = cp.differential_equation
         x_dimension = diff_eq.x_dimension
 
-        space_entries = self._space_spec_entries(x_dimension)
-        shard_counts = self._shard_counts(space_entries)
+        space_entries, shard_counts = self._resolve_space_partition(
+            x_dimension
+        )
 
+        from pararealml_tpu.operators.fdm.numerical_differentiator import (
+            ThreePointCentralDifferenceMethod,
+        )
         from pararealml_tpu.operators.fdm.padded_grid import (
             padded_spatial_shape,
         )
@@ -257,6 +264,18 @@ class SpaceTimePararealOperator(PararealOperator):
         build_padded = (
             padded_shape if padded_shape != real_shape else None
         )
+        if build_padded is not None and not all(
+            isinstance(
+                op._differentiator, ThreePointCentralDifferenceMethod
+            )
+            for op in (self._f, self._g)
+        ):
+            raise ValueError(
+                "space-time Parareal over shard counts that do not "
+                "divide the grid requires the three-point central "
+                "differentiator (the padded-grid boundary handling is "
+                "implemented for its stencils)"
+            )
 
         fine_steps = round(slice_duration / self._f.d_t)
         coarse_steps = round(slice_duration / self._g.d_t)
@@ -303,7 +322,10 @@ class SpaceTimePararealOperator(PararealOperator):
         )
 
         tolerances = self._tolerance_vector(diff_eq.y_dimension)
-        iterations = min(self._max_iterations, n)
+        # FCF advances exactness two slices per iteration, so all n
+        # borders are exact after ceil(n / 2) iterations
+        exact_after = -(-n // 2) if self._relaxation == "fcf" else n
+        iterations = min(self._max_iterations, exact_after)
 
         # y: (*grid, components); batch axis prepended for slices
         state_spec = PartitionSpec(*space_entries, None)
@@ -321,18 +343,7 @@ class SpaceTimePararealOperator(PararealOperator):
 
         slice_starts = t_0 + slice_duration * jnp.arange(n)
 
-        def termination(old_ends, new_ends):
-            if tolerances is None:
-                return jnp.asarray(False)
-            diff = new_ends - old_ends
-            reduce_axes = tuple(range(1, diff.ndim - 1))
-            rms = jnp.sqrt(
-                jnp.mean(jnp.square(diff), axis=reduce_axes)
-            )
-            max_rms = jnp.max(rms, axis=0)
-            return jnp.all(
-                max_rms < jnp.asarray(tolerances, diff.dtype)
-            )
+        termination = make_rms_termination(tolerances)
 
         def batched_ends(end_fn, starts):
             # the heavy stage: shard slices over `time`, stencils over

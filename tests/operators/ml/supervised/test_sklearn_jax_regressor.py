@@ -272,3 +272,23 @@ def test_sharded_predict_matches_host_batched():
     np.testing.assert_allclose(single.predict(x), expected, atol=1e-6)
     leaf = jax.tree_util.tree_leaves(single.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_sharded_predict_chunked_path():
+    import optax
+    from pararealml_tpu.utils.distributed import space_mesh
+
+    x, y = _linear_data()
+    model = SKLearnJaxRegressor(
+        lambda: FNN([16, 2]),
+        batch_size=128,
+        epochs=30,
+        verbose=0,
+        optimizer=optax.adam(1e-2),
+        device_mesh=space_mesh(8, axis_names=("data",)),
+        max_predict_batch_size=128,
+    )
+    model.fit(x, y)
+    chunked = model.predict(x)  # 512 rows -> 4 sharded chunks of 128
+    model.max_predict_batch_size = None
+    np.testing.assert_allclose(chunked, model.predict(x), atol=1e-6)
