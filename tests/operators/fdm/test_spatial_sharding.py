@@ -308,3 +308,57 @@ def test_partition_wider_than_grid_rejected():
     )
     with pytest.raises(ValueError, match="more axes"):
         op.solve(ivp)
+
+
+def test_cylindrical_diffusion_sharded():
+    mesh = Mesh(
+        [(1.0, 3.0), (0.0, 2.0 * np.pi), (0.0, 2.0)],
+        [0.25, np.pi / 4.0, 0.25],  # 9x9x9
+        CoordinateSystem.CYLINDRICAL,
+    )
+    cp = ConstrainedProblem(
+        DiffusionEquation(3), mesh, [(_zero_neumann(1),) * 2] * 3
+    )
+    ic = GaussianInitialCondition(
+        cp, [(np.array([2.0, np.pi, 1.0]), np.eye(3))]
+    )
+    ivp = InitialValueProblem(cp, (0.0, 0.05), ic)
+
+    expected, actual = _solve_both(ivp, 0.01)
+    np.testing.assert_allclose(actual, expected, rtol=0, atol=1e-12)
+
+
+def test_spherical_diffusion_sharded():
+    mesh = Mesh(
+        [(1.0, 3.0), (0.0, 2.0 * np.pi), (0.1 * np.pi, 0.9 * np.pi)],
+        [0.25, np.pi / 4.0, 0.1 * np.pi],  # 9x9x9
+        CoordinateSystem.SPHERICAL,
+    )
+    cp = ConstrainedProblem(
+        DiffusionEquation(3), mesh, [(_zero_neumann(1),) * 2] * 3
+    )
+    ic = GaussianInitialCondition(
+        cp, [(np.array([2.0, np.pi, 0.5 * np.pi]), np.eye(3))]
+    )
+    ivp = InitialValueProblem(cp, (0.0, 0.05), ic)
+
+    expected, actual = _solve_both(ivp, 0.01)
+    np.testing.assert_allclose(actual, expected, rtol=0, atol=1e-12)
+
+
+def test_shallow_water_three_component_sharded():
+    from pararealml_tpu import ShallowWaterEquation
+
+    mesh = Mesh([(0.0, 5.0), (0.0, 5.0)], [0.5, 0.5])  # 11x11
+    cp = ConstrainedProblem(
+        ShallowWaterEquation(0.5), mesh, [(_zero_neumann(3),) * 2] * 2
+    )
+    ic = GaussianInitialCondition(
+        cp,
+        [(np.full(2, 2.5), 0.25 * np.eye(2))] * 3,
+        [1.0, 0.0, 0.0],
+    )
+    ivp = InitialValueProblem(cp, (0.0, 0.1), ic)
+
+    expected, actual = _solve_both(ivp, 0.01)
+    np.testing.assert_allclose(actual, expected, rtol=0, atol=1e-12)

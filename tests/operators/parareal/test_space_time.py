@@ -227,3 +227,27 @@ def test_fcf_relaxation_space_time():
     np.testing.assert_allclose(st_y, classic_fcf_y, rtol=0, atol=1e-12)
     fine_y = f.solve(ivp).discrete_y()
     assert np.max(np.abs(st_y - fine_y)) < 1e-4
+
+
+def test_two_axis_space_partition_in_space_time():
+    # ('time', 'sx', 'sy'): slices shard over 2 time shards while the
+    # grid partitions over a 2x2 space sub-mesh
+    ivp = _diffusion_ivp(t_end=1.0)
+    f, g = _operators()
+    devices = np.array(jax.devices()).reshape(2, 2, 2)
+    mesh = Mesh(devices, ("time", "sx", "sy"))
+    st = SpaceTimePararealOperator(
+        f,
+        g,
+        1e-5,
+        num_time_slices=4,
+        mesh=mesh,
+        spatial_partition=PartitionSpec("sx", "sy"),
+    )
+    st_y = st.solve(ivp).discrete_y()
+    classic_y = (
+        PararealOperator(f, g, 1e-5, num_time_slices=4)
+        .solve(ivp)
+        .discrete_y()
+    )
+    np.testing.assert_allclose(st_y, classic_y, rtol=0, atol=1e-12)
