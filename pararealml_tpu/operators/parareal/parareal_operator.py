@@ -241,6 +241,85 @@ class PararealOperator(JaxOperator):
             return self._solve_compiled(ivp, n, slice_duration)
         return self._solve_host(ivp, n, slice_duration)
 
+    def tune_num_time_slices(
+        self,
+        ivp: InitialValueProblem,
+        candidates: Optional[Sequence[int]] = None,
+        repeats: int = 3,
+    ) -> int:
+        """Empirically picks (and sets) the fastest time-slice count.
+
+        The optimal decomposition depends on the hardware (dispatch
+        latency, device count, how well vmap-batched fine solves fill
+        a chip), not just on the math, so each candidate's compiled
+        program is timed on one full solve of ``ivp`` — ``repeats``
+        times after a compile warm-up, keeping the best (minimum) wall
+        time. The winner is stored as this operator's
+        ``num_time_slices`` and returned. The reference cannot tune
+        this at all: its slice count is hard-wired to the MPI world
+        size (/root/reference/pararealml/operators/parareal/
+        parareal_operator.py:113).
+
+        :param ivp: the problem to tune on
+        :param candidates: slice counts to try; each must divide the
+            fine/coarse step grids and be a multiple of the device
+            count. Defaults to ``device_count * (1, 2, 5, 10, 25)``
+            where compatible with the time interval.
+        :param repeats: timed solves per candidate (best-of)
+        :return: the fastest slice count
+        """
+        import time as _time
+
+        n_devices = (
+            len(self._devices)
+            if self._devices is not None
+            else jax.device_count()
+        )
+        t_interval = ivp.t_interval
+        span = t_interval[1] - t_interval[0]
+        if candidates is None:
+            candidates = []
+            for factor in (1, 2, 5, 10, 25):
+                n = n_devices * factor
+                slice_duration = span / n
+                try:
+                    self._validate_step_sizes(slice_duration)
+                except ValueError:
+                    continue
+                candidates.append(n)
+            if not candidates:
+                raise ValueError(
+                    "no valid time-slice candidates for this "
+                    "problem's step sizes"
+                )
+        else:
+            for n in candidates:
+                # surface incompatible explicit candidates before any
+                # timing work is spent
+                self._validate_step_sizes(span / n)
+
+        original = self._num_time_slices
+        best_n, best_time = None, np.inf
+        try:
+            for n in candidates:
+                self._num_time_slices = n
+                # compile warm-up, then best-of-`repeats` wall times
+                # to a fully materialized (host) trajectory
+                self.solve(ivp)
+                candidate_best = np.inf
+                for _ in range(max(1, repeats)):
+                    start = _time.perf_counter()
+                    self.solve(ivp)
+                    elapsed = _time.perf_counter() - start
+                    candidate_best = min(candidate_best, elapsed)
+                if candidate_best < best_time:
+                    best_n, best_time = n, candidate_best
+        except Exception:
+            self._num_time_slices = original
+            raise
+        self._num_time_slices = best_n
+        return best_n
+
     def _can_compile(self, cp, n: int) -> bool:
         if callable(self._termination_condition):
             return False

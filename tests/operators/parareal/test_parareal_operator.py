@@ -399,3 +399,39 @@ def test_fcf_vmap_batched_slices():
     fine = f.solve(ivp).discrete_y()
     assert result.shape == fine.shape
     assert np.abs(result - fine).max() < 1e-4
+
+
+def test_tune_num_time_slices():
+    ivp = _diffusion_ivp()
+    f = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        0.01,
+        fused_kernels=False,
+    )
+    g = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        0.05,
+        fused_kernels=False,
+    )
+    parareal = PararealOperator(f, g, 1e-3)
+
+    best = parareal.tune_num_time_slices(
+        ivp, candidates=(8, 40), repeats=1
+    )
+    assert best in (8, 40)
+    assert parareal._num_time_slices == best
+
+    # the tuned operator still solves correctly
+    y = parareal.solve(ivp).discrete_y()
+    fine_y = f.solve(ivp).discrete_y()
+    assert np.max(np.abs(y - fine_y)) < 1e-2
+
+    # default candidate generation filters incompatible counts
+    best_default = parareal.tune_num_time_slices(ivp, repeats=1)
+    assert best_default % 8 == 0
+
+    # an incompatible explicit candidate is rejected before timing
+    with pytest.raises(ValueError, match="divisor"):
+        parareal.tune_num_time_slices(ivp, candidates=(3,), repeats=1)
