@@ -691,9 +691,49 @@ def bench_reference_fine() -> float:
 
 
 def main():
+    # backend-init watchdog: the remote-TPU tunnel in this environment
+    # can wedge, in which case jax.devices() blocks forever and no
+    # result line would ever be recorded. If the backend is not up
+    # within the timeout, emit a diagnostic JSON line (value 0, with
+    # extra.error explaining why) so the failure is attributable,
+    # then exit.
+    import os
+    import threading
+
+    backend_ready = threading.Event()
+
+    def watchdog():
+        if backend_ready.wait(timeout=600.0):
+            return
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        "parareal_speedup_best_config_vs_fused_fine"
+                        "_fdm_diffusion_2d"
+                    ),
+                    "value": 0.0,
+                    "unit": "x",
+                    "vs_baseline": 0.0,
+                    "extra": {
+                        "error": (
+                            "TPU backend initialization timed out "
+                            "after 600s (device tunnel unavailable); "
+                            "no measurement was possible"
+                        )
+                    },
+                }
+            ),
+            flush=True,
+        )
+        os._exit(1)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     import jax
 
     n_devices = jax.device_count()
+    backend_ready.set()
     log(f"devices: {n_devices} ({jax.devices()[0].platform})")
     timer = DeviceTimer()
 
