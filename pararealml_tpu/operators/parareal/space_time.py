@@ -238,6 +238,21 @@ class SpaceTimePararealOperator(PararealOperator):
             ivp, t[1:], ys, vertex_oriented=True, d_t=self._f.d_t
         )
 
+    def trajectory_function(
+        self,
+        cp,
+        t_interval,
+        allow_fused: bool = True,
+        time_parallel: bool = False,
+    ):
+        raise NotImplementedError(
+            "the space-time Parareal does not expose a reusable "
+            "trajectory function: its program is specific to one "
+            "(time, space) mesh and problem horizon. Use solve(), or "
+            "PararealOperator.trajectory_function for a time-only "
+            "composable program."
+        )
+
     # -- program construction -------------------------------------------
 
     def _build_space_time_program(

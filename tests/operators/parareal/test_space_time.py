@@ -251,3 +251,12 @@ def test_two_axis_space_partition_in_space_time():
         .discrete_y()
     )
     np.testing.assert_allclose(st_y, classic_y, rtol=0, atol=1e-12)
+
+
+def test_trajectory_function_not_exposed():
+    f, g = _operators()
+    st = SpaceTimePararealOperator(
+        f, g, 1e-5, num_time_slices=4, mesh=_space_time_mesh(2, 4)
+    )
+    with pytest.raises(NotImplementedError, match="time-only"):
+        st.trajectory_function(None, (0.0, 1.0))

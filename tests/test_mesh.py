@@ -326,3 +326,30 @@ def test_unit_vectors_match_coordinate_derivatives():
             assert np.allclose(
                 unit_vectors[axis], d, atol=1e-5
             ), (cs, axis)
+
+
+def test_device_grids_cached_inside_trace_stay_concrete():
+    """The first device_coordinate_grids call may come from inside a
+    jit trace; the cache must hold concrete arrays, not tracers —
+    a cached tracer would poison every later trace (regression test
+    for the leak surfaced by solving one problem with two different
+    operators)."""
+    import jax
+    import jax.numpy as jnp
+
+    mesh = Mesh([(1.0, 2.0), (0.0, 1.0)], [0.5, 0.5])
+
+    @jax.jit
+    def first_use(y):
+        return y * mesh.device_coordinate_grids(True)[0]
+
+    first_use(jnp.ones(mesh.vertices_shape))
+    for grid in mesh.device_coordinate_grids(True):
+        assert not isinstance(grid, jax.core.Tracer)
+
+    # a second, separate trace must be able to reuse the cache
+    @jax.jit
+    def second_use(y):
+        return y + mesh.device_coordinate_grids(True)[1]
+
+    second_use(jnp.ones(mesh.vertices_shape))
