@@ -293,9 +293,20 @@ class PararealOperator(JaxOperator):
                     "problem's step sizes"
                 )
         else:
+            # surface incompatible explicit candidates before any
+            # timing work is spent; only compiled (device-multiple)
+            # decompositions are comparable — the host fallback is a
+            # different execution schedule entirely
+            candidates = [int(n) for n in candidates]
+            if not candidates:
+                raise ValueError("candidates must not be empty")
             for n in candidates:
-                # surface incompatible explicit candidates before any
-                # timing work is spent
+                if n <= 0 or n % n_devices:
+                    raise ValueError(
+                        f"candidate slice count ({n}) must be a "
+                        f"positive multiple of the device count "
+                        f"({n_devices})"
+                    )
                 self._validate_step_sizes(span / n)
 
         original = self._num_time_slices
@@ -314,10 +325,17 @@ class PararealOperator(JaxOperator):
                     candidate_best = min(candidate_best, elapsed)
                 if candidate_best < best_time:
                     best_n, best_time = n, candidate_best
-        except Exception:
+        finally:
+            # restore on any exit (including KeyboardInterrupt); the
+            # winner is assigned only after a completed sweep
             self._num_time_slices = original
-            raise
         self._num_time_slices = best_n
+        # drop the losing candidates' compiled programs (their
+        # executables and baked-in constants would otherwise stay
+        # pinned for the operator's lifetime)
+        for key in list(self._compiled_cache):
+            if key[1] != best_n:
+                del self._compiled_cache[key]
         return best_n
 
     def _can_compile(self, cp, n: int) -> bool:

@@ -432,6 +432,37 @@ def test_tune_num_time_slices():
     best_default = parareal.tune_num_time_slices(ivp, repeats=1)
     assert best_default % 8 == 0
 
-    # an incompatible explicit candidate is rejected before timing
+    # a candidate whose slice duration the step sizes cannot divide
+    # is rejected before timing
     with pytest.raises(ValueError, match="divisor"):
-        parareal.tune_num_time_slices(ivp, candidates=(3,), repeats=1)
+        parareal.tune_num_time_slices(
+            ivp, candidates=(24,), repeats=1
+        )
+
+
+def test_tune_candidate_validation():
+    ivp = _diffusion_ivp()
+    f = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        0.01,
+        fused_kernels=False,
+    )
+    g = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        0.05,
+        fused_kernels=False,
+    )
+    parareal = PararealOperator(f, g, 1e-3, num_time_slices=8)
+
+    with pytest.raises(ValueError, match="must not be empty"):
+        parareal.tune_num_time_slices(ivp, candidates=())
+    # a count that is not a device multiple would be timed on the
+    # host fallback — a different schedule — so it is rejected
+    with pytest.raises(ValueError, match="multiple of the device"):
+        parareal.tune_num_time_slices(ivp, candidates=(8, 20))
+    with pytest.raises(ValueError, match="multiple of the device"):
+        parareal.tune_num_time_slices(ivp, candidates=(0,))
+    # failed tuning leaves the configured count untouched
+    assert parareal._num_time_slices == 8
