@@ -401,6 +401,16 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
         apply = self._apply_fn()
 
         cap = self.max_predict_batch_size
+        if self.device_mesh is not None:
+            # one placement for the whole call, not one per chunk; a
+            # no-op after a data-parallel fit, and covers models
+            # fitted (or loaded) without the mesh
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._params = jax.device_put(
+                self._params,
+                NamedSharding(self.device_mesh, PartitionSpec()),
+            )
         if cap is None or len(x) <= cap:
             return np.asarray(
                 apply(self._params, self._place_predict_batch(x))
@@ -424,20 +434,13 @@ class SKLearnJaxRegressor(RegressorMixin, BaseEstimator):
             return batch
         from jax.sharding import NamedSharding, PartitionSpec
 
-        batch = jax.device_put(
+        return jax.device_put(
             batch,
             NamedSharding(
                 self.device_mesh,
                 PartitionSpec(self.device_mesh.axis_names[0]),
             ),
         )
-        # no-op after a data-parallel fit; covers models fitted (or
-        # loaded) without the mesh
-        self._params = jax.device_put(
-            self._params,
-            NamedSharding(self.device_mesh, PartitionSpec()),
-        )
-        return batch
 
     def score(self, x: np.ndarray, y: np.ndarray) -> float:
         prediction = self.predict(x)

@@ -330,13 +330,17 @@ class PararealOperator(JaxOperator):
             # winner is assigned only after a completed sweep
             self._num_time_slices = original
         self._num_time_slices = best_n
-        # drop the losing candidates' compiled programs (their
-        # executables and baked-in constants would otherwise stay
-        # pinned for the operator's lifetime)
+        self._evict_losing_compiled(best_n)
+        return best_n
+
+    def _evict_losing_compiled(self, best_n: int) -> None:
+        """Drops the losing tuner candidates' compiled programs (their
+        executables and baked-in constants would otherwise stay pinned
+        for the operator's lifetime). Subclasses with their own caches
+        extend this."""
         for key in list(self._compiled_cache):
             if key[1] != best_n:
                 del self._compiled_cache[key]
-        return best_n
 
     def _can_compile(self, cp, n: int) -> bool:
         if callable(self._termination_condition):
@@ -728,6 +732,11 @@ class PararealOperator(JaxOperator):
                     array, first_slice, slices_per_device, 0
                 )
 
+            # NOTE: the space-time GSPMD program
+            # (space_time.py:_build_space_time_program) mirrors this
+            # schedule; changes to the masks or sweep order must be
+            # applied to both (cross-operator bit-identity tests in
+            # tests/operators/parareal/test_space_time.py enforce it)
             def iteration(carry):
                 # corrections (classic and FCF alike) need only the
                 # fine slice END states, so the loop never materializes

@@ -81,6 +81,10 @@ def space_mesh(
     if devices is None:
         devices = jax.devices()
     devices = list(devices)
+    if n_devices is None and shape is not None:
+        # a shape implies its own device count, so a (4, 2) mesh works
+        # on a 16-device slice without an explicit n_devices
+        n_devices = int(np.prod(tuple(shape)))
     if n_devices is not None:
         devices = devices[:n_devices]
     device_array = np.asarray(devices)

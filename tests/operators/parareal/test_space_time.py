@@ -89,16 +89,26 @@ def test_matches_fine_solve_and_compiled_parareal():
     f, g = _operators()
     fine_y = f.solve(ivp).discrete_y()
 
-    st = SpaceTimePararealOperator(
-        f, g, 1e-5, num_time_slices=4, mesh=_space_time_mesh(2, 4)
-    )
-    st_y = st.solve(ivp).discrete_y()
-    assert st_y.shape == fine_y.shape
-    assert np.max(np.abs(st_y - fine_y)) < 1e-4
+    # 2.504e-7 sits inside the pad-dilution gap of the border-update
+    # RMS on this problem: without the tolerance rescaling for
+    # tail-padded grids the space-time program terminates one
+    # iteration before the classic one (the output deviation is tiny
+    # here because this problem contracts superlinearly, but the
+    # rescaling keeps the criterion exactly equivalent on problems
+    # that do not)
+    for tol in (1e-5, 2.504e-7):
+        st = SpaceTimePararealOperator(
+            f, g, tol, num_time_slices=4, mesh=_space_time_mesh(2, 4)
+        )
+        st_y = st.solve(ivp).discrete_y()
+        assert st_y.shape == fine_y.shape
+        assert np.max(np.abs(st_y - fine_y)) < 1e-4
 
-    classic = PararealOperator(f, g, 1e-5, num_time_slices=4)
-    classic_y = classic.solve(ivp).discrete_y()
-    np.testing.assert_allclose(st_y, classic_y, rtol=0, atol=1e-12)
+        classic = PararealOperator(f, g, tol, num_time_slices=4)
+        classic_y = classic.solve(ivp).discrete_y()
+        np.testing.assert_allclose(
+            st_y, classic_y, rtol=0, atol=1e-12
+        )
 
 
 def test_more_slices_than_time_shards():
