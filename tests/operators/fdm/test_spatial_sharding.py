@@ -362,3 +362,33 @@ def test_shallow_water_three_component_sharded():
 
     expected, actual = _solve_both(ivp, 0.01)
     np.testing.assert_allclose(actual, expected, rtol=0, atol=1e-12)
+
+
+def test_implicit_integrator_sharded():
+    # Crank-Nicolson's element-wise secant while_loop under the SPMD
+    # partitioner
+    from pararealml_tpu.operators.fdm import CrankNicolsonMethod
+
+    diff_eq = DiffusionEquation(1, 0.5)
+    mesh = Mesh([(0.0, 10.0)], [0.25])  # 41 vertices over 8
+    cp = ConstrainedProblem(diff_eq, mesh, [(_zero_neumann(1),) * 2])
+    ic = GaussianInitialCondition(
+        cp, [(np.array([5.0]), np.array([[2.0]]))], [20.0]
+    )
+    ivp = InitialValueProblem(cp, (0.0, 0.5), ic)
+
+    single = FDMOperator(
+        CrankNicolsonMethod(),
+        ThreePointCentralDifferenceMethod(),
+        0.05,
+        fused_kernels=False,
+    )
+    sharded = FDMOperator(
+        CrankNicolsonMethod(),
+        ThreePointCentralDifferenceMethod(),
+        0.05,
+        spatial_mesh=space_mesh(8),
+    )
+    expected = single.solve(ivp).discrete_y()
+    actual = sharded.solve(ivp).discrete_y()
+    np.testing.assert_allclose(actual, expected, rtol=0, atol=1e-12)
