@@ -24,7 +24,11 @@ ivp = InitialValueProblem(cp, (0.0, 5.0), ic)
 
 f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 1e-3)
 g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 1e-2)
-p = PararealOperator(f, g, 0.5)
+# the slice count defaults to the device count, but T=5.0 only splits
+# into slice durations the operators' step sizes divide for certain
+# counts (the reference example has the same constraint on its MPI
+# world size); 10 slices work on any device count
+p = PararealOperator(f, g, 0.5, num_time_slices=10)
 
 f_solution, _ = device_time("n_body_fine")(f.solve)(ivp)
 g_solution, _ = device_time("n_body_coarse")(g.solve)(ivp)
