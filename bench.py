@@ -560,14 +560,30 @@ def bench_large_grid(timer):
             kernel_traffic / profile["kernel_device_s"] / 1e9
         )
         epilogue_gb_s = profile["epilogue_copy_gb_s"]
+        # the round-3 wrapper reordering (reshape the contiguous kernel
+        # output, slice last) eliminated the full-trajectory epilogue
+        # copy for slice-consuming programs like this one, so the
+        # largest remaining fusion should be a negligible sliver — call
+        # it out either way
+        significant = (
+            epilogue_gb_s
+            and profile["epilogue_copy_s"]
+            > 0.05 * profile["kernel_device_s"]
+        )
         epilogue_note = (
             f"trajectory epilogue copy "
             f"{profile['epilogue_copy_s'] * 1e3:.1f}ms at "
             f"{epilogue_gb_s:.0f} GB/s "
             f"({epilogue_gb_s / V5E_HBM_PEAK_GB_S:.0%} of peak - the "
             "attainable-HBM yardstick)"
-            if epilogue_gb_s
-            else "no epilogue-copy event in trace"
+            if significant
+            else (
+                "trajectory epilogue copy eliminated (largest "
+                "non-kernel fusion "
+                f"{profile['epilogue_copy_s'] * 1e3:.1f}ms)"
+                if epilogue_gb_s
+                else "no epilogue-copy event in trace"
+            )
         )
         log(
             "large grid measured on-device: kernel "
@@ -589,6 +605,9 @@ def bench_large_grid(timer):
             profile["kernel_device_s"] if profile else None
         ),
         "measured_kernel_hbm_gb_s": measured_kernel_gb_s,
+        "measured_epilogue_copy_s": (
+            profile["epilogue_copy_s"] if profile else None
+        ),
         "measured_epilogue_copy_gb_s": (
             profile["epilogue_copy_gb_s"] if profile else None
         ),

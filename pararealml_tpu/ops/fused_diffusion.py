@@ -445,10 +445,13 @@ def build_fused_diffusion_rk4_trajectory(
     def trajectory(y: jax.Array) -> jax.Array:
         y_2d = pad_grid(jnp.asarray(y, dtype).reshape(height, width))
         out = call(y_2d, *padded_constants)
+        # reshape the contiguous output first (free), slice last so the
+        # slice fuses into the consumer instead of materializing the
+        # whole clean trajectory (see tiled_diffusion.trajectory)
         return (
-            out[:, :height, :width]
-            .reshape(n_steps, height, width, 1)
-            .astype(y.dtype)
+            out.reshape(n_steps, padded_height, padded_width, 1)[
+                :, :height, :width
+            ].astype(y.dtype)
         )
 
     return trajectory

@@ -692,8 +692,10 @@ def build_fused_system_3d_rk4_trajectory(
             out = out.reshape(
                 (n_steps, n, depth, padded_height, padded_width)
             )
-        out = jnp.moveaxis(out[:, :, :, :height, :width], 1, -1)
-        return out.astype(y.dtype)
+        # transpose first, slice last so the slice fuses into the
+        # consumer (see tiled_diffusion.trajectory)
+        out = jnp.moveaxis(out, 1, -1)
+        return out[:, :, :height, :width].astype(y.dtype)
 
     return trajectory
 

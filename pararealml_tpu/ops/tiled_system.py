@@ -678,7 +678,10 @@ def build_tiled_system_rk4_trajectory(
             ),
         ).astype(storage_dtype)
         traj, _ = call(y_padded, *face_args)
-        traj = jnp.moveaxis(traj[:, :, :height, :width], 1, -1)
-        return traj.astype(y.dtype)
+        # transpose the contiguous kernel output first, slice last: the
+        # slice then fuses into the consumer instead of materializing
+        # the whole clean trajectory (see tiled_diffusion.trajectory)
+        traj = jnp.moveaxis(traj, 1, -1)
+        return traj[:, :height, :width].astype(y.dtype)
 
     return trajectory
