@@ -374,6 +374,129 @@ class FDMOperator(JaxOperator):
 
         return trajectory
 
+    def ends_function(
+        self,
+        cp,
+        t_interval,
+        allow_fused: bool = True,
+        batch: Optional[int] = None,
+    ) -> Optional[Callable]:
+        """A jittable ends-only solver ``fn(y_0, t_0) -> y_end`` for
+        the interval — the counterpart of :meth:`trajectory_function`
+        for consumers that need only the final state. Parareal's
+        correction iterations are the motivating caller: they consume
+        fine/coarse slice END states only (the reference likewise
+        discards slice interiors during iterations,
+        /root/reference/pararealml/operators/parareal/
+        parareal_operator.py:163-185).
+
+        On the generic path the solve is a carry-only ``lax.scan`` —
+        per-step states are never stacked, so no ``(steps, *grid)``
+        trajectory buffer is written — and the returned function tags
+        itself ``vmappable`` (``batch`` is ignored; callers ``vmap``).
+        When a fused Pallas end kernel applies (and ``allow_fused``),
+        the state stays in VMEM for the whole solve with zero
+        trajectory DMA; ``batch=B`` builds the Pallas-grid batched
+        variant mapping ``(B, ...) -> (B, ...)`` sequentially in one
+        kernel (tagged ``batched``). Returns None for dynamic boundary
+        conditions.
+        """
+        if (
+            cp.differential_equation.x_dimension
+            and not cp.are_all_boundary_conditions_static
+        ):
+            return None
+        t = discretize_time_domain(t_interval, self._d_t)
+        steps = len(t) - 1
+
+        if self._fused_kernels and allow_fused:
+            fused_end = self._build_fused_end_fn(cp, steps, batch)
+            if fused_end is not None:
+
+                def fused_ends(y_init, t_start=None):
+                    # the fused families are all autonomous systems
+                    # with static constraints, so the start time is
+                    # irrelevant (matching the fused trajectory
+                    # dispatch above)
+                    return fused_end(y_init)
+
+                fused_ends.vmappable = False
+                fused_ends.fused = True
+                fused_ends.batched = batch is not None
+                return fused_ends
+
+        step_fn = self._build_step_function(
+            cp, float(t[0]), steps, static_only=True, allow_fused=False
+        )
+        d_t = self._d_t
+
+        def ends(y_init, t_start):
+            xs = (
+                jnp.arange(steps),
+                t_start + d_t * jnp.arange(steps),
+            )
+
+            def body(y, x):
+                return step_fn(y, x[0], x[1]), None
+
+            y_end, _ = jax.lax.scan(body, y_init, xs)
+            return y_end
+
+        ends.vmappable = True
+        ends.fused = False
+        ends.batched = False
+        return ends
+
+    def _build_fused_end_fn(
+        self, cp, steps: int, batch: Optional[int]
+    ) -> Optional[Callable]:
+        """The fused Pallas end kernel for this problem, or None when
+        no family applies (or the grid exceeds VMEM — the end builders
+        gate that themselves)."""
+        from pararealml_tpu.ops.fused_diffusion import (
+            build_fused_diffusion_rk4_end,
+            fused_diffusion_step_applicable,
+        )
+        from pararealml_tpu.ops.fused_system import (
+            build_fused_system_rk4_end,
+            fused_system_step_applicable,
+        )
+        from pararealml_tpu.ops.fused_system_3d import (
+            build_fused_system_3d_rk4_end,
+            fused_system_3d_step_applicable,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+        if fused_diffusion_step_applicable(cp, self._integrator):
+            return build_fused_diffusion_rk4_end(
+                cp,
+                self._d_t,
+                steps,
+                interpret=interpret,
+                batch=batch,
+            )
+        if fused_system_step_applicable(cp, self._integrator):
+            return build_fused_system_rk4_end(
+                cp,
+                self._d_t,
+                steps,
+                interpret=interpret,
+                anti_laplacian_tol=self._differentiator._tol,
+                anti_laplacian_max_iterations=(
+                    self._differentiator._max_iterations
+                ),
+                batch=batch,
+            )
+        if fused_system_3d_step_applicable(cp, self._integrator):
+            return build_fused_system_3d_rk4_end(
+                cp,
+                self._d_t,
+                steps,
+                interpret=interpret,
+                batch=batch,
+            )
+        return None
+
     # -- step construction -------------------------------------------------
 
     def _build_trajectory_fn(

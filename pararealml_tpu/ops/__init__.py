@@ -1,9 +1,11 @@
 from pararealml_tpu.ops.fused_diffusion import (
+    build_fused_diffusion_rk4_end,
     build_fused_diffusion_rk4_step,
     build_fused_diffusion_rk4_trajectory,
     fused_diffusion_step_applicable,
 )
 from pararealml_tpu.ops.fused_system import (
+    build_fused_system_rk4_end,
     build_fused_system_rk4_step,
     build_fused_system_rk4_trajectory,
     build_fused_wave_rk4_step,
@@ -22,6 +24,7 @@ from pararealml_tpu.ops.linear_propagator import (
     probe_affine_step,
 )
 from pararealml_tpu.ops.fused_system_3d import (
+    build_fused_system_3d_rk4_end,
     build_fused_system_3d_rk4_step,
     build_fused_system_3d_rk4_trajectory,
     fused_system_3d_step_applicable,
@@ -34,9 +37,11 @@ from pararealml_tpu.ops.tiled_system import (
 )
 
 __all__ = [
+    "build_fused_diffusion_rk4_end",
     "build_fused_diffusion_rk4_step",
     "build_fused_diffusion_rk4_trajectory",
     "fused_diffusion_step_applicable",
+    "build_fused_system_rk4_end",
     "build_fused_system_rk4_step",
     "build_fused_system_rk4_trajectory",
     "build_fused_wave_rk4_step",
@@ -47,6 +52,7 @@ __all__ = [
     "fused_shallow_water_step_applicable",
     "fused_system_step_applicable",
     "fused_wave_step_applicable",
+    "build_fused_system_3d_rk4_end",
     "build_fused_system_3d_rk4_step",
     "build_fused_system_3d_rk4_trajectory",
     "fused_system_3d_step_applicable",

@@ -142,95 +142,97 @@ def _constraint_tensors(cp: ConstrainedProblem):
     )
 
 
-def build_fused_diffusion_rk4_trajectory(
-    cp: ConstrainedProblem,
-    d_t: float,
-    n_steps: int,
-    diffusion_coefficient: Optional[float] = None,
-    interpret: bool = False,
-    storage_dtype=None,
-):
-    """Builds ``trajectory(y) -> ys`` computing ``n_steps`` fused RK4
-    diffusion steps in ONE kernel invocation.
+class _KernelConfig:
+    """Shared static configuration for the VMEM-resident diffusion
+    kernels: grid geometry, padded constant tensors, and the RK4 step
+    factory both the trajectory and the end-only kernel body call with
+    the constant values read from their refs."""
 
-    The state never leaves VMEM between steps; each step's result is
-    streamed to the HBM trajectory buffer with an async DMA that overlaps
-    the next step's compute (double-buffered). HBM traffic is therefore
-    one initial read plus one write per step — the minimum possible for
-    a solver that materializes the trajectory — instead of the dozens of
-    intermediate round-trips of the generic XLA path.
+    def __init__(self, cp: ConstrainedProblem, d_t, diffusion_coefficient):
+        diff_eq = cp.differential_equation
+        mesh = cp.mesh
+        self.height, self.width = height, width = mesh.vertices_shape
+        d_x0, d_x1 = mesh.d_x
+        self.dtype = jnp.float32
+        # pad to the TPU tile grid so the per-step DMA slices are
+        # aligned; the padding region stays zero and never feeds back
+        # into the logical grid (all reads crossing the logical edges
+        # are overridden with ghost values)
+        self.padded_height = -(-height // 8) * 8
+        self.padded_width = -(-width // 128) * 128
 
-    ``storage_dtype`` (beyond-VMEM grids only) selects the HBM
-    state/trajectory precision; ``jnp.bfloat16`` halves the tiled
-    kernel's HBM traffic while all stencil arithmetic stays f32 (see
-    :func:`pararealml_tpu.ops.tiled_diffusion.
-    build_tiled_diffusion_rk4_trajectory`). The VMEM-resident kernel
-    ignores it (its state never round-trips through HBM).
-    """
-    from jax.experimental.pallas import tpu as pltpu
+        self.d = float(diffusion_coefficient)
+        if isinstance(diff_eq, ConvectionDiffusionEquation):
+            self.velocity = tuple(float(v) for v in diff_eq._velocity)
+        else:
+            self.velocity = (0.0, 0.0)
+        self.has_convection = any(v != 0.0 for v in self.velocity)
+        self.d_t = float(d_t)
+        self.inv_dx0_sqr = 1.0 / float(d_x0) ** 2
+        self.inv_dx1_sqr = 1.0 / float(d_x1) ** 2
+        self.inv_two_dx0 = 1.0 / (2.0 * float(d_x0))
+        self.inv_two_dx1 = 1.0 / (2.0 * float(d_x1))
+        self.two_dx0 = 2.0 * float(d_x0)
+        self.two_dx1 = 2.0 * float(d_x1)
 
-    diff_eq = cp.differential_equation
-    if diffusion_coefficient is None:
-        diffusion_coefficient = diff_eq._d
-    mesh = cp.mesh
-    height, width = mesh.vertices_shape
-
-    if _padded_cells(mesh.vertices_shape) > _MAX_VMEM_CELLS:
-        # beyond VMEM: the overlapped row-tiling kernel
-        from pararealml_tpu.ops.tiled_diffusion import (
-            build_tiled_diffusion_rk4_trajectory,
+        constants = _constraint_tensors(cp)
+        self.padded_constants = (
+            self.pad_grid(constants["dir_mask"]),
+            self.pad_grid(constants["dir_vals"]),
+            jnp.pad(
+                constants["ghost_row_mask"],
+                ((0, 0), (0, self.padded_width - width)),
+            ),
+            jnp.pad(
+                constants["ghost_row_vals"],
+                ((0, 0), (0, self.padded_width - width)),
+            ),
+            jnp.pad(
+                constants["ghost_col_mask"],
+                ((0, 0), (0, self.padded_height - height)),
+            ),
+            jnp.pad(
+                constants["ghost_col_vals"],
+                ((0, 0), (0, self.padded_height - height)),
+            ),
         )
 
-        return build_tiled_diffusion_rk4_trajectory(
-            cp,
-            d_t,
-            n_steps,
-            diffusion_coefficient=diffusion_coefficient,
-            interpret=interpret,
-            storage_dtype=storage_dtype,
+    def pad_grid(self, array):
+        return jnp.pad(
+            array,
+            (
+                (0, self.padded_height - self.height),
+                (0, self.padded_width - self.width),
+            ),
         )
-    d_x0, d_x1 = mesh.d_x
-    constants = _constraint_tensors(cp)
-    dtype = jnp.float32
 
-    # pad to the TPU tile grid so the per-step DMA slices are aligned;
-    # the padding region stays zero and never feeds back into the
-    # logical grid (all reads crossing the logical edges are overridden
-    # with ghost values)
-    padded_height = -(-height // 8) * 8
-    padded_width = -(-width // 128) * 128
-
-    d = float(diffusion_coefficient)
-    if isinstance(diff_eq, ConvectionDiffusionEquation):
-        velocity = tuple(float(v) for v in diff_eq._velocity)
-    else:
-        velocity = (0.0, 0.0)
-    has_convection = any(v != 0.0 for v in velocity)
-    inv_dx0_sqr = 1.0 / float(d_x0) ** 2
-    inv_dx1_sqr = 1.0 / float(d_x1) ** 2
-    inv_two_dx0 = 1.0 / (2.0 * float(d_x0))
-    inv_two_dx1 = 1.0 / (2.0 * float(d_x1))
-    two_dx0 = 2.0 * float(d_x0)
-    two_dx1 = 2.0 * float(d_x1)
-
-    def kernel(
-        y_ref,
-        dir_mask_ref,
-        dir_vals_ref,
-        ghost_row_mask_ref,
-        ghost_row_vals_ref,
-        ghost_col_mask_ref,
-        ghost_col_vals_ref,
-        traj_ref,
-        scratch_ref,
-        copy_sems,
+    def make_rk4(
+        self,
+        dir_mask,
+        dir_vals,
+        ghost_row_mask,
+        ghost_row_vals,
+        ghost_col_mask,
+        ghost_col_vals,
     ):
-        dir_mask = dir_mask_ref[:]
-        dir_vals = dir_vals_ref[:]
-        ghost_row_mask = ghost_row_mask_ref[:]
-        ghost_row_vals = ghost_row_vals_ref[:]
-        ghost_col_mask = ghost_col_mask_ref[:]
-        ghost_col_vals = ghost_col_vals_ref[:]
+        """Returns ``rk4(state) -> state`` over the padded grid, given
+        the constant tensors (read from kernel refs)."""
+        height, width = self.height, self.width
+        padded_height, padded_width = (
+            self.padded_height,
+            self.padded_width,
+        )
+        dtype = self.dtype
+        d = self.d
+        d_t = self.d_t
+        velocity = self.velocity
+        has_convection = self.has_convection
+        inv_dx0_sqr = self.inv_dx0_sqr
+        inv_dx1_sqr = self.inv_dx1_sqr
+        inv_two_dx0 = self.inv_two_dx0
+        inv_two_dx1 = self.inv_two_dx1
+        two_dx0 = self.two_dx0
+        two_dx1 = self.two_dx1
 
         def apply_dirichlet(state):
             return jnp.where(dir_mask, dir_vals, state)
@@ -355,6 +357,82 @@ def build_fused_diffusion_rk4_trajectory(
                 state + (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
             )
 
+        return rk4
+
+
+def build_fused_diffusion_rk4_trajectory(
+    cp: ConstrainedProblem,
+    d_t: float,
+    n_steps: int,
+    diffusion_coefficient: Optional[float] = None,
+    interpret: bool = False,
+    storage_dtype=None,
+):
+    """Builds ``trajectory(y) -> ys`` computing ``n_steps`` fused RK4
+    diffusion steps in ONE kernel invocation.
+
+    The state never leaves VMEM between steps; each step's result is
+    streamed to the HBM trajectory buffer with an async DMA that overlaps
+    the next step's compute (double-buffered). HBM traffic is therefore
+    one initial read plus one write per step — the minimum possible for
+    a solver that materializes the trajectory — instead of the dozens of
+    intermediate round-trips of the generic XLA path.
+
+    ``storage_dtype`` (beyond-VMEM grids only) selects the HBM
+    state/trajectory precision; ``jnp.bfloat16`` halves the tiled
+    kernel's HBM traffic while all stencil arithmetic stays f32 (see
+    :func:`pararealml_tpu.ops.tiled_diffusion.
+    build_tiled_diffusion_rk4_trajectory`). The VMEM-resident kernel
+    ignores it (its state never round-trips through HBM).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    diff_eq = cp.differential_equation
+    if diffusion_coefficient is None:
+        diffusion_coefficient = diff_eq._d
+    mesh = cp.mesh
+    height, width = mesh.vertices_shape
+
+    if _padded_cells(mesh.vertices_shape) > _MAX_VMEM_CELLS:
+        # beyond VMEM: the overlapped row-tiling kernel
+        from pararealml_tpu.ops.tiled_diffusion import (
+            build_tiled_diffusion_rk4_trajectory,
+        )
+
+        return build_tiled_diffusion_rk4_trajectory(
+            cp,
+            d_t,
+            n_steps,
+            diffusion_coefficient=diffusion_coefficient,
+            interpret=interpret,
+            storage_dtype=storage_dtype,
+        )
+    cfg = _KernelConfig(cp, d_t, diffusion_coefficient)
+    dtype = cfg.dtype
+    padded_height = cfg.padded_height
+    padded_width = cfg.padded_width
+
+    def kernel(
+        y_ref,
+        dir_mask_ref,
+        dir_vals_ref,
+        ghost_row_mask_ref,
+        ghost_row_vals_ref,
+        ghost_col_mask_ref,
+        ghost_col_vals_ref,
+        traj_ref,
+        scratch_ref,
+        copy_sems,
+    ):
+        rk4 = cfg.make_rk4(
+            dir_mask_ref[:],
+            dir_vals_ref[:],
+            ghost_row_mask_ref[:],
+            ghost_row_vals_ref[:],
+            ghost_col_mask_ref[:],
+            ghost_col_vals_ref[:],
+        )
+
         def body(k, state):
             state = rk4(state)
             slot = jax.lax.rem(k, 2)
@@ -412,39 +490,11 @@ def build_fused_diffusion_rk4_trajectory(
         interpret=interpret,
     )
 
-    def pad_grid(array):
-        return jnp.pad(
-            array,
-            (
-                (0, padded_height - height),
-                (0, padded_width - width),
-            ),
-        )
-
-    padded_constants = (
-        pad_grid(constants["dir_mask"]),
-        pad_grid(constants["dir_vals"]),
-        jnp.pad(
-            constants["ghost_row_mask"],
-            ((0, 0), (0, padded_width - width)),
-        ),
-        jnp.pad(
-            constants["ghost_row_vals"],
-            ((0, 0), (0, padded_width - width)),
-        ),
-        jnp.pad(
-            constants["ghost_col_mask"],
-            ((0, 0), (0, padded_height - height)),
-        ),
-        jnp.pad(
-            constants["ghost_col_vals"],
-            ((0, 0), (0, padded_height - height)),
-        ),
-    )
-
     def trajectory(y: jax.Array) -> jax.Array:
-        y_2d = pad_grid(jnp.asarray(y, dtype).reshape(height, width))
-        out = call(y_2d, *padded_constants)
+        y_2d = cfg.pad_grid(
+            jnp.asarray(y, dtype).reshape(height, width)
+        )
+        out = call(y_2d, *cfg.padded_constants)
         # reshape the contiguous output first (free), slice last so the
         # slice fuses into the consumer instead of materializing the
         # whole clean trajectory (see tiled_diffusion.trajectory)
@@ -455,6 +505,139 @@ def build_fused_diffusion_rk4_trajectory(
         )
 
     return trajectory
+
+
+def build_fused_diffusion_rk4_end(
+    cp: ConstrainedProblem,
+    d_t: float,
+    n_steps: int,
+    diffusion_coefficient: Optional[float] = None,
+    interpret: bool = False,
+    batch: Optional[int] = None,
+):
+    """Builds ``end(y) -> y_final`` advancing ``n_steps`` fused RK4
+    steps and returning ONLY the final state, or ``None`` when the grid
+    exceeds VMEM.
+
+    Unlike :func:`build_fused_diffusion_rk4_trajectory`, no trajectory
+    is ever written to HBM — the state stays in VMEM for the whole
+    solve and HBM traffic is one grid read plus one grid write total.
+    This is the right kernel for Parareal's ends-only iterations
+    (the correction update needs fine/coarse slice END states only;
+    the reference discards interiors the same way, /root/reference/
+    pararealml/operators/parareal/parareal_operator.py:163-185).
+
+    With ``batch=B``, ``end`` maps ``(B, ...) -> (B, ...)`` via a
+    Pallas grid over the batch: each program instance advances one
+    slice's grid in VMEM, so vmap-batched Parareal slices on a single
+    device run fused (sequentially, like the separate launches of a
+    ``lax.map``, but in one kernel) instead of falling back to the
+    generic XLA path.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    diff_eq = cp.differential_equation
+    if diffusion_coefficient is None:
+        diffusion_coefficient = diff_eq._d
+    mesh = cp.mesh
+    height, width = mesh.vertices_shape
+    if _padded_cells(mesh.vertices_shape) > _MAX_VMEM_CELLS:
+        # beyond-VMEM grids stream tiles through HBM every step anyway;
+        # callers fall back to the (lazily sliced) trajectory kernel
+        return None
+    cfg = _KernelConfig(cp, d_t, diffusion_coefficient)
+    dtype = cfg.dtype
+    padded_height = cfg.padded_height
+    padded_width = cfg.padded_width
+
+    batched = batch is not None
+
+    def kernel(
+        y_ref,
+        dir_mask_ref,
+        dir_vals_ref,
+        ghost_row_mask_ref,
+        ghost_row_vals_ref,
+        ghost_col_mask_ref,
+        ghost_col_vals_ref,
+        out_ref,
+    ):
+        rk4 = cfg.make_rk4(
+            dir_mask_ref[:],
+            dir_vals_ref[:],
+            ghost_row_mask_ref[:],
+            ghost_row_vals_ref[:],
+            ghost_col_mask_ref[:],
+            ghost_col_vals_ref[:],
+        )
+        y_start = y_ref[0] if batched else y_ref[:]
+        final = jax.lax.fori_loop(
+            0, n_steps, lambda k, state: rk4(state), y_start
+        )
+        if batched:
+            out_ref[0] = final
+        else:
+            out_ref[:] = final
+
+    if batched:
+        grid_block = pl.BlockSpec(
+            (1, padded_height, padded_width), lambda b: (b, 0, 0)
+        )
+
+        def const_spec(shape):
+            return pl.BlockSpec(shape, lambda b: (0,) * len(shape))
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(batch,),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, padded_height, padded_width), dtype
+            ),
+            in_specs=[grid_block]
+            + [
+                const_spec(np.asarray(c).shape)
+                for c in cfg.padded_constants
+            ],
+            out_specs=grid_block,
+            interpret=interpret,
+        )
+    else:
+        call = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (padded_height, padded_width), dtype
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )
+
+    def end(y: jax.Array) -> jax.Array:
+        if batched:
+            grids = jnp.asarray(y, dtype).reshape(-1, height, width)
+            padded = jnp.pad(
+                grids,
+                (
+                    (0, 0),
+                    (0, padded_height - height),
+                    (0, padded_width - width),
+                ),
+            )
+            out = call(padded, *cfg.padded_constants)
+            return (
+                out[:, :height, :width]
+                .reshape((-1,) + tuple(y.shape[1:]))
+                .astype(y.dtype)
+            )
+        y_2d = cfg.pad_grid(
+            jnp.asarray(y, dtype).reshape(height, width)
+        )
+        out = call(y_2d, *cfg.padded_constants)
+        return (
+            out[:height, :width].reshape(y.shape).astype(y.dtype)
+        )
+
+    return end
 
 
 def build_fused_diffusion_rk4_step(

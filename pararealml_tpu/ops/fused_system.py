@@ -26,6 +26,8 @@ back to the generic jnp path.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -536,6 +538,136 @@ def _make_rhs_builder(diff_eq):
     return rhs
 
 
+class _SystemKernelConfig:
+    """Shared static configuration for the VMEM-resident system
+    kernels: grid geometry, padded constant tensors, and the step
+    factory both the trajectory and the end-only kernel body call with
+    the constant values read from their refs."""
+
+    def __init__(
+        self,
+        cp: ConstrainedProblem,
+        d_t,
+        anti_laplacian_tol,
+        anti_laplacian_max_iterations,
+    ):
+        diff_eq = cp.differential_equation
+        self.n = n = diff_eq.y_dimension
+        mesh = cp.mesh
+        self.height, self.width = height, width = mesh.vertices_shape
+        d_x0, d_x1 = mesh.d_x
+        constants = _component_constraint_tensors(cp, n)
+        self.step_factory = _make_step_factory(
+            diff_eq,
+            d_t,
+            mesh,
+            anti_laplacian_tol=anti_laplacian_tol,
+            anti_laplacian_max_iterations=anti_laplacian_max_iterations,
+        )
+        self.dtype = dtype = jnp.float32
+        self.padded_height = -(-height // 8) * 8
+        self.padded_width = -(-width // 128) * 128
+
+        self.geometry_static = dict(
+            height=height,
+            width=width,
+            inv_dx0_sqr=1.0 / float(d_x0) ** 2,
+            inv_dx1_sqr=1.0 / float(d_x1) ** 2,
+            inv_two_dx0=1.0 / (2.0 * float(d_x0)),
+            inv_two_dx1=1.0 / (2.0 * float(d_x1)),
+            two_dx0=2.0 * float(d_x0),
+            two_dx1=2.0 * float(d_x1),
+        )
+
+        self.padded_constants = (
+            self.pad_planes(constants["dir_mask"]),
+            self.pad_planes(constants["dir_vals"], dtype),
+            jnp.pad(
+                jnp.asarray(constants["ghost_row_mask"]),
+                ((0, 0), (0, 0), (0, self.padded_width - width)),
+            ),
+            jnp.pad(
+                jnp.asarray(constants["ghost_row_vals"], dtype),
+                ((0, 0), (0, 0), (0, self.padded_width - width)),
+            ),
+            jnp.pad(
+                jnp.asarray(constants["ghost_col_mask"]),
+                ((0, 0), (0, 0), (0, self.padded_height - height)),
+            ),
+            jnp.pad(
+                jnp.asarray(constants["ghost_col_vals"], dtype),
+                ((0, 0), (0, 0), (0, self.padded_height - height)),
+            ),
+        )
+
+    def pad_planes(self, array, value_dtype=None):
+        return jnp.pad(
+            jnp.asarray(array, value_dtype),
+            (
+                (0, 0),
+                (0, self.padded_height - self.height),
+                (0, self.padded_width - self.width),
+            ),
+        )
+
+    def make_step(
+        self,
+        dir_mask,
+        dir_vals,
+        ghost_row_mask,
+        ghost_row_vals,
+        ghost_col_mask,
+        ghost_col_vals,
+    ):
+        """Returns ``step(y_planes) -> y_planes`` over padded component
+        planes, given the constant tensors (read from kernel refs)."""
+        dtype = self.dtype
+        height, width = self.height, self.width
+        padded_height, padded_width = (
+            self.padded_height,
+            self.padded_width,
+        )
+        geometry = dict(
+            self.geometry_static,
+            zero_row=jnp.zeros((1, padded_width), dtype),
+            zero_col=jnp.zeros((padded_height, 1), dtype),
+            row_pad=(
+                jnp.zeros(
+                    (padded_height - height, padded_width), dtype
+                )
+                if padded_height > height
+                else None
+            ),
+            col_pad=(
+                jnp.zeros(
+                    (padded_height, padded_width - width), dtype
+                )
+                if padded_width > width
+                else None
+            ),
+        )
+        helpers = _StencilHelpers(
+            geometry,
+            ghost_row_mask,
+            ghost_row_vals,
+            ghost_col_mask,
+            ghost_col_vals,
+        )
+
+        def dirichlet_component(comp, plane):
+            return jnp.where(dir_mask[comp], dir_vals[comp], plane)
+
+        def apply_dirichlet(y):
+            return tuple(
+                dirichlet_component(comp, plane)
+                for comp, plane in enumerate(y)
+            )
+
+        return self.step_factory(
+            helpers, apply_dirichlet, dirichlet_component
+        )
+
+
 def build_fused_system_rk4_trajectory(
     cp: ConstrainedProblem,
     d_t: float,
@@ -567,33 +699,14 @@ def build_fused_system_rk4_trajectory(
             interpret=interpret,
             storage_dtype=storage_dtype,
         )
-    n = diff_eq.y_dimension
-    mesh = cp.mesh
-    height, width = mesh.vertices_shape
-    d_x0, d_x1 = mesh.d_x
-    constants = _component_constraint_tensors(cp, n)
-    step_factory = _make_step_factory(
-        diff_eq,
-        d_t,
-        mesh,
-        anti_laplacian_tol=anti_laplacian_tol,
-        anti_laplacian_max_iterations=anti_laplacian_max_iterations,
+    cfg = _SystemKernelConfig(
+        cp, d_t, anti_laplacian_tol, anti_laplacian_max_iterations
     )
-    dtype = jnp.float32
-
-    padded_height = -(-height // 8) * 8
-    padded_width = -(-width // 128) * 128
-
-    geometry_static = dict(
-        height=height,
-        width=width,
-        inv_dx0_sqr=1.0 / float(d_x0) ** 2,
-        inv_dx1_sqr=1.0 / float(d_x1) ** 2,
-        inv_two_dx0=1.0 / (2.0 * float(d_x0)),
-        inv_two_dx1=1.0 / (2.0 * float(d_x1)),
-        two_dx0=2.0 * float(d_x0),
-        two_dx1=2.0 * float(d_x1),
-    )
+    n = cfg.n
+    height, width = cfg.height, cfg.width
+    dtype = cfg.dtype
+    padded_height = cfg.padded_height
+    padded_width = cfg.padded_width
 
     def kernel(
         y_ref,  # (n, ph, pw)
@@ -607,47 +720,13 @@ def build_fused_system_rk4_trajectory(
         scratch_ref,  # (2 slots, n comps, ph, pw) VMEM
         copy_sems,
     ):
-        dir_mask = dir_mask_ref[:]
-        dir_vals = dir_vals_ref[:]
-
-        geometry = dict(
-            geometry_static,
-            zero_row=jnp.zeros((1, padded_width), dtype),
-            zero_col=jnp.zeros((padded_height, 1), dtype),
-            row_pad=(
-                jnp.zeros(
-                    (padded_height - height, padded_width), dtype
-                )
-                if padded_height > height
-                else None
-            ),
-            col_pad=(
-                jnp.zeros(
-                    (padded_height, padded_width - width), dtype
-                )
-                if padded_width > width
-                else None
-            ),
-        )
-        helpers = _StencilHelpers(
-            geometry,
+        step = cfg.make_step(
+            dir_mask_ref[:],
+            dir_vals_ref[:],
             ghost_row_mask_ref[:],
             ghost_row_vals_ref[:],
             ghost_col_mask_ref[:],
             ghost_col_vals_ref[:],
-        )
-
-        def dirichlet_component(comp, plane):
-            return jnp.where(dir_mask[comp], dir_vals[comp], plane)
-
-        def apply_dirichlet(y):
-            return tuple(
-                dirichlet_component(comp, plane)
-                for comp, plane in enumerate(y)
-            )
-
-        step = step_factory(
-            helpers, apply_dirichlet, dirichlet_component
         )
 
         def body(k, carry):
@@ -710,56 +789,152 @@ def build_fused_system_rk4_trajectory(
         interpret=interpret,
     )
 
-    def pad_planes(array, value_dtype=None):
-        return jnp.pad(
-            jnp.asarray(array, value_dtype),
-            (
-                (0, 0),
-                (0, padded_height - height),
-                (0, padded_width - width),
-            ),
-        )
-
-    padded_constants = (
-        pad_planes(constants["dir_mask"]),
-        pad_planes(constants["dir_vals"], dtype),
-        jnp.pad(
-            jnp.asarray(constants["ghost_row_mask"]),
-            ((0, 0), (0, 0), (0, padded_width - width)),
-        ),
-        jnp.pad(
-            jnp.asarray(constants["ghost_row_vals"], dtype),
-            ((0, 0), (0, 0), (0, padded_width - width)),
-        ),
-        jnp.pad(
-            jnp.asarray(constants["ghost_col_mask"]),
-            ((0, 0), (0, 0), (0, padded_height - height)),
-        ),
-        jnp.pad(
-            jnp.asarray(constants["ghost_col_vals"], dtype),
-            ((0, 0), (0, 0), (0, padded_height - height)),
-        ),
-    )
-
     def trajectory(y: jax.Array) -> jax.Array:
         planes = jnp.moveaxis(
             jnp.asarray(y, dtype).reshape(height, width, n), -1, 0
         )
-        y_padded = jnp.pad(
-            planes,
-            (
-                (0, 0),
-                (0, padded_height - height),
-                (0, padded_width - width),
-            ),
-        )
-        out = call(y_padded, *padded_constants)
+        y_padded = cfg.pad_planes(planes)
+        out = call(y_padded, *cfg.padded_constants)
         # transpose first, slice last so the slice fuses into the
         # consumer (see tiled_diffusion.trajectory)
         out = jnp.moveaxis(out, 1, -1)
         return out[:, :height, :width].astype(y.dtype)
 
     return trajectory
+
+
+def build_fused_system_rk4_end(
+    cp: ConstrainedProblem,
+    d_t: float,
+    n_steps: int,
+    interpret: bool = False,
+    anti_laplacian_tol: float = 1e-3,
+    anti_laplacian_max_iterations: int = 100_000,
+    batch: Optional[int] = None,
+):
+    """Builds ``end(y) -> y_final`` advancing ``n_steps`` fused system
+    RK4 steps and returning ONLY the final state, or ``None`` when the
+    grid exceeds VMEM.
+
+    No trajectory is written to HBM — the state stays in VMEM for the
+    whole solve. This is the right kernel for Parareal's ends-only
+    iterations (see
+    :func:`pararealml_tpu.ops.fused_diffusion.
+    build_fused_diffusion_rk4_end`). With ``batch=B``, ``end`` maps
+    ``(B, ...) -> (B, ...)`` via a Pallas grid over the batch, so
+    vmap-batched Parareal slices on one device run fused instead of
+    falling back to the generic XLA path.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not _fits_vmem(cp):
+        return None
+    cfg = _SystemKernelConfig(
+        cp, d_t, anti_laplacian_tol, anti_laplacian_max_iterations
+    )
+    n = cfg.n
+    height, width = cfg.height, cfg.width
+    dtype = cfg.dtype
+    padded_height = cfg.padded_height
+    padded_width = cfg.padded_width
+
+    batched = batch is not None
+
+    def kernel(
+        y_ref,
+        dir_mask_ref,
+        dir_vals_ref,
+        ghost_row_mask_ref,
+        ghost_row_vals_ref,
+        ghost_col_mask_ref,
+        ghost_col_vals_ref,
+        out_ref,
+    ):
+        step = cfg.make_step(
+            dir_mask_ref[:],
+            dir_vals_ref[:],
+            ghost_row_mask_ref[:],
+            ghost_row_vals_ref[:],
+            ghost_col_mask_ref[:],
+            ghost_col_vals_ref[:],
+        )
+        y_planes = y_ref[0] if batched else y_ref[:]
+        final = jax.lax.fori_loop(
+            0,
+            n_steps,
+            lambda k, carry: step(carry),
+            tuple(y_planes[comp] for comp in range(n)),
+        )
+        for comp, plane in enumerate(final):
+            if batched:
+                out_ref[0, comp] = plane
+            else:
+                out_ref[comp] = plane
+
+    if batched:
+        grid_block = pl.BlockSpec(
+            (1, n, padded_height, padded_width),
+            lambda b: (b, 0, 0, 0),
+        )
+
+        def const_spec(shape):
+            return pl.BlockSpec(shape, lambda b: (0,) * len(shape))
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(batch,),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, n, padded_height, padded_width), dtype
+            ),
+            in_specs=[grid_block]
+            + [
+                const_spec(np.asarray(c).shape)
+                for c in cfg.padded_constants
+            ],
+            out_specs=grid_block,
+            interpret=interpret,
+        )
+    else:
+        call = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (n, padded_height, padded_width), dtype
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )
+
+    def end(y: jax.Array) -> jax.Array:
+        if batched:
+            planes = jnp.moveaxis(
+                jnp.asarray(y, dtype).reshape(-1, height, width, n),
+                -1,
+                1,
+            )
+            y_padded = jnp.pad(
+                planes,
+                (
+                    (0, 0),
+                    (0, 0),
+                    (0, padded_height - height),
+                    (0, padded_width - width),
+                ),
+            )
+            out = call(y_padded, *cfg.padded_constants)
+            out = jnp.moveaxis(out, 1, -1)[:, :height, :width]
+            return out.reshape((-1,) + tuple(y.shape[1:])).astype(
+                y.dtype
+            )
+        planes = jnp.moveaxis(
+            jnp.asarray(y, dtype).reshape(height, width, n), -1, 0
+        )
+        y_padded = cfg.pad_planes(planes)
+        out = call(y_padded, *cfg.padded_constants)
+        out = jnp.moveaxis(out, 0, -1)[:height, :width]
+        return out.reshape(y.shape).astype(y.dtype)
+
+    return end
 
 
 def build_fused_system_rk4_step(

@@ -26,6 +26,8 @@ enough for all volumes and RK4 stages to fit VMEM.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -361,64 +363,119 @@ def _make_step_factory_3d(diff_eq, d_t):
     return factory
 
 
-def build_fused_system_3d_rk4_trajectory(
-    cp: ConstrainedProblem,
-    d_t: float,
-    n_steps: int,
-    interpret: bool = False,
-    _vmem_output: bool = False,
-):
-    """Builds ``trajectory(y) -> ys`` computing ``n_steps`` fused RK4
-    steps of a 3D problem, ``y`` of shape (d, h, w, n).
+class _SystemKernelConfig3D:
+    """Shared static configuration for the 3D system kernels: volume
+    geometry, padded constant tensors, and the step factory both the
+    trajectory and the end-only kernel body call with the constant
+    values read from their refs."""
 
-    ``_vmem_output`` is a hardware bring-up aid: the trajectory is
-    written to a VMEM output with plain stores instead of async DMA to
-    HBM, isolating the compute path from the DMA pipeline (only viable
-    for small ``n_steps`` since the whole trajectory must fit VMEM)."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    diff_eq = cp.differential_equation
-    if type(diff_eq) not in _EQUATION_TYPES_3D:
-        raise ValueError(
-            f"no fused 3D kernel for {type(diff_eq).__name__}"
+    def __init__(self, cp: ConstrainedProblem, d_t):
+        diff_eq = cp.differential_equation
+        if type(diff_eq) not in _EQUATION_TYPES_3D:
+            raise ValueError(
+                f"no fused 3D kernel for {type(diff_eq).__name__}"
+            )
+        self.n = n = diff_eq.y_dimension
+        mesh = cp.mesh
+        self.depth, self.height, self.width = depth, height, width = (
+            mesh.vertices_shape
         )
-    n = diff_eq.y_dimension
-    mesh = cp.mesh
-    depth, height, width = mesh.vertices_shape
-    d_x = tuple(float(v) for v in mesh.d_x)
-    constants = _component_constraint_tensors_3d(cp, n)
-    step_factory = _make_step_factory_3d(diff_eq, d_t)
-    dtype = jnp.float32
+        d_x = tuple(float(v) for v in mesh.d_x)
+        constants = _component_constraint_tensors_3d(cp, n)
+        self.step_factory = _make_step_factory_3d(diff_eq, d_t)
+        self.dtype = dtype = jnp.float32
 
-    padded_height = -(-height // 8) * 8
-    padded_width = -(-width // 128) * 128
+        self.padded_height = padded_height = -(-height // 8) * 8
+        self.padded_width = padded_width = -(-width // 128) * 128
 
-    geometry_static = dict(
-        depth=depth,
-        height=height,
-        width=width,
-        inv_dx_sqr=tuple(1.0 / v**2 for v in d_x),
-        inv_two_dx=tuple(1.0 / (2.0 * v) for v in d_x),
-        two_dx=tuple(2.0 * v for v in d_x),
-    )
+        self.geometry_static = dict(
+            depth=depth,
+            height=height,
+            width=width,
+            inv_dx_sqr=tuple(1.0 / v**2 for v in d_x),
+            inv_two_dx=tuple(1.0 / (2.0 * v) for v in d_x),
+            two_dx=tuple(2.0 * v for v in d_x),
+        )
+
+        def pad_volumes(array, value_dtype=None):
+            return jnp.pad(
+                jnp.asarray(array, value_dtype),
+                (
+                    (0, 0),
+                    (0, 0),
+                    (0, padded_height - height),
+                    (0, padded_width - width),
+                ),
+            )
+
+        def pad_last(array, pad, value_dtype=None):
+            return jnp.pad(
+                jnp.asarray(array, value_dtype),
+                ((0, 0), (0, 0), (0, 0), (0, pad)),
+            )
+
+        self.pad_volumes = pad_volumes
+        self.padded_constants = (
+            pad_volumes(constants["dir_mask"]),
+            pad_volumes(constants["dir_vals"], dtype),
+            # axis-0 faces are (2, n, h, w): pad both tiled dims. Masks
+            # travel as f32 0/1 (see _StencilHelpers3D.laplacian).
+            jnp.pad(
+                jnp.asarray(constants["ghost_0_mask"], dtype),
+                (
+                    (0, 0),
+                    (0, 0),
+                    (0, padded_height - height),
+                    (0, padded_width - width),
+                ),
+            ),
+            jnp.pad(
+                jnp.asarray(constants["ghost_0_vals"], dtype),
+                (
+                    (0, 0),
+                    (0, 0),
+                    (0, padded_height - height),
+                    (0, padded_width - width),
+                ),
+            ),
+            # axis-1 faces are (2, n, d, w): pad lanes only
+            pad_last(
+                constants["ghost_1_mask"], padded_width - width, dtype
+            ),
+            pad_last(
+                constants["ghost_1_vals"], padded_width - width, dtype
+            ),
+            # axis-2 faces are (2, n, d, h): pad the h (lane) dim
+            pad_last(
+                constants["ghost_2_mask"], padded_height - height, dtype
+            ),
+            pad_last(
+                constants["ghost_2_vals"], padded_height - height, dtype
+            ),
+        )
 
     def make_step(
-        dir_mask_ref,
-        dir_vals_ref,
-        ghost_0_mask_ref,
-        ghost_0_vals_ref,
-        ghost_1_mask_ref,
-        ghost_1_vals_ref,
-        ghost_2_mask_ref,
-        ghost_2_vals_ref,
+        self,
+        dir_mask,
+        dir_vals,
+        ghost_0_mask,
+        ghost_0_vals,
+        ghost_1_mask,
+        ghost_1_vals,
+        ghost_2_mask,
+        ghost_2_vals,
     ):
-        """Builds the per-step function from the constant refs (shared
-        by the DMA and debug-VMEM-output kernels)."""
-        dir_mask = dir_mask_ref[:]
-        dir_vals = dir_vals_ref[:]
-
+        """Builds the per-step function from the constant values (read
+        from kernel refs)."""
+        dtype = self.dtype
+        depth = self.depth
+        height, width = self.height, self.width
+        padded_height, padded_width = (
+            self.padded_height,
+            self.padded_width,
+        )
         geometry = dict(
-            geometry_static,
+            self.geometry_static,
             zero_planes=(
                 jnp.zeros((1, padded_height, padded_width), dtype),
                 jnp.zeros((depth, 1, padded_width), dtype),
@@ -449,12 +506,12 @@ def build_fused_system_3d_rk4_trajectory(
             ),
         )
         faces = dict(
-            ghost_0_mask=ghost_0_mask_ref[:],
-            ghost_0_vals=ghost_0_vals_ref[:],
-            ghost_1_mask=ghost_1_mask_ref[:],
-            ghost_1_vals=ghost_1_vals_ref[:],
-            ghost_2_mask=ghost_2_mask_ref[:],
-            ghost_2_vals=ghost_2_vals_ref[:],
+            ghost_0_mask=ghost_0_mask,
+            ghost_0_vals=ghost_0_vals,
+            ghost_1_mask=ghost_1_mask,
+            ghost_1_vals=ghost_1_vals,
+            ghost_2_mask=ghost_2_mask,
+            ghost_2_vals=ghost_2_vals,
         )
         helpers = _StencilHelpers3D(geometry, faces)
 
@@ -467,9 +524,36 @@ def build_fused_system_3d_rk4_trajectory(
                 for comp, volume in enumerate(y)
             )
 
-        return step_factory(
+        return self.step_factory(
             helpers, apply_dirichlet, dirichlet_component
         )
+
+
+def build_fused_system_3d_rk4_trajectory(
+    cp: ConstrainedProblem,
+    d_t: float,
+    n_steps: int,
+    interpret: bool = False,
+    _vmem_output: bool = False,
+):
+    """Builds ``trajectory(y) -> ys`` computing ``n_steps`` fused RK4
+    steps of a 3D problem, ``y`` of shape (d, h, w, n).
+
+    ``_vmem_output`` is a hardware bring-up aid: the trajectory is
+    written to a VMEM output with plain stores instead of async DMA to
+    HBM, isolating the compute path from the DMA pipeline (only viable
+    for small ``n_steps`` since the whole trajectory must fit VMEM)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = _SystemKernelConfig3D(cp, d_t)
+    n = cfg.n
+    depth, height, width = cfg.depth, cfg.height, cfg.width
+    dtype = cfg.dtype
+    padded_height = cfg.padded_height
+    padded_width = cfg.padded_width
+
+    def make_step(*const_refs):
+        return cfg.make_step(*(ref[:] for ref in const_refs))
 
     def kernel(
         y_ref,  # (n, d, ph, pw)
@@ -616,78 +700,14 @@ def build_fused_system_3d_rk4_trajectory(
             interpret=interpret,
         )
 
-    def pad_volumes(array, value_dtype=None):
-        return jnp.pad(
-            jnp.asarray(array, value_dtype),
-            (
-                (0, 0),
-                (0, 0),
-                (0, padded_height - height),
-                (0, padded_width - width),
-            ),
-        )
-
-    def pad_last(array, pad, value_dtype=None):
-        return jnp.pad(
-            jnp.asarray(array, value_dtype),
-            ((0, 0), (0, 0), (0, 0), (0, pad)),
-        )
-
-    padded_constants = (
-        pad_volumes(constants["dir_mask"]),
-        pad_volumes(constants["dir_vals"], dtype),
-        # axis-0 faces are (2, n, h, w): pad both tiled dims. Masks
-        # travel as f32 0/1 (see _StencilHelpers3D.laplacian).
-        jnp.pad(
-            jnp.asarray(constants["ghost_0_mask"], dtype),
-            (
-                (0, 0),
-                (0, 0),
-                (0, padded_height - height),
-                (0, padded_width - width),
-            ),
-        ),
-        jnp.pad(
-            jnp.asarray(constants["ghost_0_vals"], dtype),
-            (
-                (0, 0),
-                (0, 0),
-                (0, padded_height - height),
-                (0, padded_width - width),
-            ),
-        ),
-        # axis-1 faces are (2, n, d, w): pad lanes only
-        pad_last(
-            constants["ghost_1_mask"], padded_width - width, dtype
-        ),
-        pad_last(
-            constants["ghost_1_vals"], padded_width - width, dtype
-        ),
-        # axis-2 faces are (2, n, d, h): pad the h (lane) dim
-        pad_last(
-            constants["ghost_2_mask"], padded_height - height, dtype
-        ),
-        pad_last(
-            constants["ghost_2_vals"], padded_height - height, dtype
-        ),
-    )
-
     def trajectory(y: jax.Array) -> jax.Array:
         volumes = jnp.moveaxis(
             jnp.asarray(y, dtype).reshape(depth, height, width, n),
             -1,
             0,
         )
-        y_padded = jnp.pad(
-            volumes,
-            (
-                (0, 0),
-                (0, 0),
-                (0, padded_height - height),
-                (0, padded_width - width),
-            ),
-        )
-        out = call(y_padded, *padded_constants)
+        y_padded = cfg.pad_volumes(volumes)
+        out = call(y_padded, *cfg.padded_constants)
         if not _vmem_output:
             out = out.reshape(
                 (n_steps, n, depth, padded_height, padded_width)
@@ -698,6 +718,144 @@ def build_fused_system_3d_rk4_trajectory(
         return out[:, :, :height, :width].astype(y.dtype)
 
     return trajectory
+
+
+def build_fused_system_3d_rk4_end(
+    cp: ConstrainedProblem,
+    d_t: float,
+    n_steps: int,
+    interpret: bool = False,
+    batch: Optional[int] = None,
+):
+    """Builds ``end(y) -> y_final`` advancing ``n_steps`` fused 3D RK4
+    steps and returning ONLY the final state, or ``None`` when the
+    volume exceeds the VMEM liveness model.
+
+    No trajectory is written to HBM — the state stays in VMEM for the
+    whole solve (see
+    :func:`pararealml_tpu.ops.fused_diffusion.
+    build_fused_diffusion_rk4_end`). With ``batch=B``, ``end`` maps
+    ``(B, ...) -> (B, ...)`` via a Pallas grid over the batch. The
+    batched input flattens the batch into the leading component axis
+    (``(B * n, d, ph, pw)``) so every ref stays rank-4 single-indexed —
+    rank-5 refs hung Mosaic on hardware (see the trajectory kernel's
+    DMA notes).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not _fits_vmem_3d(cp):
+        return None
+    cfg = _SystemKernelConfig3D(cp, d_t)
+    n = cfg.n
+    depth, height, width = cfg.depth, cfg.height, cfg.width
+    dtype = cfg.dtype
+    padded_height = cfg.padded_height
+    padded_width = cfg.padded_width
+
+    batched = batch is not None
+
+    def kernel(
+        y_ref,  # (n, d, ph, pw) — one slice's volumes
+        dir_mask_ref,
+        dir_vals_ref,
+        ghost_0_mask_ref,
+        ghost_0_vals_ref,
+        ghost_1_mask_ref,
+        ghost_1_vals_ref,
+        ghost_2_mask_ref,
+        ghost_2_vals_ref,
+        out_ref,  # (n, d, ph, pw)
+    ):
+        step = cfg.make_step(
+            dir_mask_ref[:],
+            dir_vals_ref[:],
+            ghost_0_mask_ref[:],
+            ghost_0_vals_ref[:],
+            ghost_1_mask_ref[:],
+            ghost_1_vals_ref[:],
+            ghost_2_mask_ref[:],
+            ghost_2_vals_ref[:],
+        )
+        final = jax.lax.fori_loop(
+            0,
+            n_steps,
+            lambda k, carry: step(carry),
+            tuple(y_ref[comp] for comp in range(n)),
+        )
+        for comp, volume in enumerate(final):
+            out_ref[comp] = volume
+
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024
+    )
+    if batched:
+        grid_block = pl.BlockSpec(
+            (n, depth, padded_height, padded_width),
+            lambda b: (b, 0, 0, 0),
+        )
+
+        def const_spec(shape):
+            return pl.BlockSpec(shape, lambda b: (0,) * len(shape))
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(batch,),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch * n, depth, padded_height, padded_width), dtype
+            ),
+            in_specs=[grid_block]
+            + [
+                const_spec(np.asarray(c).shape)
+                for c in cfg.padded_constants
+            ],
+            out_specs=grid_block,
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )
+    else:
+        call = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (n, depth, padded_height, padded_width), dtype
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )
+
+    def end(y: jax.Array) -> jax.Array:
+        if batched:
+            volumes = jnp.moveaxis(
+                jnp.asarray(y, dtype).reshape(
+                    -1, depth, height, width, n
+                ),
+                -1,
+                1,
+            ).reshape(-1, depth, height, width)
+            y_padded = cfg.pad_volumes(volumes)
+            out = call(y_padded, *cfg.padded_constants)
+            out = jnp.moveaxis(
+                out.reshape(
+                    -1, n, depth, padded_height, padded_width
+                ),
+                1,
+                -1,
+            )[:, :, :height, :width]
+            return out.reshape((-1,) + tuple(y.shape[1:])).astype(
+                y.dtype
+            )
+        volumes = jnp.moveaxis(
+            jnp.asarray(y, dtype).reshape(depth, height, width, n),
+            -1,
+            0,
+        )
+        y_padded = cfg.pad_volumes(volumes)
+        out = call(y_padded, *cfg.padded_constants)
+        out = jnp.moveaxis(out, 0, -1)[:, :height, :width]
+        return out.reshape(y.shape).astype(y.dtype)
+
+    return end
 
 
 def build_fused_system_3d_rk4_step(

@@ -238,3 +238,64 @@ def test_applicability_gate_rejects_diffusion_subclass():
         assert not fused_diffusion_step_applicable(cp, RK4())
     finally:
         jax.config.update("jax_enable_x64", True)
+
+
+def test_end_kernel_matches_trajectory_final_state():
+    from pararealml_tpu.ops import (
+        build_fused_diffusion_rk4_end,
+        build_fused_diffusion_rk4_trajectory,
+    )
+
+    cp = _bench_cp()
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 5.0), np.eye(2))], [100.0]
+    )
+    y = np.asarray(ic.discrete_y_0(True), np.float32)
+    d_t, steps = 0.01, 7
+
+    trajectory = build_fused_diffusion_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    end = build_fused_diffusion_rk4_end(cp, d_t, steps, interpret=True)
+    y_end = np.asarray(end(y))
+    assert y_end.shape == y.shape
+    # identical step code in both kernels: the final states match
+    # exactly
+    np.testing.assert_array_equal(
+        y_end, np.asarray(trajectory(y)[-1])
+    )
+
+
+def test_batched_end_kernel_matches_single_slice_calls():
+    from pararealml_tpu.ops import build_fused_diffusion_rk4_end
+
+    cp = _bench_cp()
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 5.0), np.eye(2))], [100.0]
+    )
+    y = np.asarray(ic.discrete_y_0(True), np.float32)
+    d_t, steps = 0.01, 5
+    batch = 3
+    ys = np.stack([y * (0.5 + 0.25 * i) for i in range(batch)])
+
+    end = build_fused_diffusion_rk4_end(cp, d_t, steps, interpret=True)
+    batched_end = build_fused_diffusion_rk4_end(
+        cp, d_t, steps, interpret=True, batch=batch
+    )
+    out = np.asarray(batched_end(ys))
+    assert out.shape == ys.shape
+    expected = np.stack(
+        [np.asarray(end(ys[i])) for i in range(batch)]
+    )
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_end_kernel_not_built_beyond_vmem():
+    from pararealml_tpu.ops import build_fused_diffusion_rk4_end
+
+    mesh = Mesh([(0.0, 64.0), (0.0, 64.0)], [0.1, 0.1])
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 1)), is_static=True
+    )
+    cp = ConstrainedProblem(DiffusionEquation(2), mesh, [(bc, bc)] * 2)
+    assert build_fused_diffusion_rk4_end(cp, 0.01, 3) is None

@@ -528,3 +528,45 @@ def test_fused_navier_stokes_used_by_operator_in_f32():
         assert np.all(np.isfinite(y_fused))
     finally:
         jax.config.update("jax_enable_x64", True)
+
+
+def test_system_end_kernel_matches_trajectory_final_state():
+    from pararealml_tpu.ops import (
+        build_fused_system_rk4_end,
+        build_fused_system_rk4_trajectory,
+    )
+
+    cp = _wave_cp()
+    y = np.asarray(_ic(cp).discrete_y_0(True), np.float32)
+    d_t, steps = 0.001, 6
+
+    trajectory = build_fused_system_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    end = build_fused_system_rk4_end(cp, d_t, steps, interpret=True)
+    y_end = np.asarray(end(y))
+    assert y_end.shape == y.shape
+    np.testing.assert_array_equal(
+        y_end, np.asarray(trajectory(y)[-1])
+    )
+
+
+def test_batched_system_end_kernel_matches_single_slice_calls():
+    from pararealml_tpu.ops import build_fused_system_rk4_end
+
+    cp = _burgers_cp()
+    y = np.asarray(_ic(cp).discrete_y_0(True), np.float32)
+    d_t, steps = 0.0005, 4
+    batch = 3
+    ys = np.stack([y * (0.5 + 0.25 * i) for i in range(batch)])
+
+    end = build_fused_system_rk4_end(cp, d_t, steps, interpret=True)
+    batched_end = build_fused_system_rk4_end(
+        cp, d_t, steps, interpret=True, batch=batch
+    )
+    out = np.asarray(batched_end(ys))
+    assert out.shape == ys.shape
+    expected = np.stack(
+        [np.asarray(end(ys[i])) for i in range(batch)]
+    )
+    np.testing.assert_array_equal(out, expected)

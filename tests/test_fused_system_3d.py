@@ -182,3 +182,43 @@ def test_fdm_operator_dispatches_fused_3d():
     assert np.allclose(
         fused.discrete_y(), generic.discrete_y(), atol=1e-5
     )
+
+
+def test_3d_end_kernel_matches_trajectory_final_state():
+    from pararealml_tpu import BurgersEquation
+    from pararealml_tpu.ops import (
+        build_fused_system_3d_rk4_end,
+        build_fused_system_3d_rk4_trajectory,
+    )
+
+    diff_eq = BurgersEquation(3, 0.05)
+    cp = _cp(diff_eq, diff_eq.y_dimension)
+    ic = GaussianInitialCondition(
+        cp,
+        [(np.full(3, 1.0), np.eye(3) * 0.5)] * diff_eq.y_dimension,
+        [1.0] * diff_eq.y_dimension,
+    )
+    y = np.asarray(ic.discrete_y_0(True), np.float32)
+    d_t, steps = 0.0005, 4
+
+    trajectory = build_fused_system_3d_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    end = build_fused_system_3d_rk4_end(cp, d_t, steps, interpret=True)
+    y_end = np.asarray(end(y))
+    assert y_end.shape == y.shape
+    np.testing.assert_array_equal(
+        y_end, np.asarray(trajectory(y)[-1])
+    )
+
+    batch = 2
+    ys = np.stack([y, y * 0.5])
+    batched_end = build_fused_system_3d_rk4_end(
+        cp, d_t, steps, interpret=True, batch=batch
+    )
+    out = np.asarray(batched_end(ys))
+    assert out.shape == ys.shape
+    expected = np.stack(
+        [np.asarray(end(ys[i])) for i in range(batch)]
+    )
+    np.testing.assert_array_equal(out, expected)
