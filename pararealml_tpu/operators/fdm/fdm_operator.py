@@ -374,6 +374,63 @@ class FDMOperator(JaxOperator):
 
         return trajectory
 
+    def indexed_ends_function(
+        self,
+        cp,
+        t_0: float,
+        slice_duration: float,
+        n_slices: int,
+    ) -> Callable:
+        """The carry-only counterpart of
+        :meth:`indexed_trajectory_function`: a jittable
+        ``fn(y_0, slice_index) -> y_end`` returning ONLY the slice's
+        final state. Parareal's correction iterations consume slice end
+        states only (the reference likewise discards slice interiors
+        during iterations, /root/reference/pararealml/operators/
+        parareal/parareal_operator.py:163-185), so the scan never
+        stacks per-step states — no ``(steps, *grid)`` trajectory
+        buffer is allocated or written per sub-solve.
+        """
+        steps_per_slice = round(slice_duration / self._d_t)
+        if not np.isclose(
+            slice_duration, self._d_t * steps_per_slice
+        ) or steps_per_slice == 0:
+            raise ValueError(
+                f"operator time step size ({self._d_t}) must be a "
+                f"divisor of the slice duration ({slice_duration})"
+            )
+        total_steps = steps_per_slice * n_slices
+        dynamic = (
+            cp.differential_equation.x_dimension
+            and not cp.are_all_boundary_conditions_static
+        )
+        step_fn = self._build_step_function(
+            cp,
+            float(t_0),
+            total_steps,
+            static_only=not dynamic,
+            allow_fused=False,
+        )
+        d_t = self._d_t
+        t_start = float(t_0)
+
+        def ends(y_init, slice_index):
+            base = slice_index * steps_per_slice
+            offsets = jnp.arange(steps_per_slice)
+            xs = (
+                base + offsets,
+                t_start + d_t * (base + offsets),
+            )
+
+            def body(y, x):
+                return step_fn(y, x[0], x[1]), None
+
+            y_end, _ = jax.lax.scan(body, y_init, xs)
+            return y_end
+
+        ends.vmappable = True
+        return ends
+
     def ends_function(
         self,
         cp,

@@ -94,6 +94,16 @@ class PararealOperator(JaxOperator):
     # fine solves
     _TIME_PARALLEL_TOLERANCE_FLOOR = 1e-5
 
+    # vmap-batched sub-solves ride otherwise-idle vector lanes nearly
+    # for free on small grids (measured: 200 batched 21x21 fine solves
+    # cost about one generic solve), so the generic path wins there;
+    # past roughly 128x128 grid points a single generic step already
+    # saturates the VPU, batching scales linearly with the batch size,
+    # and the hand-fused kernels' measured 2.5-20x per-solve advantage
+    # dominates even though the Pallas batch grid advances slices
+    # sequentially
+    _SEQUENTIAL_FUSED_MIN_GRID_POINTS = 128 * 128
+
     def __init__(
         self,
         f: Operator,
@@ -199,6 +209,19 @@ class PararealOperator(JaxOperator):
             if np.isfinite(scale):
                 floor = floor * max(1.0, scale)
         return bool(np.all(tolerances > floor))
+
+    def _prefer_sequential_fused(self, cp) -> bool:
+        """Whether vmap-batched sub-solves should instead run hand-fused
+        kernels sequentially over the slice batch (Pallas batch grids
+        for end states, ``lax.map`` for the final trajectories) — the
+        grid-size heuristic documented at
+        ``_SEQUENTIAL_FUSED_MIN_GRID_POINTS``."""
+        if not cp.differential_equation.x_dimension:
+            return False
+        return (
+            int(np.prod(cp.mesh.vertices_shape))
+            >= self._SEQUENTIAL_FUSED_MIN_GRID_POINTS
+        )
 
     def _should_terminate(
         self, old_y_end_points: np.ndarray, new_y_end_points: np.ndarray
@@ -514,16 +537,43 @@ class PararealOperator(JaxOperator):
             def coarse_call_vmappable(y_start, slice_index, t_0):
                 return coarse_ifn_vmappable(y_start, slice_index)
 
+            # carry-only indexed ends (never stack per-step states)
+            # where the operators expose them; dynamic-BC problems
+            # have no fused kernels, so these are bit-identical to
+            # "expand the trajectory, keep the last frame"
+            def build_indexed_ends(operator):
+                builder = getattr(
+                    operator, "indexed_ends_function", None
+                )
+                if builder is None:
+                    return None
+                return builder(cp, t_start, slice_duration, n)
+
+            fine_iends = build_indexed_ends(self._f)
+            coarse_iends = build_indexed_ends(self._g)
+
             def coarse_end_call(y_start, slice_index, t_0):
+                if coarse_iends is not None:
+                    return coarse_iends(y_start, slice_index)
                 return coarse_call(y_start, slice_index, t_0)[-1]
 
             def coarse_end_call_vmappable(y_start, slice_index, t_0):
+                if coarse_iends is not None:
+                    return coarse_iends(y_start, slice_index)
                 return coarse_call_vmappable(
                     y_start, slice_index, t_0
                 )[-1]
 
             def fine_end_call(y_start, slice_index, t_0):
+                if fine_iends is not None:
+                    return fine_iends(y_start, slice_index)
                 return fine_call(y_start, slice_index, t_0)[-1]
+
+            # fused batched/sequential sub-solves apply only to the
+            # static-BC branch below
+            fine_ends_batched = None
+            coarse_ends_batched = None
+            fine_traj_sequential = None
 
         else:
             time_parallel = self._use_time_parallel_trajectories(
@@ -551,7 +601,8 @@ class PararealOperator(JaxOperator):
             # non-vmappable fine/coarse trajectory is rebuilt on the
             # generic path (trajectories tag themselves via the
             # ``vmappable`` attribute)
-            fine_fn = build_trajectory(self._f, allow_fused=True)
+            fine_fn_fused = build_trajectory(self._f, allow_fused=True)
+            fine_fn = fine_fn_fused
             if needs_vmap and not getattr(fine_fn, "vmappable", False):
                 fine_fn = build_trajectory(self._f, allow_fused=False)
             coarse_fn = build_trajectory(self._g, allow_fused=True)
@@ -583,14 +634,63 @@ class PararealOperator(JaxOperator):
             )
             _fine_end = getattr(fine_fn, "end_function", None)
 
+            # operators exposing an ``ends_function`` (FDMOperator)
+            # replace "expand the slice trajectory, keep the last
+            # frame" everywhere only end states are consumed: the
+            # fused variants keep the state in VMEM for the whole
+            # sub-solve with zero trajectory DMA, and the generic
+            # variant is a carry-only scan that never stacks per-step
+            # states. Affine-propagator ends still win outright
+            # (O(log steps) matvecs).
+            def build_ends(operator, batch=None, allow_fused=True):
+                builder = getattr(operator, "ends_function", None)
+                if builder is None:
+                    return None
+                return builder(
+                    cp,
+                    (0.0, slice_duration),
+                    allow_fused=allow_fused,
+                    batch=batch,
+                )
+
+            # when slices are vmap-batched, fine_end_call runs under
+            # vmap, which cannot transform fused Pallas kernels — the
+            # fused fine ends enter through the batched kernel below
+            fine_ends_fn = (
+                None
+                if _fine_end is not None
+                else build_ends(self._f, allow_fused=not needs_vmap)
+            )
+            coarse_ends_fn = (
+                None if _end is not None else build_ends(self._g)
+            )
+            if (
+                needs_vmap
+                and coarse_ends_fn is not None
+                and not getattr(coarse_ends_fn, "vmappable", False)
+            ):
+                coarse_ends_vmappable_fn = build_ends(
+                    self._g, allow_fused=False
+                )
+            else:
+                coarse_ends_vmappable_fn = coarse_ends_fn
+
             def fine_end_call(y_start, slice_index, t_0):
                 if _fine_end is not None:
                     return _fine_end(y_start, t_0 + slice_index * delta)
+                if fine_ends_fn is not None:
+                    return fine_ends_fn(
+                        y_start, t_0 + slice_index * delta
+                    )
                 return fine_call(y_start, slice_index, t_0)[-1]
 
             def coarse_end_call(y_start, slice_index, t_0):
                 if _end is not None:
                     return _end(y_start, t_0 + slice_index * delta)
+                if coarse_ends_fn is not None:
+                    return coarse_ends_fn(
+                        y_start, t_0 + slice_index * delta
+                    )
                 return coarse_call(y_start, slice_index, t_0)[-1]
 
             def coarse_end_call_vmappable(y_start, slice_index, t_0):
@@ -598,9 +698,42 @@ class PararealOperator(JaxOperator):
                     return _end_vmappable(
                         y_start, t_0 + slice_index * delta
                     )
+                if coarse_ends_vmappable_fn is not None:
+                    return coarse_ends_vmappable_fn(
+                        y_start, t_0 + slice_index * delta
+                    )
                 return coarse_call_vmappable(
                     y_start, slice_index, t_0
                 )[-1]
+
+            # when slices are vmap-batched per device on a grid past
+            # the lane-saturation threshold, run fused kernels
+            # SEQUENTIALLY over the batch instead of vmapping the
+            # generic path: batch=B builds the Pallas-grid batched end
+            # kernel (bit-identical to B single calls — tested), and
+            # the final trajectory materialization lax.maps the fused
+            # trajectory kernel
+            fine_ends_batched = None
+            coarse_ends_batched = None
+            fine_traj_sequential = None
+            if needs_vmap and self._prefer_sequential_fused(cp):
+                batch = n // n_devices_for_build
+                if _fine_end is None:
+                    cand = build_ends(self._f, batch=batch)
+                    if cand is not None and getattr(
+                        cand, "batched", False
+                    ):
+                        fine_ends_batched = cand
+                if self._relaxation == "fcf" and _end_vmappable is None:
+                    cand = build_ends(self._g, batch=batch)
+                    if cand is not None and getattr(
+                        cand, "batched", False
+                    ):
+                        coarse_ends_batched = cand
+                if fine_fn is not fine_fn_fused:
+                    # rebuilt generic above means the fused trajectory
+                    # kernel exists and cannot be vmapped; lax.map it
+                    fine_traj_sequential = fine_fn_fused
 
         n_devices = self._mesh_device_count(n)
         slices_per_device = n // n_devices
@@ -624,8 +757,15 @@ class PararealOperator(JaxOperator):
             # FCF corrections are computed with the vmappable coarse
             # path; the sweeps must use the *same* propagator or its
             # fused-vs-generic rounding difference leaks into borders
-            # the schedule treats as exact
-            coarse_end = coarse_end_call_vmappable
+            # the schedule treats as exact. With a batched fused coarse
+            # end kernel in the corrections, the sweeps use the
+            # UNBATCHED fused end kernel — bit-identical to the batched
+            # one by construction (tested)
+            coarse_end = (
+                coarse_end_call
+                if coarse_ends_batched is not None
+                else coarse_end_call_vmappable
+            )
         else:
             coarse_end = coarse_end_call
 
@@ -651,17 +791,46 @@ class PararealOperator(JaxOperator):
         else:
 
             def batched_fine(y_starts, slice_indices, t_0):
+                if fine_traj_sequential is not None:
+                    # sequential fused trajectory solves beat
+                    # lane-batched generic ones past the vmap-free
+                    # regime (see _prefer_sequential_fused); lax.map
+                    # keeps the Pallas kernel usable where vmap cannot
+                    # transform it
+                    return jax.lax.map(
+                        lambda args: fine_traj_sequential(
+                            args[0], t_0 + args[1] * delta
+                        ),
+                        (y_starts, slice_indices),
+                    )
                 return jax.vmap(fine_call, in_axes=(0, 0, None))(
                     y_starts, slice_indices, t_0
                 )
 
             def batched_fine_ends(y_starts, slice_indices, t_0):
+                if fine_ends_batched is not None:
+                    # the fused families are autonomous systems — the
+                    # batched end kernel ignores slice start times
+                    return fine_ends_batched(y_starts)
+                if fine_traj_sequential is not None:
+                    # no end kernel (e.g. beyond-VMEM tiled grids), but
+                    # a fused trajectory kernel exists: sequential
+                    # fused solves still beat lane-batched generic ones
+                    # past the saturation threshold
+                    return jax.lax.map(
+                        lambda args: fine_traj_sequential(
+                            args[0], t_0 + args[1] * delta
+                        )[-1],
+                        (y_starts, slice_indices),
+                    )
                 return jax.vmap(
                     lambda y, j: fine_end_call(y, j, t_0),
                     in_axes=(0, 0),
                 )(y_starts, slice_indices)
 
             def batched_coarse_ends(y_starts, slice_indices, t_0):
+                if coarse_ends_batched is not None:
+                    return coarse_ends_batched(y_starts)
                 return jax.vmap(
                     lambda y, j: coarse_end_call_vmappable(y, j, t_0),
                     in_axes=(0, 0),

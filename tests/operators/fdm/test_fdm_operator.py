@@ -423,3 +423,67 @@ def test_3d_diffusion_conserves_mass():
     # the peak must decay monotonically under pure diffusion
     peaks = y.max(axis=(1, 2, 3, 4))
     assert np.all(np.diff(peaks) < 0)
+
+
+def test_ends_function_matches_trajectory_last_frame():
+    # the carry-only generic ends scan must be bit-identical to the
+    # trajectory's final frame (same step function, same order)
+    import jax.numpy as jnp
+
+    mesh = Mesh([(0.0, 2.0), (0.0, 2.0)], [0.25, 0.25])
+    bc = _zero_neumann(1)
+    cp = ConstrainedProblem(
+        DiffusionEquation(2, 0.2), mesh, [(bc, bc)] * 2
+    )
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 1.0), 0.2 * np.eye(2))]
+    )
+    y_0 = jnp.asarray(ic.discrete_y_0(True))
+
+    op = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), 0.01,
+        fused_kernels=False,
+    )
+    trajectory, _ = op.trajectory_function(cp, (0.0, 0.1))
+    ends = op.ends_function(cp, (0.0, 0.1))
+    assert ends.vmappable and not ends.fused
+    np.testing.assert_array_equal(
+        np.asarray(ends(y_0, jnp.asarray(0.0))),
+        np.asarray(trajectory(y_0, jnp.asarray(0.0))[-1]),
+    )
+
+
+def test_indexed_ends_function_matches_indexed_trajectory():
+    # dynamic boundary conditions: the carry-only indexed ends must be
+    # bit-identical to the indexed trajectory's final frame per slice
+    import jax.numpy as jnp
+
+    mesh = Mesh([(0.0, 2.0), (0.0, 2.0)], [0.25, 0.25])
+    bcs = [
+        (
+            DirichletBoundaryCondition(
+                lambda x, t: np.full((len(x), 1), np.sin(t))
+            ),
+        )
+        * 2,
+        (_zero_neumann(1),) * 2,
+    ]
+    cp = ConstrainedProblem(DiffusionEquation(2, 0.5), mesh, bcs)
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 1.0), 0.2 * np.eye(2))]
+    )
+    y_0 = jnp.asarray(ic.discrete_y_0(True))
+
+    op = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
+    trajectory = op.indexed_trajectory_function(cp, 0.0, 0.25, 4)
+    ends = op.indexed_ends_function(cp, 0.0, 0.25, 4)
+    assert ends.vmappable
+
+    y = y_0
+    for k in range(4):
+        k_arr = jnp.asarray(k)
+        traj = np.asarray(trajectory(y, k_arr))
+        np.testing.assert_array_equal(
+            np.asarray(ends(y, k_arr)), traj[-1]
+        )
+        y = jnp.asarray(traj[-1])

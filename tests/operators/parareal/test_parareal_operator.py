@@ -466,3 +466,122 @@ def test_tune_candidate_validation():
         parareal.tune_num_time_slices(ivp, candidates=(0,))
     # failed tuning leaves the configured count untouched
     assert parareal._num_time_slices == 8
+
+
+
+def _large_grid_diffusion_ivp(t_end=0.32):
+    # 129x129 vertices: past _SEQUENTIAL_FUSED_MIN_GRID_POINTS, so
+    # vmap-batched decompositions switch the fine/coarse sub-solves to
+    # sequential fused kernels
+    mesh = Mesh([(0.0, 12.8), (0.0, 12.8)], [0.1, 0.1])
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 1)), is_static=True
+    )
+    cp = ConstrainedProblem(
+        DiffusionEquation(2, 0.1), mesh, [(bc, bc)] * 2
+    )
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 6.4), 2.0 * np.eye(2))]
+    )
+    return InitialValueProblem(cp, (0.0, t_end), ic)
+
+
+def test_prefer_sequential_fused_heuristic():
+    import jax
+
+    f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
+    g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.02)
+    parareal = PararealOperator(f, g, None, num_time_slices=16)
+
+    small = _diffusion_ivp().constrained_problem  # 11x11
+    large = _large_grid_diffusion_ivp().constrained_problem  # 129x129
+    ode = _lorenz_ivp().constrained_problem
+    assert not parareal._prefer_sequential_fused(small)
+    assert parareal._prefer_sequential_fused(large)
+    assert not parareal._prefer_sequential_fused(ode)
+
+    # the batched fused end kernel is actually buildable at this size
+    # (the fused families are f32; x64 disables them)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        batched_ends = f.ends_function(
+            large, (0.0, 0.02), allow_fused=True, batch=2
+        )
+        assert batched_ends.fused and batched_ends.batched
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def _sequential_fused_operators(fused, relaxation, max_iterations):
+    f = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        0.01,
+        fused_kernels=fused,
+    )
+    g = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        0.02,
+        fused_kernels=fused,
+    )
+    return PararealOperator(
+        f,
+        g,
+        None,
+        max_iterations=max_iterations,
+        num_time_slices=16,
+        relaxation=relaxation,
+    )
+
+
+def test_sequential_fused_batched_parareal_matches_generic():
+    # 16 slices on at most 8 devices with a 129x129 grid: the batched
+    # fine ends run the Pallas batch-grid end kernel and the final
+    # trajectories lax.map the fused trajectory kernel (no termination
+    # tolerance, so the affine-propagator path stays off and the fused
+    # stencil path is exercised)
+    import jax
+
+    ivp = _large_grid_diffusion_ivp()
+    jax.config.update("jax_enable_x64", False)
+    try:
+        fused_y = (
+            _sequential_fused_operators(True, "f", 2)
+            .solve(ivp)
+            .discrete_y()
+        )
+        generic_y = (
+            _sequential_fused_operators(False, "f", 2)
+            .solve(ivp)
+            .discrete_y()
+        )
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    assert fused_y.shape == generic_y.shape
+    # identical schedule; only fused-vs-generic stencil rounding
+    assert np.max(np.abs(fused_y - generic_y)) < 1e-4
+
+
+def test_sequential_fused_fcf_parareal_matches_generic():
+    # FCF with a batched fused coarse end kernel in the corrections
+    # must pair the sweeps with the (bit-identical) unbatched fused
+    # end kernel; validated against the all-generic FCF schedule
+    import jax
+
+    ivp = _large_grid_diffusion_ivp()
+    jax.config.update("jax_enable_x64", False)
+    try:
+        fused_y = (
+            _sequential_fused_operators(True, "fcf", 1)
+            .solve(ivp)
+            .discrete_y()
+        )
+        generic_y = (
+            _sequential_fused_operators(False, "fcf", 1)
+            .solve(ivp)
+            .discrete_y()
+        )
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    assert np.max(np.abs(fused_y - generic_y)) < 1e-4
