@@ -753,6 +753,97 @@ class PararealOperator(JaxOperator):
 
         termination = make_rms_termination(tolerances)
 
+        # an affine coarse propagator turns BOTH coarse sweeps into
+        # log-depth parallel prefixes: the corrective recurrence
+        # y_{j+1} = P y_j + (r + correction_j) (and the initial sweep,
+        # its corrections-free special case) is a Hillis-Steele
+        # doubling scan whose levels are single (n, dim) x (dim, dim)
+        # MXU matmuls against precomputed P^(2^l) — ceil(log2(n))
+        # dependent ops instead of n dependent per-slice coarse solves
+        # on the iteration's serial critical path. The reference runs
+        # this sweep strictly sequentially on every rank
+        # (/root/reference/pararealml/operators/parareal/
+        # parareal_operator.py:168-185).
+        affine_sweep = None
+        affine_batched_coarse_ends = None
+        affine_coarse = getattr(coarse_fn, "affine_slice_map", None) \
+            if t_start is None else None
+        if affine_coarse is not None:
+            from pararealml_tpu.ops.linear_propagator import (
+                _PRECISION as _prec,
+            )
+
+            pt_slice, r_slice = affine_coarse
+            dim = int(np.prod(y_shape))
+            levels = (n - 1).bit_length()
+            itemsize = np.dtype(pt_slice.dtype).itemsize
+            # the doubling powers ride in the compiled program; cap
+            # their footprint (beyond it the sequential sweep's n
+            # matvecs are cheaper than staging hundreds of MB)
+            if (levels + 2) * dim * dim * itemsize <= 128 * 2**20:
+                pt_pows = [pt_slice]
+                for _ in range(levels - 1):
+                    pt_pows.append(
+                        jnp.matmul(
+                            pt_pows[-1], pt_pows[-1], precision=_prec
+                        )
+                    )
+
+                def affine_sweep(i, y_borders, corrections):
+                    yb = y_borders.reshape(n + 1, dim)
+                    corr = corrections.reshape(n, dim)
+                    mask = (jnp.arange(n) >= i)[:, jnp.newaxis]
+                    # recurrence inputs: w_j = r + corr_j for j >= i
+                    # (zero below i decouples frozen borders), seeded
+                    # with P y_i at j == i so prefixes over [i, j]
+                    # reproduce the sweep exactly
+                    w = jnp.where(mask, r_slice + corr, 0.0)
+                    y_i = jax.lax.dynamic_index_in_dim(
+                        yb, i, 0, keepdims=False
+                    )
+                    w = w.at[i].add(
+                        jnp.matmul(y_i, pt_slice, precision=_prec)
+                    )
+                    v = w
+                    for level, ptl in enumerate(pt_pows):
+                        shift = 1 << level
+                        shifted = jnp.concatenate(
+                            [
+                                jnp.zeros((shift, dim), v.dtype),
+                                v[:-shift],
+                            ],
+                            axis=0,
+                        )
+                        v = v + jnp.matmul(
+                            shifted, ptl, precision=_prec
+                        )
+                    # v[j] = y_{j+1} for j >= i; frozen borders keep
+                    # their values. The carried coarse ends are
+                    # re-derived from the post-sweep borders with one
+                    # batched matmul (frozen entries recompute to the
+                    # same values — the map is deterministic)
+                    new_borders = yb.at[1:].set(
+                        jnp.where(mask, v, yb[1:])
+                    )
+                    new_coarse_ends = (
+                        jnp.matmul(
+                            new_borders[:-1], pt_slice, precision=_prec
+                        )
+                        + r_slice
+                    )
+                    return (
+                        new_borders.reshape(y_borders.shape),
+                        new_coarse_ends.reshape(corrections.shape),
+                    )
+
+                def affine_batched_coarse_ends(y_starts):
+                    flat = y_starts.reshape(-1, dim)
+                    ends = (
+                        jnp.matmul(flat, pt_slice, precision=_prec)
+                        + r_slice
+                    )
+                    return ends.reshape(y_starts.shape)
+
         if self._relaxation == "fcf":
             # FCF corrections are computed with the vmappable coarse
             # path; the sweeps must use the *same* propagator or its
@@ -784,6 +875,10 @@ class PararealOperator(JaxOperator):
                 )[jnp.newaxis]
 
             def batched_coarse_ends(y_starts, slice_indices, t_0):
+                if affine_batched_coarse_ends is not None:
+                    # keep every coarse evaluation on the identical
+                    # (P, r) matmul map the affine sweeps use
+                    return affine_batched_coarse_ends(y_starts)
                 return coarse_end_call_vmappable(
                     y_starts[0], slice_indices[0], t_0
                 )[jnp.newaxis]
@@ -829,6 +924,10 @@ class PararealOperator(JaxOperator):
                 )(y_starts, slice_indices)
 
             def batched_coarse_ends(y_starts, slice_indices, t_0):
+                if affine_batched_coarse_ends is not None:
+                    # keep every coarse evaluation on the identical
+                    # (P, r) matmul map the affine sweeps use
+                    return affine_batched_coarse_ends(y_starts)
                 if coarse_ends_batched is not None:
                     return coarse_ends_batched(y_starts)
                 return jax.vmap(
@@ -879,7 +978,20 @@ class PararealOperator(JaxOperator):
             local_slice_indices = first_slice + local_slice_offsets
 
             # initial coarse sweep, replicated on every device
-            if coarse_whole_fn is not None:
+            if affine_sweep is not None:
+                # corrections-free special case of the affine
+                # corrective sweep: one log-depth doubling scan
+                y_borders, coarse_ends = affine_sweep(
+                    jnp.asarray(0, jnp.int32),
+                    jnp.concatenate(
+                        [
+                            y_init[jnp.newaxis],
+                            jnp.zeros((n,) + y_shape, y_init.dtype),
+                        ]
+                    ),
+                    jnp.zeros((n,) + y_shape, y_init.dtype),
+                )
+            elif coarse_whole_fn is not None:
                 coarse_ends = coarse_whole_fn(y_init, t_0)[
                     coarse_steps_per_slice - 1::coarse_steps_per_slice
                 ]
@@ -892,9 +1004,10 @@ class PararealOperator(JaxOperator):
                 _, coarse_ends = jax.lax.scan(
                     sweep, y_init, jnp.arange(n)
                 )
-            y_borders = jnp.concatenate(
-                [y_init[jnp.newaxis], coarse_ends]
-            )
+            if affine_sweep is None:
+                y_borders = jnp.concatenate(
+                    [y_init[jnp.newaxis], coarse_ends]
+                )
 
             def local_slice(array):
                 return jax.lax.dynamic_slice_in_dim(
@@ -980,9 +1093,24 @@ class PararealOperator(JaxOperator):
                 # already exact (standard Parareal property, and
                 # the j-masks above make them no-ops), so the
                 # sweep starts at i
-                y_borders, coarse_ends = jax.lax.fori_loop(
-                    i, n, corrective_sweep, (y_borders, coarse_ends)
-                )
+                if affine_sweep is not None:
+                    # affine coarse: the whole sweep is a log-depth
+                    # doubling scan instead of n dependent solves.
+                    # Border i + 1 comes out as P y_i + r + corr_i
+                    # with the identical matmul the carried coarse
+                    # end was computed with, so the classic
+                    # keep-stale-at-j==i semantics (and exactness
+                    # telescoping) are preserved bit-for-bit
+                    y_borders, coarse_ends = affine_sweep(
+                        i, y_borders, corrections
+                    )
+                else:
+                    y_borders, coarse_ends = jax.lax.fori_loop(
+                        i,
+                        n,
+                        corrective_sweep,
+                        (y_borders, coarse_ends),
+                    )
                 converged = termination(old_ends, y_borders[1:])
                 return (i + 1, y_borders, coarse_ends, converged)
 

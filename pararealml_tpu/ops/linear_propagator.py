@@ -295,6 +295,26 @@ def build_linear_propagator_trajectory(
                 )
         return out.reshape(tuple(y_shape)).astype(jnp.result_type(y))
 
+    # the composed n_steps-step affine map (P, r) with the row-vector
+    # convention (y_end = y @ P.T + r), materialized once at build time
+    # by folding the binary chain: Parareal's corrective coarse sweep
+    # y_{j+1} = P y_j + (r + correction_j) is an affine *recurrence* in
+    # the slice index, which the operator consumes as a log-depth
+    # parallel prefix (doubling) scan over MXU matmuls instead of n
+    # dependent end_function calls
+    p_total = jnp.eye(dim, dtype=dtype)
+    r_total = jnp.zeros(dim, dtype=dtype)
+    for p, r, take in chain:
+        if take:
+            p_total = jnp.matmul(p, p_total, precision=_PRECISION)
+            r_total = (
+                jnp.matmul(p, r_total[:, None], precision=_PRECISION)[
+                    :, 0
+                ]
+                + r
+            )
+
     trajectory.end_function = end_state
+    trajectory.affine_slice_map = (p_total.T, r_total)
     trajectory.vmappable = True
     return trajectory

@@ -170,6 +170,20 @@ def test_trajectory_and_end_function_match_stepping():
     )
     assert trajectory.vmappable
 
+    # the materialized slice map (P, r) must reproduce the composed
+    # n_steps-step affine map (it feeds Parareal's doubling-scan
+    # coarse sweeps)
+    pt, r = trajectory.affine_slice_map
+    via_map = np.asarray(
+        jnp.matmul(
+            jnp.asarray(y_0).reshape(dim),
+            pt,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + r
+    ).reshape(y_shape)
+    np.testing.assert_allclose(via_map, expected[-1], atol=1e-9)
+
 
 def test_fdm_time_parallel_trajectory_matches_generic():
     cp = _diffusion_cp()
