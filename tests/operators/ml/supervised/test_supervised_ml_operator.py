@@ -658,3 +658,87 @@ def test_generate_data_sharded_matches_single_device():
             ivp, oracle, 3, perturb, device_mesh=mesh
         )
         assert len(uneven[0]) == len(single[0]) // 8 * 3
+
+
+def test_time_parallel_affine_surrogate_takes_propagator_path():
+    # a linear-branch/linear-combiner DeepONet is affine in the state,
+    # so the parallel-in-time trajectory formulation probes (P, r) and
+    # exposes the propagator surface Parareal's doubling sweeps consume;
+    # the roll-out values must match the scan path
+    import optax
+
+    from pararealml_tpu.operators.ml import DeepONet, Standardized
+
+    np.random.seed(0)
+    ivp = _diffusion_ivp()
+    cp = ivp.constrained_problem
+    n_y = int(np.prod(cp.y_shape(True)))
+    oracle = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), 0.001
+    )
+    op = SupervisedMLOperator(0.25, True)
+    data = op.generate_data(ivp, oracle, 3, lambda t, y: y * 1.01)
+
+    def build():
+        return Standardized.from_data(
+            DeepONet(
+                branch_net=FNN([8], activation=lambda h: h),
+                trunk_net=FNN([16, 8]),
+                combiner_net=FNN([1], activation=lambda h: h),
+                branch_net_input_size=n_y,
+            ),
+            *data,
+        )
+
+    model = SKLearnJaxRegressor(
+        build, batch_size=64, epochs=5,
+        optimizer=optax.adam(2e-3), verbose=0,
+    )
+    op.fit_model(model, data)
+
+    scan_fn, t = op.trajectory_function(cp, (0.0, 0.75))
+    prop_fn, t_prop = op.trajectory_function(
+        cp, (0.0, 0.75), time_parallel=True
+    )
+    assert hasattr(prop_fn, "affine_slice_map")
+    assert hasattr(prop_fn, "end_function")
+    assert prop_fn.vmappable
+    np.testing.assert_array_equal(t, t_prop)
+
+    y_0 = np.asarray(ivp.initial_condition.discrete_y_0(True))
+    scan_ys = np.asarray(jax.jit(scan_fn)(y_0, 0.0))
+    prop_ys = np.asarray(jax.jit(prop_fn)(y_0, 0.0))
+    scale = max(1.0, float(np.abs(scan_ys).max()))
+    assert np.max(np.abs(prop_ys - scan_ys)) / scale < 1e-6
+
+
+def test_time_parallel_nonlinear_surrogate_keeps_scan_rollout():
+    # a tanh-branch surrogate fails the affinity probe and must fall
+    # back to the scan roll-out silently
+    import optax
+
+    np.random.seed(0)
+    ivp = _diffusion_ivp()
+    cp = ivp.constrained_problem
+    oracle = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), 0.001
+    )
+    op = SupervisedMLOperator(0.25, True)
+    data = op.generate_data(ivp, oracle, 3, lambda t, y: y * 1.01)
+    model = SKLearnJaxRegressor(
+        lambda: FNN([32, data[1].shape[-1]]),
+        batch_size=64, epochs=5,
+        optimizer=optax.adam(2e-3), verbose=0,
+    )
+    op.fit_model(model, data)
+
+    prop_fn, _ = op.trajectory_function(
+        cp, (0.0, 0.75), time_parallel=True
+    )
+    assert not hasattr(prop_fn, "affine_slice_map")
+    scan_fn, _ = op.trajectory_function(cp, (0.0, 0.75))
+    y_0 = np.asarray(ivp.initial_condition.discrete_y_0(True))
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(prop_fn)(y_0, 0.0)),
+        np.asarray(jax.jit(scan_fn)(y_0, 0.0)),
+    )
