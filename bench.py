@@ -146,7 +146,13 @@ class DeviceTimer:
         re-solves the original initial condition: the next window's
         input carries a data dependency on the previous window's output
         (scaled by 1e-38 — underflows to a no-op in f32) so XLA can
-        neither collapse the windows nor overlap them."""
+        neither collapse the windows nor overlap them.
+
+        The round-trip estimate's error also divides by ``windows``:
+        through this environment's tunnel the round-trip scatters by
+        tens of ms between runs, so sub-5 ms solves need >= 32 windows
+        for a stable per-solve figure (16-window measurements of a
+        ~2 ms program scattered 0.8-1.9 ms)."""
         import jax
         import jax.numpy as jnp
 
@@ -231,9 +237,9 @@ def bench_parareal(timer):
         )
         return elapsed, max_diff
 
-    ref_time, ref_diff = measure_parareal(N_SLICES, COARSE_D_T, 8)
+    ref_time, ref_diff = measure_parareal(N_SLICES, COARSE_D_T, 32)
     best_time, best_diff = measure_parareal(
-        BEST_N_SLICES, BEST_COARSE_D_T, 16
+        BEST_N_SLICES, BEST_COARSE_D_T, 64
     )
 
     return {
@@ -397,7 +403,7 @@ def bench_sml_coarse_parareal(timer, fused_time):
         lambda y: jnp.max(jnp.abs(solve(y) - fine_fn(y, 0.0)))
     )
     max_diff = float(diff_fn(y_0))
-    elapsed = timer.time_chained(solve, y_0, 8)
+    elapsed = timer.time_chained(solve, y_0, 32)
     log(
         f"sml-coarse parareal ({SML_N_SLICES} slices, <= "
         f"{SML_MAX_ITERATIONS} iterations): {elapsed * 1e3:.2f}ms -> "

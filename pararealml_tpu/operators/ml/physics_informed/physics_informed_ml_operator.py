@@ -231,6 +231,66 @@ class PhysicsInformedMLOperator(JaxOperator):
 
         return trajectory, t[1:]
 
+    def ends_function(
+        self, cp, t_interval, allow_fused=True, batch=None
+    ):
+        """The carry-only counterpart of :meth:`trajectory_function`:
+        ``fn(y_0, t_0) -> y_end`` without stacking per-step
+        predictions, for consumers that need only end states —
+        Parareal's correction iterations with a physics-informed
+        coarse operator (the reference likewise discards slice
+        interiors, /root/reference/pararealml/operators/parareal/
+        parareal_operator.py:163-185). ``batch`` is accepted for
+        interface parity and ignored (the roll-out is freely
+        vmappable)."""
+        if self._model is None or self._model.params is None:
+            raise ValueError("operator has no trained model")
+        model = self._model
+        params = model.params
+        diff_eq = cp.differential_equation
+        y_shape = tuple(cp.y_shape(self._vertex_oriented))
+        t = discretize_time_domain(t_interval, self._d_t)
+        t_offsets = jnp.asarray(t[1:] - t[0])
+
+        if diff_eq.x_dimension:
+            x = jnp.asarray(
+                cp.mesh.all_index_coordinates(
+                    self._vertex_oriented, flatten=True
+                )
+            )
+            n_rows = len(x)
+        else:
+            x = None
+            n_rows = 1
+
+        auto_regressive = self._auto_regressive
+        d_t = self._d_t
+
+        def predict(u_flat, t_value, dtype):
+            u = jnp.tile(u_flat[jnp.newaxis], (n_rows, 1))
+            t_col = jnp.full((n_rows, 1), t_value, dtype)
+            return model.apply(params, u, t_col, x)
+
+        def ends(y_0, t_0):
+            u_0 = jnp.ravel(y_0)
+            if not auto_regressive:
+                # direct-t inference: only the final time matters
+                return predict(
+                    u_0, t_0 + t_offsets[-1], u_0.dtype
+                ).reshape(y_shape)
+
+            def step(u_flat, t_offset):
+                prediction = predict(u_flat, d_t, u_flat.dtype)
+                return jnp.ravel(prediction), None
+
+            last, _ = jax.lax.scan(step, u_0, t_offsets)
+            return last.reshape(y_shape)
+
+        ends.vmappable = True
+        ends.fused = False
+        ends.batched = False
+        return ends
+
     # -- training ----------------------------------------------------------
 
     def train(

@@ -188,6 +188,15 @@ def test_trajectory_function_matches_solve():
     rollout = np.asarray(jax.jit(fn)(np.array([1.0]), 0.0))
     assert np.allclose(rollout, solution, atol=1e-6)
 
+    # the carry-only ends roll-out (Parareal's correction-iteration
+    # consumer) must be bit-identical to the trajectory's final frame
+    ends = operator.ends_function(cp, (0.0, 1.0))
+    assert ends.vmappable and not ends.fused
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(ends)(np.array([1.0]), 0.0)),
+        rollout[-1],
+    )
+
 
 def test_validation_history_and_retraining():
     np.random.seed(0)

@@ -742,3 +742,40 @@ def test_time_parallel_nonlinear_surrogate_keeps_scan_rollout():
         np.asarray(jax.jit(prop_fn)(y_0, 0.0)),
         np.asarray(jax.jit(scan_fn)(y_0, 0.0)),
     )
+
+
+def test_ends_function_matches_trajectory_last_frame():
+    # carry-only ends must be bit-identical to the scan roll-out's
+    # final frame (auto-regressive) / final prediction (time-variant)
+    import optax
+
+    np.random.seed(0)
+    ivp = _diffusion_ivp()
+    cp = ivp.constrained_problem
+    oracle = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), 0.001
+    )
+    y_0 = np.asarray(ivp.initial_condition.discrete_y_0(True))
+
+    for kwargs in (
+        dict(auto_regressive=True),
+        dict(auto_regressive=False, time_variant=True),
+    ):
+        op = SupervisedMLOperator(0.25, True, **kwargs)
+        data = op.generate_data(
+            ivp, oracle, 3, lambda t, y: y * 1.01
+        )
+        model = SKLearnJaxRegressor(
+            lambda: FNN([16, data[1].shape[-1]]),
+            batch_size=64, epochs=5,
+            optimizer=optax.adam(2e-3), verbose=0,
+        )
+        op.fit_model(model, data)
+
+        fn, _ = op.trajectory_function(cp, (0.0, 0.75))
+        ends = op.ends_function(cp, (0.0, 0.75))
+        assert ends.vmappable and not ends.fused
+        np.testing.assert_array_equal(
+            np.asarray(jax.jit(ends)(y_0, 0.0)),
+            np.asarray(jax.jit(fn)(y_0, 0.0))[-1],
+        )
