@@ -22,9 +22,12 @@ ride in the compiled program, so program size stays bounded regardless
 of trajectory length.
 
 End states skip the interior entirely: ``y_n = P y_0 + r`` with
-``(P, r)`` the ``n``-step composition, evaluated through the binary
-expansion of ``n`` (``log2(n)`` matvecs), so Parareal's sequential
-corrective coarse sweep advances a slice in O(log n) matvecs.
+``(P, r)`` the ``n``-step composition, materialized once at build time
+through the binary expansion of ``n``, so every Parareal end call is
+ONE matvec (one ``(B, dim) x (dim, dim)`` matmul for a batch of
+slices), and the composed map itself (``affine_slice_map``) lets the
+Parareal operator run its corrective coarse sweeps as log-depth
+doubling scans instead of ``n`` dependent solves.
 
 This is the TPU-first replacement for the reference's batched fine
 solves inside Parareal (/root/reference/pararealml/operators/parareal/
@@ -254,21 +257,78 @@ def build_linear_propagator_trajectory(
         offset_stack = jnp.stack(offsets, axis=0)
         n_chunks = -(-n_steps // chunk)
 
+        # chunk-BOUNDARY states are themselves an affine recurrence in
+        # the chunk index (z_{k+1} = S^c z_k + r_c), so they come from
+        # a log-depth Hillis-Steele doubling scan over precomputed
+        # (S^c)^(2^l) instead of a sequential chunk scan — and with
+        # every chunk start known, ALL interiors are one batched
+        # (n_chunks, dim) x (dim, c*dim) MXU matmul. The whole
+        # trajectory expansion then has O(log n_chunks) serial depth.
+        # The doubling powers ride in the compiled program; past the
+        # footprint cap the sequential chunk scan remains.
+        boundary_levels = (n_chunks - 1).bit_length()
+        use_doubling = (
+            n_chunks > 1
+            and boundary_levels * dim * dim * np.dtype(dtype).itemsize
+            <= 128 * 2**20
+        )
+        if use_doubling:
+            chunk_pt = pow_ts[chunk - 1]  # (S^c).T
+            chunk_r = offsets[chunk - 1]
+            boundary_pows = [chunk_pt]
+            for _ in range(boundary_levels - 1):
+                boundary_pows.append(
+                    jnp.matmul(
+                        boundary_pows[-1],
+                        boundary_pows[-1],
+                        precision=_PRECISION,
+                    )
+                )
+
     def trajectory(y, t_0=None):
         y_flat = jnp.asarray(y, dtype).reshape(dim)
 
         if chunk > 1:
+            if use_doubling:
+                # w_0 = S^c y + r_c seeds the prefix; v_k = z_{k+1}
+                w = jnp.broadcast_to(
+                    chunk_r, (n_chunks, dim)
+                ).astype(dtype)
+                w = w.at[0].add(
+                    jnp.matmul(y_flat, chunk_pt, precision=_PRECISION)
+                )
+                v = w
+                for level, ptl in enumerate(boundary_pows):
+                    shift = 1 << level
+                    shifted = jnp.concatenate(
+                        [
+                            jnp.zeros((shift, dim), v.dtype),
+                            v[:-shift],
+                        ],
+                        axis=0,
+                    )
+                    v = v + jnp.matmul(
+                        shifted, ptl, precision=_PRECISION
+                    )
+                starts = jnp.concatenate(
+                    [y_flat[jnp.newaxis], v[:-1]], axis=0
+                )
+                ys = jnp.matmul(
+                    starts, pow_flat, precision=_PRECISION
+                ).reshape(n_chunks, chunk, dim) + offset_stack
+                ys = ys.reshape(n_chunks * chunk, dim)[:n_steps]
+            else:
 
-            def body(carry, _):
-                states = jnp.matmul(
-                    carry, pow_flat, precision=_PRECISION
-                ).reshape(chunk, dim) + offset_stack
-                return states[-1], states
+                def body(carry, _):
+                    states = jnp.matmul(
+                        carry, pow_flat, precision=_PRECISION
+                    ).reshape(chunk, dim) + offset_stack
+                    return states[-1], states
 
-            _, ys = jax.lax.scan(
-                body, y_flat, None, length=n_chunks
-            )
-            ys = ys.reshape(n_chunks * chunk, dim)[:n_steps]
+                _, ys = jax.lax.scan(
+                    body, y_flat, None, length=n_chunks
+                )
+                ys = ys.reshape(n_chunks * chunk, dim)[:n_steps]
         else:
 
             def body(carry, _):
@@ -282,26 +342,12 @@ def build_linear_propagator_trajectory(
             jnp.result_type(y)
         )
 
-    def end_state(y, t_0=None):
-        """The trajectory's final state only — the ``n_steps``-step
-        affine map through its binary expansion, O(log n) matvecs,
-        letting sequential sweeps (Parareal's corrective coarse sweep)
-        skip the interior entirely."""
-        out = jnp.asarray(y, dtype).reshape(dim)
-        for p, r, take in chain:
-            if take:
-                out = (
-                    jnp.matmul(out, p.T, precision=_PRECISION) + r
-                )
-        return out.reshape(tuple(y_shape)).astype(jnp.result_type(y))
-
-    # the composed n_steps-step affine map (P, r) with the row-vector
-    # convention (y_end = y @ P.T + r), materialized once at build time
-    # by folding the binary chain: Parareal's corrective coarse sweep
-    # y_{j+1} = P y_j + (r + correction_j) is an affine *recurrence* in
-    # the slice index, which the operator consumes as a log-depth
-    # parallel prefix (doubling) scan over MXU matmuls instead of n
-    # dependent end_function calls
+    # the composed n_steps-step affine map (P, r), materialized once at
+    # build time by folding the binary chain (row-vector convention:
+    # y_end = y @ P.T + r). It backs both the one-matmul end_function
+    # below and affine_slice_map — the surface Parareal's doubling-scan
+    # coarse sweeps consume (the corrective sweep y_{j+1} = P y_j +
+    # (r + correction_j) is an affine recurrence in the slice index)
     p_total = jnp.eye(dim, dtype=dtype)
     r_total = jnp.zeros(dim, dtype=dtype)
     for p, r, take in chain:
@@ -313,8 +359,20 @@ def build_linear_propagator_trajectory(
                 ]
                 + r
             )
+    p_total_t = p_total.T
+
+    def end_state(y, t_0=None):
+        """The trajectory's final state only — ONE matvec against the
+        materialized ``n_steps``-step composed map, letting Parareal's
+        per-iteration fine ends and (non-affine-sweep) corrective
+        coarse sweeps skip the interior entirely. Under ``vmap`` the
+        batch of Parareal slices contracts as a single
+        ``(B, dim) x (dim, dim)`` MXU matmul."""
+        out = jnp.asarray(y, dtype).reshape(dim)
+        out = jnp.matmul(out, p_total_t, precision=_PRECISION) + r_total
+        return out.reshape(tuple(y_shape)).astype(jnp.result_type(y))
 
     trajectory.end_function = end_state
-    trajectory.affine_slice_map = (p_total.T, r_total)
+    trajectory.affine_slice_map = (p_total_t, r_total)
     trajectory.vmappable = True
     return trajectory
