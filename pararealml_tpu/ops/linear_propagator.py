@@ -58,6 +58,13 @@ _MAX_CHUNK_STACK_ELEMS = 16_777_216
 # which is far too coarse for chained propagators; HIGHEST requests the
 # full-precision (6-pass) f32 composition
 _PRECISION = jax.lax.Precision.HIGHEST
+# the chunk-interior expansion is the converged program's dominant
+# matmul (profiled at ~0.77 ms of the n=100 benchmark's ~2 ms), but
+# measured on hardware, dropping it to HIGH (3-pass) doubles the
+# benchmark's max error vs the fine solve (2.5e-3 -> 5.3e-3, past the
+# termination tolerance), so it stays at the full-precision
+# composition like every other propagator matmul
+_INTERIOR_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _all_symbol_arrays(symbols):
@@ -244,6 +251,15 @@ def build_linear_propagator_trajectory(
     chunk = max(
         1, min(64, n_steps, _MAX_CHUNK_STACK_ELEMS // (dim * dim))
     )
+    if chunk > 1 and n_steps % chunk:
+        # prefer an exact divisor of n_steps within 2x of the cap: the
+        # padded tail otherwise forces a [:n_steps] truncation copy of
+        # the whole expanded trajectory (profiled at ~0.1 ms on the
+        # n=100 benchmark program) plus up to chunk-1 wasted states
+        for candidate in range(chunk, chunk // 2, -1):
+            if n_steps % candidate == 0:
+                chunk = candidate
+                break
     if chunk > 1:
         pow_ts, offsets = [s_t], [q]
         for _ in range(chunk - 1):
@@ -267,8 +283,14 @@ def build_linear_propagator_trajectory(
         # The doubling powers ride in the compiled program; past the
         # footprint cap the sequential chunk scan remains.
         boundary_levels = (n_chunks - 1).bit_length()
+        # measured on v5e (benchmark diffusion_2d Parareal): doubling
+        # wins decisively on deep chunk scans (the 8-slice config's
+        # 100-chunk expansion: 8.3 -> 2.0 ms whole-program) but costs
+        # ~0.5 ms of extra data formatting on shallow ones (the
+        # 100-slice config's 8-chunk expansion regressed 2.0 -> 2.5 ms),
+        # so shallow scans keep the sequential chunk loop
         use_doubling = (
-            n_chunks > 1
+            n_chunks >= 16
             and boundary_levels * dim * dim * np.dtype(dtype).itemsize
             <= 128 * 2**20
         )
@@ -314,7 +336,7 @@ def build_linear_propagator_trajectory(
                     [y_flat[jnp.newaxis], v[:-1]], axis=0
                 )
                 ys = jnp.matmul(
-                    starts, pow_flat, precision=_PRECISION
+                    starts, pow_flat, precision=_INTERIOR_PRECISION
                 ).reshape(n_chunks, chunk, dim) + offset_stack
                 ys = ys.reshape(n_chunks * chunk, dim)[:n_steps]
             else:

@@ -303,3 +303,39 @@ def test_parareal_tolerance_gating_is_scale_aware():
     assert not parareal._use_time_parallel_trajectories(cp, large_state)
     # without a state the absolute floor applies (backward compatible)
     assert parareal._use_time_parallel_trajectories(cp)
+
+
+def test_deep_trajectory_doubling_expansion_matches_stepping():
+    # enough steps that n_chunks >= 16: the chunk-boundary doubling
+    # scan (log-depth expansion) must reproduce sequential stepping
+    rng = np.random.default_rng(7)
+    y_shape = (2, 3)
+    dim = int(np.prod(y_shape))
+    a_np = np.eye(dim) + 0.01 * rng.standard_normal((dim, dim))
+    b_np = 0.01 * rng.standard_normal(dim)
+    a, b = jnp.asarray(a_np), jnp.asarray(b_np)
+
+    def step_fn(y, i, t):
+        return (a @ y.reshape(dim) + b).reshape(y_shape)
+
+    cp = _diffusion_cp()
+    n_steps = 1039  # prime: no divisor chunk, padded tail exercised
+    trajectory = build_linear_propagator_trajectory(
+        cp, step_fn, n_steps, y_shape
+    )
+    y_0 = rng.standard_normal(y_shape)
+
+    expected = []
+    y = y_0.reshape(dim)
+    for _ in range(n_steps):
+        y = a_np @ y + b_np
+        expected.append(y.reshape(y_shape))
+    expected = np.stack(expected)
+
+    actual = np.asarray(jax.jit(trajectory)(jnp.asarray(y_0), 0.0))
+    np.testing.assert_allclose(actual, expected, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(trajectory.end_function(jnp.asarray(y_0))),
+        expected[-1],
+        atol=1e-8,
+    )
