@@ -4,22 +4,22 @@ Measures the framework's headline performance on the hardware available
 to this process and prints ONE JSON line with the primary metric (plus
 an ``extra`` object carrying the secondary figures):
 
-- ``parareal_speedup_best_config_vs_fused_fine``: the north-star
-  metric — Parareal speedup over this framework's FASTEST sequential
-  fine solve (the fused Pallas kernel path) on the reference's own
+- ``parareal_speedup_vs_fused_fine``: the north-star metric —
+  Parareal speedup over this framework's FASTEST sequential fine
+  solve (the fused Pallas kernel path) on the reference's own
   diffusion_2d problem (/root/reference/examples/
   diffusion_2d_parareal.py), tolerance-matched and verified against
-  the fine trajectory. The headline uses the best measured
-  decomposition (the ``BEST_N_SLICES`` time slices below, with the
-  Parareal sub-solves on the exact affine-propagator MXU path) — the
-  slice count is decoupled from the device count in this framework,
-  so the time axis parallelizes across vector lanes on one chip and
-  across chips on a pod slice alike. The name carries the
-  configuration so the figure cannot be mistaken for the reference
-  example's own 8-slice decomposition, which is reported as
-  ``extra.parareal_speedup_8_slices_reference_config``
-  (also vs the fused baseline;
-  ``extra.parareal_speedup_vs_generic_fine`` keeps the generic-path
+  the fine trajectory. Two decompositions are measured and the faster
+  one is the headline, with its slice count and coarse step recorded
+  in the extras: the reference example's exact 8-slice configuration
+  (usually the winner since the log-depth trajectory expansion) and a
+  ``BEST_N_SLICES``-slice vmap-batched one — the slice count is
+  decoupled from the device count in this framework, so the time axis
+  parallelizes across vector lanes on one chip and across chips on a
+  pod slice alike. Both individual figures always ride in the extras
+  (``parareal_speedup_8_slices_reference_config``,
+  ``parareal_speedup_best_tuned_config``;
+  ``parareal_speedup_vs_generic_fine`` keeps the generic-path
   ratio of earlier rounds for comparability).
 - ``extra.sml_coarse_parareal_*``: Parareal with a trained
   supervised-ML coarse operator (a DeepONet slice-jump surrogate) —
@@ -98,11 +98,12 @@ COARSE_D_T = 0.01
 TOLERANCE = 0.0025
 N_SLICES = 8
 # the time axis is decoupled from the device count (slices are
-# vmap-batched per device), so the slice count is a tunable — 100
-# slices of 400 fine steps each is the measured optimum on one chip
-# with the affine-propagator sub-solves, the ends-only iteration, and
-# the per-slice initial coarse sweep (2.59/2.03/2.92 ms at
-# n = 40/100/200)
+# vmap-batched per device), so the slice count is a tunable; 100
+# slices is the best measured many-slice decomposition on one chip.
+# Since the affine doubling sweeps and log-depth trajectory expansion
+# the reference's own 8-slice configuration usually edges it out
+# (2.0 vs 2.3 ms at 64 timing windows) — the headline takes whichever
+# measures faster
 BEST_N_SLICES = 100
 BEST_COARSE_D_T = 0.05
 
@@ -734,7 +735,7 @@ def main():
             json.dumps(
                 {
                     "metric": (
-                        "parareal_speedup_best_config_vs_fused_fine"
+                        "parareal_speedup_vs_fused_fine"
                         "_fdm_diffusion_2d"
                     ),
                     "value": 0.0,
@@ -829,12 +830,31 @@ def main():
         ),
         "burgers_3d_fused_speedup_vs_generic": round(burgers_3d, 3),
     }
-    speedup = parareal["speedup_vs_fused_fine"]
+    # the headline is the faster of the two measured decompositions;
+    # since the log-depth trajectory expansion, that is usually the
+    # reference example's own 8-slice configuration — the winning
+    # configuration is recorded in the extras either way, and both
+    # individual figures ride alongside it
+    best = parareal["speedup_vs_fused_fine"]
+    reference_config = parareal["speedup_8_slices_reference_config"]
+    if reference_config > best:
+        speedup = reference_config
+        extra["n_time_slices"] = N_SLICES
+        extra["coarse_d_t"] = COARSE_D_T
+        extra["parareal_time_s"] = round(
+            parareal["parareal_time_8_slices_s"], 5
+        )
+        extra["parareal_max_diff_vs_fine"] = parareal[
+            "max_diff_vs_fine_8_slices"
+        ]
+    else:
+        speedup = best
+    extra["parareal_speedup_best_tuned_config"] = round(best, 3)
     suffix = "" if n_devices >= BEST_N_SLICES else "_single_chip_vmap"
     print(
         json.dumps(
             {
-                "metric": "parareal_speedup_best_config_vs_fused_fine"
+                "metric": "parareal_speedup_vs_fused_fine"
                 f"_fdm_diffusion_2d{suffix}",
                 "value": round(speedup, 3),
                 "unit": "x",
