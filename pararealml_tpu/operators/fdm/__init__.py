@@ -4,6 +4,7 @@ from pararealml_tpu.operators.fdm.fdm_symbol_mapper import (
     FDMSymbolMapper,
 )
 from pararealml_tpu.operators.fdm.numerical_differentiator import (
+    FivePointCentralDifferenceMethod,
     NumericalDifferentiator,
     ThreePointCentralDifferenceMethod,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "FDMSymbolMapper",
     "NumericalDifferentiator",
     "ThreePointCentralDifferenceMethod",
+    "FivePointCentralDifferenceMethod",
     "PaddedThreePointCentralDifferenceMethod",
     "NumericalIntegrator",
     "ForwardEulerMethod",

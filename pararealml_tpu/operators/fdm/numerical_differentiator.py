@@ -763,3 +763,146 @@ class ThreePointCentralDifferenceMethod(NumericalDifferentiator):
                 )
 
         return jnp.concatenate([lower_halo, y, upper_halo], axis=x_axis)
+
+
+class FivePointCentralDifferenceMethod(NumericalDifferentiator):
+    """Fourth-order five-point central differences — an accuracy
+    extension beyond the reference, whose only concrete differentiator
+    is the second-order three-point method
+    (/root/reference/pararealml/operators/fdm/
+    numerical_differentiator.py:999-1242).
+
+    Vertices two or more points from every boundary use the classic
+    five-point fourth-order stencils; the outermost two vertices on each
+    side fall back to the exact three-point boundary treatment of
+    :class:`ThreePointCentralDifferenceMethod` — zero halos for the
+    first derivative, Neumann-synthesized ghost vertices for the second
+    — so boundary-condition semantics (including constraint overrides on
+    the boundary faces) are identical between the two methods and
+    switching differentiators never changes how a problem's boundary
+    conditions are interpreted. On smooth problems the interior
+    truncation error drops from O(d_x^2) to O(d_x^4), buying coarser
+    grids at matched accuracy; the overall solve order remains limited
+    by the second-order boundary closure.
+
+    The full coordinate-system-aware vector calculus of the base class
+    (gradient through vector Laplacian, all four coordinate systems)
+    rides on these primitives unchanged. The hand-fused Pallas kernels
+    implement the three-point discretization only, so solves with this
+    differentiator always run on the generic XLA path.
+    """
+
+    # boundary halos are synthesized exactly as in the three-point
+    # method (the boundary closure IS the three-point one)
+    _extend_with_halos = staticmethod(
+        ThreePointCentralDifferenceMethod._extend_with_halos
+    )
+
+    @staticmethod
+    def _check_min_points(n: int, x_axis: int):
+        if n <= 4:
+            raise ValueError(
+                f"y must contain at least 5 points along x-axis ({x_axis})"
+            )
+
+    def _derivative(
+        self,
+        y: jax.Array,
+        d_x: float,
+        x_axis: int,
+        constraint_pair: Optional[BoundaryConstraintPair],
+    ) -> jax.Array:
+        n = y.shape[x_axis]
+        self._check_min_points(n, x_axis)
+
+        halo_shape = list(y.shape)
+        halo_shape[x_axis] = 1
+        halo = jnp.zeros(halo_shape, y.dtype)
+        y_ext = jnp.concatenate([halo, y, halo], axis=x_axis)
+        second_order = (
+            _shifted(y_ext, x_axis, 2, n) - _shifted(y_ext, x_axis, 0, n)
+        ) / (2.0 * d_x)
+
+        interior = n - 4  # centers 2 .. n-3 need no halo
+        fourth_order = (
+            _shifted(y, x_axis, 0, interior)
+            - 8.0 * _shifted(y, x_axis, 1, interior)
+            + 8.0 * _shifted(y, x_axis, 3, interior)
+            - _shifted(y, x_axis, 4, interior)
+        ) / (12.0 * d_x)
+
+        derivative = jnp.concatenate(
+            [
+                _face(second_order, x_axis, 0, 2),
+                fourth_order,
+                _face(second_order, x_axis, 1, 2),
+            ],
+            axis=x_axis,
+        )
+
+        if constraint_pair is not None:
+            for side, constraint in enumerate(constraint_pair):
+                if constraint is None:
+                    continue
+                face = _face(derivative, x_axis, side)
+                derivative = _set_face(
+                    derivative, x_axis, side, constraint.apply(face)
+                )
+        return derivative
+
+    def _second_derivative(
+        self,
+        y: jax.Array,
+        d_x1: float,
+        d_x2: float,
+        x_axis1: int,
+        x_axis2: int,
+        constraint_pair: Optional[BoundaryConstraintPair],
+    ) -> jax.Array:
+        if x_axis1 != x_axis2:
+            first = self._derivative(y, d_x1, x_axis1, constraint_pair)
+            return self._derivative(first, d_x2, x_axis2, None)
+
+        n = y.shape[x_axis1]
+        self._check_min_points(n, x_axis1)
+
+        y_ext = self._extend_with_halos(y, x_axis1, d_x1, constraint_pair)
+        y_prev = _shifted(y_ext, x_axis1, 0, n)
+        y_curr = _shifted(y_ext, x_axis1, 1, n)
+        y_next = _shifted(y_ext, x_axis1, 2, n)
+        second_order = (y_next - 2.0 * y_curr + y_prev) / (d_x1 * d_x2)
+
+        interior = n - 4
+        fourth_order = (
+            -_shifted(y, x_axis1, 0, interior)
+            + 16.0 * _shifted(y, x_axis1, 1, interior)
+            - 30.0 * _shifted(y, x_axis1, 2, interior)
+            + 16.0 * _shifted(y, x_axis1, 3, interior)
+            - _shifted(y, x_axis1, 4, interior)
+        ) / (12.0 * d_x1 * d_x2)
+
+        return jnp.concatenate(
+            [
+                _face(second_order, x_axis1, 0, 2),
+                fourth_order,
+                _face(second_order, x_axis1, 1, 2),
+            ],
+            axis=x_axis1,
+        )
+
+    def _next_anti_laplacian_estimate(
+        self,
+        y_hat: jax.Array,
+        laplacian: jax.Array,
+        mesh: Mesh,
+        constraints,
+    ) -> jax.Array:
+        # Jacobi sweeps invert the SECOND-order Laplacian: the
+        # fourth-order stencil is not diagonally dominant (off-diagonal
+        # weights sum to 34/12 against a 30/12 diagonal), so plain
+        # Jacobi on it need not converge; the anti-Laplacian is a
+        # tolerance-bounded solve either way, matching the reference's
+        # second-order inversion semantics.
+        return ThreePointCentralDifferenceMethod._next_anti_laplacian_estimate(  # noqa: E501
+            self, y_hat, laplacian, mesh, constraints
+        )
