@@ -504,6 +504,17 @@ class FDMOperator(JaxOperator):
         ends.batched = False
         return ends
 
+    def _fused_anti_laplacian_compatible(self, cp) -> bool:
+        """The fused system kernels run the stream-function
+        anti-Laplacian as an in-kernel Jacobi loop; when the
+        differentiator is configured for a different anti-Laplacian
+        scheme, problems with a ``Y_LAPLACIAN`` equation must stay on
+        the generic path so the requested solver is actually used."""
+        if self._differentiator.anti_laplacian_method == "jacobi":
+            return True
+        eq_sys = cp.differential_equation.symbolic_equation_system
+        return not eq_sys.equation_indices_by_type(LHS.Y_LAPLACIAN)
+
     def _build_fused_end_fn(
         self, cp, steps: int, batch: Optional[int]
     ) -> Optional[Callable]:
@@ -532,7 +543,9 @@ class FDMOperator(JaxOperator):
                 interpret=interpret,
                 batch=batch,
             )
-        if fused_system_step_applicable(cp, self._integrator):
+        if fused_system_step_applicable(
+            cp, self._integrator
+        ) and self._fused_anti_laplacian_compatible(cp):
             return build_fused_system_rk4_end(
                 cp,
                 self._d_t,
@@ -624,7 +637,9 @@ class FDMOperator(JaxOperator):
                     storage_dtype=self._kernel_storage_dtype,
                 )
                 return lambda y_init, t_start: fused_trajectory(y_init)
-            if fused_system_step_applicable(cp, self._integrator):
+            if fused_system_step_applicable(
+                cp, self._integrator
+            ) and self._fused_anti_laplacian_compatible(cp):
                 fused_trajectory = build_fused_system_rk4_trajectory(
                     cp,
                     self._d_t,
@@ -717,7 +732,9 @@ class FDMOperator(JaxOperator):
                     self._d_t,
                     interpret=jax.default_backend() != "tpu",
                 )
-            elif fused_system_step_applicable(cp, self._integrator):
+            elif fused_system_step_applicable(
+                cp, self._integrator
+            ) and self._fused_anti_laplacian_compatible(cp):
                 fused_step = build_fused_system_rk4_step(
                     cp,
                     self._d_t,

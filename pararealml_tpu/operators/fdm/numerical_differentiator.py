@@ -105,16 +105,40 @@ class NumericalDifferentiator:
     expressed through the two stencil primitives ``_derivative`` and
     ``_second_derivative`` that subclasses implement."""
 
-    def __init__(self, tol: float = 1e-3, max_iterations: int = 100_000):
+    def __init__(
+        self,
+        tol: float = 1e-3,
+        max_iterations: int = 100_000,
+        anti_laplacian_method: str = "jacobi",
+    ):
         """
-        :param tol: Jacobi stopping tolerance for the anti-Laplacian (the
-            2-norm of the update below which the solve is converged)
-        :param max_iterations: hard iteration cap for the Jacobi loop
+        :param tol: anti-Laplacian stopping tolerance — the 2-norm of
+            the Jacobi update (equivalently, of the Jacobi-scaled
+            residual) below which the solve is converged; both methods
+            use the same criterion
+        :param max_iterations: hard iteration cap for the solver loop
+        :param anti_laplacian_method: ``"jacobi"`` (the reference's
+            scheme, numerical_differentiator.py:872-927) or
+            ``"bicgstab"`` — a Krylov solve of the same fixed-point
+            equation via :func:`jax.scipy.sparse.linalg.bicgstab`,
+            typically converging in O(sqrt) of Jacobi's iteration count
+            on large or cold-started grids
         """
         if tol < 0.0:
             raise ValueError("tolerance must be non-negative")
+        if anti_laplacian_method not in ("jacobi", "bicgstab"):
+            raise ValueError(
+                "anti-Laplacian method must be 'jacobi' or 'bicgstab' "
+                f"but got {anti_laplacian_method!r}"
+            )
         self._tol = tol
         self._max_iterations = max_iterations
+        self._anti_laplacian_method = anti_laplacian_method
+
+    @property
+    def anti_laplacian_method(self) -> str:
+        """The configured anti-Laplacian solver scheme."""
+        return self._anti_laplacian_method
 
     # -- primitives implemented by subclasses ------------------------------
 
@@ -571,6 +595,11 @@ class NumericalDifferentiator:
         if y_constraints is not None:
             y = y_constraints.apply(y)
 
+        if self._anti_laplacian_method == "bicgstab":
+            return self._anti_laplacian_bicgstab(
+                y, laplacian, mesh, bcs, y_constraints
+            )
+
         def cond(carry):
             _, diff, i = carry
             return (diff > self._tol) & (i < self._max_iterations)
@@ -589,6 +618,62 @@ class NumericalDifferentiator:
             cond, body, (y, jnp.asarray(jnp.inf, laplacian.dtype), 0)
         )
         return y_final
+
+    def _anti_laplacian_bicgstab(
+        self,
+        y_0: jax.Array,
+        laplacian: jax.Array,
+        mesh: Mesh,
+        bcs: Tuple[Optional[BoundaryConstraintPair], ...],
+        y_constraints: Optional[Constraint],
+    ) -> jax.Array:
+        """Solves the Jacobi fixed-point equation with BiCGStab.
+
+        The converged Jacobi state satisfies ``y = C(S(y))`` where ``S``
+        is one sweep and ``C`` re-applies the y constraints. Because the
+        sweep is affine in ``y`` (``S(v) = B v + S(0)``: halo synthesis
+        adds constants, the stencil is linear), that fixed point is the
+        linear system ``v - notmask * B v = notmask * S(0) + mask *
+        values``, i.e. the Jacobi-scaled (diagonally preconditioned)
+        discrete Poisson system with Dirichlet rows pinned — which a
+        Krylov method solves in far fewer matrix applications than the
+        Jacobi relaxation itself. The convergence criterion matches
+        Jacobi's exactly: the BiCGStab residual at a mask-respecting
+        iterate IS ``C(S(y)) - y``, the Jacobi update, and the solve
+        stops when its 2-norm reaches ``tol`` (``atol`` semantics; no
+        relative component).
+        """
+        from jax.scipy.sparse.linalg import bicgstab
+
+        def sweep(v):
+            return self._next_anti_laplacian_estimate(
+                v, laplacian, mesh, bcs
+            )
+
+        offset = sweep(jnp.zeros_like(laplacian))
+        if y_constraints is None:
+
+            def matvec(v):
+                return v - (sweep(v) - offset)
+
+            b = offset
+        else:
+            mask = y_constraints.mask
+
+            def matvec(v):
+                return v - jnp.where(mask, 0.0, sweep(v) - offset)
+
+            b = jnp.where(mask, y_constraints.values, offset)
+
+        solution, _ = bicgstab(
+            matvec,
+            b,
+            x0=y_0,
+            tol=0.0,
+            atol=self._tol,
+            maxiter=self._max_iterations,
+        )
+        return solution
 
 
 class ThreePointCentralDifferenceMethod(NumericalDifferentiator):

@@ -194,6 +194,41 @@ def test_navier_stokes_anti_laplacian_sharded():
     np.testing.assert_allclose(actual, expected, rtol=0, atol=1e-9)
 
 
+def test_navier_stokes_bicgstab_anti_laplacian_sharded():
+    # the Krylov stream-function solve (matvec stencils + global dot
+    # products) must also decompose under the SPMD partitioner and
+    # match the single-device solve
+    mesh = Mesh([(0.0, 1.0), (0.0, 1.0)], [0.1, 0.1])
+    bc = DirichletBoundaryCondition(
+        lambda x, t: np.tile(
+            np.array([[np.nan, 0.0, np.nan, np.nan]]), (len(x), 1)
+        ),
+        is_static=True,
+    )
+    cp = ConstrainedProblem(NavierStokesEquation(1000.0), mesh, [(bc, bc)] * 2)
+    rng = np.random.default_rng(1)
+    y_0 = np.zeros(cp.y_shape(True))
+    y_0[..., 0] = rng.uniform(-1.0, 1.0, y_0.shape[:-1])
+    ic = DiscreteInitialCondition(cp, y_0, True)
+    ivp = InitialValueProblem(cp, (0.0, 0.02), ic)
+
+    differentiator = ThreePointCentralDifferenceMethod(
+        tol=1e-8, anti_laplacian_method="bicgstab"
+    )
+    single = FDMOperator(RK4(), differentiator, 0.01, fused_kernels=False)
+    sharded = FDMOperator(
+        RK4(), differentiator, 0.01, spatial_mesh=space_mesh(8)
+    )
+    expected = single.solve(ivp).discrete_y()
+    actual = sharded.solve(ivp).discrete_y()
+    assert np.all(np.isfinite(actual))
+    # unlike Jacobi (whose norm only gates the iteration count), the
+    # BiCGStab iterate path depends on dot products, whose sharded
+    # reductions reassociate — agreement is at tolerance level, not
+    # bit-exact
+    np.testing.assert_allclose(actual, expected, rtol=0, atol=1e-6)
+
+
 def test_polar_diffusion_sharded():
     mesh = Mesh(
         [(1.0, 5.0), (0.0, 2.0 * np.pi)],
