@@ -18,10 +18,16 @@ stream-function Jacobi solve as an in-kernel while loop) share one
 kernel scaffold.
 
 Applicability (checked by the per-equation ``*_step_applicable``
-gates): the exact built-in equation type on a 2D Cartesian mesh with
-static boundary conditions, solved with RK4 in float32, small enough
-for all planes and the RK4 stages to fit VMEM. Everything else falls
-back to the generic jnp path.
+gates): the exact built-in equation type on a 2D Cartesian or polar
+mesh with static boundary conditions, solved with RK4 in float32,
+small enough for all planes and the RK4 stages to fit VMEM (the
+Cartesian variants additionally extend beyond VMEM via the tiled
+kernels). Polar meshes run with the metric terms of the generic
+differentiator's polar branches — 1/r-scaled theta gradients, the
+polar Laplacian, and the shallow-water divergence's u/r term — as
+per-row coefficient columns; Navier-Stokes stays Cartesian-only (its
+in-kernel Jacobi anti-Laplacian sweep is the Cartesian update).
+Everything else falls back to the generic jnp path.
 """
 
 from __future__ import annotations
@@ -76,9 +82,18 @@ def _system_applicable(cp, integrator, equation_type) -> bool:
         and isinstance(integrator, RK4)
         and diff_eq.x_dimension == 2
         and cp.mesh is not None
-        and cp.mesh.coordinate_system_type == CoordinateSystem.CARTESIAN
         and cp.are_all_boundary_conditions_static
     ):
+        return False
+    coordinate_system = cp.mesh.coordinate_system_type
+    if coordinate_system == CoordinateSystem.POLAR:
+        # the polar metric terms live in the VMEM-resident kernel only
+        # (no tiled polar variant), and the Navier-Stokes in-kernel
+        # Jacobi anti-Laplacian is Cartesian
+        return equation_type is not NavierStokesEquation and _fits_vmem(
+            cp
+        )
+    if coordinate_system != CoordinateSystem.CARTESIAN:
         return False
     if _fits_vmem(cp):
         return True
@@ -180,7 +195,10 @@ def _component_constraint_tensors(cp: ConstrainedProblem, n: int):
 class _StencilHelpers:
     """Per-stage stencil helpers over a (ph, pw) plane with
     per-component boundary data, matching the generic
-    ThreePointCentralDifferenceMethod semantics."""
+    ThreePointCentralDifferenceMethod semantics — including the polar
+    metric terms (matching numerical_differentiator's laplacian and
+    gradient polar branches) when the geometry carries an ``inv_r``
+    row-coefficient column."""
 
     def __init__(
         self,
@@ -208,14 +226,32 @@ class _StencilHelpers:
         right = jnp.concatenate([state[:, 1:], g["zero_col"]], axis=1)
         return above, below, left, right
 
-    def laplacian(self, comp, state):
+    def _zero_pads(self, x):
+        """Replaces pad rows/lanes with zeros so garbage can never leak
+        back into real vertices through the shift stencils."""
         g = self._g
-        height, width = g["height"], g["width"]
-        above, below, left, right = self._shifts(state)
-        lap = (above - 2.0 * state + below) * g["inv_dx0_sqr"] + (
-            left - 2.0 * state + right
-        ) * g["inv_dx1_sqr"]
+        if g["row_pad"] is not None:
+            x = jnp.concatenate(
+                [x[: g["height"]], g["row_pad"]], axis=0
+            )
+        if g["col_pad"] is not None:
+            x = jnp.concatenate(
+                [x[:, : g["width"]], g["col_pad"]], axis=1
+            )
+        return x
 
+    def over_r(self, plane):
+        """plane / r (polar geometry only) — the extra divergence term
+        the shallow-water RHS needs beyond metric-scaled gradients."""
+        return plane * self._g["inv_r"]
+
+    def _second_derivative_0(self, comp, state):
+        """Axis-0 second derivative with Neumann ghost rows; pad rows
+        pass through unzeroed (callers zero pads once at the end)."""
+        g = self._g
+        height = g["height"]
+        above, below, _, _ = self._shifts(state)
+        d2 = (above - 2.0 * state + below) * g["inv_dx0_sqr"]
         ghost_top = jnp.where(
             self._grm[0, comp],
             state[1, :] - g["two_dx0"] * self._grv[0, comp],
@@ -227,16 +263,23 @@ class _StencilHelpers:
             + g["two_dx0"] * self._grv[1, comp],
             0.0,
         )
-        row_parts = [
-            lap[0:1, :] + ghost_top[jnp.newaxis] * g["inv_dx0_sqr"],
-            lap[1: height - 1, :],
-            lap[height - 1: height, :]
+        parts = [
+            d2[0:1, :] + ghost_top[jnp.newaxis] * g["inv_dx0_sqr"],
+            d2[1: height - 1, :],
+            d2[height - 1: height, :]
             + ghost_bottom[jnp.newaxis] * g["inv_dx0_sqr"],
         ]
         if g["row_pad"] is not None:
-            row_parts.append(g["row_pad"])
-        lap = jnp.concatenate(row_parts, axis=0)
+            parts.append(d2[height:, :])
+        return jnp.concatenate(parts, axis=0)
 
+    def _second_derivative_1(self, comp, state):
+        """Axis-1 second derivative with Neumann ghost columns; pad
+        lanes pass through unzeroed."""
+        g = self._g
+        width = g["width"]
+        _, _, left, right = self._shifts(state)
+        d2 = (left - 2.0 * state + right) * g["inv_dx1_sqr"]
         ghost_left = jnp.where(
             self._gcm[0, comp],
             state[:, 1] - g["two_dx1"] * self._gcv[0, comp],
@@ -248,25 +291,26 @@ class _StencilHelpers:
             + g["two_dx1"] * self._gcv[1, comp],
             0.0,
         )
-        col_parts = [
-            lap[:, 0:1]
+        parts = [
+            d2[:, 0:1]
             + ghost_left[:, jnp.newaxis] * g["inv_dx1_sqr"],
-            lap[:, 1: width - 1],
-            lap[:, width - 1: width]
+            d2[:, 1: width - 1],
+            d2[:, width - 1: width]
             + ghost_right[:, jnp.newaxis] * g["inv_dx1_sqr"],
         ]
         if g["col_pad"] is not None:
-            col_parts.append(g["col_pad"])
-        return jnp.concatenate(col_parts, axis=1)
+            parts.append(d2[:, width:])
+        return jnp.concatenate(parts, axis=1)
 
-    def gradient_0(self, comp, state):
+    def _derivative_0(self, comp, state):
         """Central row-derivative with zero halos, boundary rows
-        replaced by the constrained normal derivative where masked."""
+        replaced by the constrained normal derivative where masked;
+        pad rows pass through unzeroed."""
         g = self._g
         height = g["height"]
         above, below, _, _ = self._shifts(state)
         gradient = (below - above) * g["inv_two_dx0"]
-        row_parts = [
+        parts = [
             jnp.where(
                 self._grm[0, comp],
                 self._grv[0, comp],
@@ -280,15 +324,36 @@ class _StencilHelpers:
             ),
         ]
         if g["row_pad"] is not None:
-            row_parts.append(g["row_pad"])
-        return jnp.concatenate(row_parts, axis=0)
+            parts.append(gradient[height:, :])
+        return jnp.concatenate(parts, axis=0)
+
+    def laplacian(self, comp, state):
+        g = self._g
+        d2_0 = self._second_derivative_0(comp, state)
+        d2_1 = self._second_derivative_1(comp, state)
+        if g["inv_r"] is None:
+            lap = d2_0 + d2_1
+        else:
+            # polar: d2/dr2 + (d2/dtheta2 / r + d/dr) / r, with the
+            # generic operator's evaluation ordering
+            lap = d2_0 + (
+                d2_1 * g["inv_r"] + self._derivative_0(comp, state)
+            ) * g["inv_r"]
+        return self._zero_pads(lap)
+
+    def gradient_0(self, comp, state):
+        """y-gradient[comp, 0]: the row-derivative (never
+        metric-scaled — axis 0 is r in polar geometry)."""
+        return self._zero_pads(self._derivative_0(comp, state))
 
     def gradient_1(self, comp, state):
+        """y-gradient[comp, 1], metric-scaled by 1/r in polar
+        geometry."""
         g = self._g
         width = g["width"]
         _, _, left, right = self._shifts(state)
         gradient = (right - left) * g["inv_two_dx1"]
-        col_parts = [
+        parts = [
             jnp.where(
                 self._gcm[0, comp], self._gcv[0, comp], gradient[:, 0]
             )[:, jnp.newaxis],
@@ -300,8 +365,11 @@ class _StencilHelpers:
             )[:, jnp.newaxis],
         ]
         if g["col_pad"] is not None:
-            col_parts.append(g["col_pad"])
-        return jnp.concatenate(col_parts, axis=1)
+            parts.append(gradient[:, width:])
+        out = jnp.concatenate(parts, axis=1)
+        if g["inv_r"] is not None:
+            out = out * g["inv_r"]
+        return self._zero_pads(out)
 
 
 def _make_step_factory(
@@ -439,7 +507,12 @@ def _make_step_factory(
 
         return factory
 
-    rhs_builder = _make_rhs_builder(diff_eq)
+    rhs_builder = _make_rhs_builder(
+        diff_eq,
+        polar=(
+            mesh.coordinate_system_type == CoordinateSystem.POLAR
+        ),
+    )
 
     def factory(helpers, apply_dirichlet, dirichlet_component):
         def rhs(y):
@@ -467,9 +540,11 @@ def _make_step_factory(
     return factory
 
 
-def _make_rhs_builder(diff_eq):
+def _make_rhs_builder(diff_eq, polar=False):
     """The per-equation RHS over the stencil helpers, as a function of
-    the component-plane tuple."""
+    the component-plane tuple. The helpers' laplacian/gradient_1 carry
+    the polar metric internally; ``polar`` only switches the one term
+    that differs structurally (the shallow-water divergence's u/r)."""
     if isinstance(diff_eq, WaveEquation):
         c_sqr = float(diff_eq._c) ** 2
 
@@ -510,8 +585,14 @@ def _make_rhs_builder(diff_eq):
         d_u_1 = helpers.gradient_1(1, u)
         d_w_0 = helpers.gradient_0(2, w)
         d_w_1 = helpers.gradient_1(2, w)
+        # polar divergence of (u, w) carries the extra u/r term
+        # (numerical_differentiator.divergence's polar branch); the
+        # gradients are already metric-scaled by the helpers
+        div = d_u_0 + d_w_1
+        if polar:
+            div = div + helpers.over_r(u)
         r_eta = (
-            -h * (d_u_0 + d_w_1)
+            -h * div
             - eta * d_u_0
             - u * d_eta_0
             - eta * d_w_1
@@ -567,6 +648,11 @@ class _SystemKernelConfig:
         self.dtype = dtype = jnp.float32
         self.padded_height = -(-height // 8) * 8
         self.padded_width = -(-width // 128) * 128
+        self.polar = (
+            mesh.coordinate_system_type == CoordinateSystem.POLAR
+        )
+        self.r_low = float(mesh.x_intervals[0][0])
+        self.d_x0 = float(d_x0)
 
         self.geometry_static = dict(
             height=height,
@@ -629,6 +715,23 @@ class _SystemKernelConfig:
         )
         geometry = dict(
             self.geometry_static,
+            # the polar radius grows along axis 0 from the mesh's lower
+            # r bound, so 1/r is a per-row coefficient column (pad rows
+            # continue the progression — finite, and zeroed by the
+            # helpers' pad handling anyway)
+            inv_r=(
+                1.0
+                / (
+                    self.r_low
+                    + self.d_x0
+                    # Mosaic only lowers integer iotas
+                    * jax.lax.broadcasted_iota(
+                        jnp.int32, (padded_height, 1), 0
+                    ).astype(dtype)
+                )
+                if self.polar
+                else None
+            ),
             zero_row=jnp.zeros((1, padded_width), dtype),
             zero_col=jnp.zeros((padded_height, 1), dtype),
             row_pad=(

@@ -4,6 +4,7 @@ import pytest
 
 from pararealml_tpu import (
     ConstrainedProblem,
+    CoordinateSystem,
     DiffusionEquation,
     DirichletBoundaryCondition,
     GaussianInitialCondition,
@@ -570,3 +571,256 @@ def test_batched_system_end_kernel_matches_single_slice_calls():
         [np.asarray(end(ys[i])) for i in range(batch)]
     )
     np.testing.assert_array_equal(out, expected)
+
+
+# -- polar meshes -----------------------------------------------------------
+# the fused system kernels carry the polar metric terms of the generic
+# differentiator (reference numerical_differentiator.py gradient /
+# laplacian / divergence polar branches) for every family but
+# Navier-Stokes
+
+
+def _polar_cp(diff_eq, n_components, dirichlet=False):
+    mesh = Mesh(
+        [(2.5, 7.5), (0.0, 2 * np.pi)],
+        [0.25, np.pi / 20.0],
+        CoordinateSystem.POLAR,
+    )
+    if dirichlet:
+        bcs = [
+            (
+                DirichletBoundaryCondition(
+                    lambda x, t: np.zeros((len(x), n_components)),
+                    is_static=True,
+                ),
+            )
+            * 2,
+            (
+                NeumannBoundaryCondition(
+                    lambda x, t: np.zeros((len(x), n_components)),
+                    is_static=True,
+                ),
+            )
+            * 2,
+        ]
+    else:
+        bcs = [
+            (
+                NeumannBoundaryCondition(
+                    lambda x, t: np.zeros((len(x), n_components)),
+                    is_static=True,
+                ),
+            )
+            * 2
+        ] * 2
+    return ConstrainedProblem(diff_eq, mesh, bcs)
+
+
+def _polar_ic(cp, means):
+    return GaussianInitialCondition(
+        cp,
+        [(np.array([-5.0, 0.0]), 0.3 * np.eye(2))]
+        * cp.differential_equation.y_dimension,
+        means,
+    )
+
+
+def test_polar_applicability_gates():
+    from pararealml_tpu import (
+        BurgersEquation,
+        CahnHilliardEquation,
+        NavierStokesEquation,
+        ShallowWaterEquation,
+    )
+    from pararealml_tpu.ops import (
+        fused_navier_stokes_step_applicable,
+        fused_shallow_water_step_applicable,
+        fused_system_step_applicable,
+    )
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        for diff_eq, n in (
+            (WaveEquation(2), 2),
+            (BurgersEquation(2, 100.0), 2),
+            (ShallowWaterEquation(0.5), 3),
+            (CahnHilliardEquation(2), 2),
+        ):
+            assert fused_system_step_applicable(
+                _polar_cp(diff_eq, n), RK4()
+            )
+        # the in-kernel Jacobi anti-Laplacian is Cartesian
+        ns_cp = _polar_cp(NavierStokesEquation(), 4)
+        assert not fused_navier_stokes_step_applicable(ns_cp, RK4())
+        assert not fused_system_step_applicable(ns_cp, RK4())
+        # no tiled polar variant: beyond-VMEM polar grids fall back to
+        # the generic path
+        big_mesh = Mesh(
+            [(2.5, 7.5), (0.0, 2 * np.pi)],
+            [5.0 / 430, 2 * np.pi / 430],
+            CoordinateSystem.POLAR,
+        )
+        big_cp = ConstrainedProblem(
+            ShallowWaterEquation(0.5),
+            big_mesh,
+            [
+                (
+                    NeumannBoundaryCondition(
+                        lambda x, t: np.zeros((len(x), 3)),
+                        is_static=True,
+                    ),
+                )
+                * 2
+            ]
+            * 2,
+        )
+        assert not fused_shallow_water_step_applicable(big_cp, RK4())
+        # other curvilinear systems stay on the generic path
+        from pararealml_tpu import CoordinateSystem as CS
+
+        mesh_3d = Mesh(
+            [(2.5, 7.5), (0.0, 2 * np.pi), (0.0, 4.0)],
+            [0.25, np.pi / 20.0, 0.25],
+            CS.CYLINDRICAL,
+        )
+        cyl_cp = ConstrainedProblem(
+            WaveEquation(3),
+            mesh_3d,
+            [
+                (
+                    NeumannBoundaryCondition(
+                        lambda x, t: np.zeros((len(x), 2)),
+                        is_static=True,
+                    ),
+                )
+                * 2
+            ]
+            * 3,
+        )
+        assert not fused_system_step_applicable(cyl_cp, RK4())
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def _polar_case(name):
+    from pararealml_tpu import (
+        BurgersEquation,
+        CahnHilliardEquation,
+        ShallowWaterEquation,
+    )
+
+    return {
+        "wave": (WaveEquation(2), 2, [1.0, 0.0], 0.001),
+        "burgers": (BurgersEquation(2, 100.0), 2, [0.5, 0.1], 0.001),
+        "shallow_water": (
+            ShallowWaterEquation(0.5),
+            3,
+            [1.0, 0.0, 0.0],
+            0.0005,
+        ),
+        "cahn_hilliard": (
+            CahnHilliardEquation(2),
+            2,
+            [0.5, 0.0],
+            0.0005,
+        ),
+    }[name]
+
+
+@pytest.mark.parametrize(
+    "family", ["wave", "burgers", "shallow_water", "cahn_hilliard"]
+)
+def test_fused_polar_trajectory_matches_generic(family):
+    from pararealml_tpu.ops import build_fused_system_rk4_trajectory
+
+    diff_eq, n, means, d_t = _polar_case(family)
+    cp = _polar_cp(diff_eq, n)
+    y = np.asarray(
+        _polar_ic(cp, means).discrete_y_0(True), np.float32
+    )
+    steps = 6
+
+    fused = build_fused_system_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    ys_fused = np.asarray(fused(y))
+
+    generic_fn, _ = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        d_t,
+        fused_kernels=False,
+    ).trajectory_function(cp, (0.0, steps * d_t))
+    ys_generic = np.asarray(generic_fn(y.astype(np.float64), 0.0))
+    assert ys_fused.shape == ys_generic.shape
+    assert np.allclose(ys_fused, ys_generic, atol=1e-4)
+
+
+def test_fused_polar_wave_dirichlet_matches_generic():
+    from pararealml_tpu.ops import build_fused_system_rk4_trajectory
+
+    cp = _polar_cp(WaveEquation(2), 2, dirichlet=True)
+    y = np.asarray(
+        _polar_ic(cp, [1.0, 0.0]).discrete_y_0(True), np.float32
+    )
+    d_t, steps = 0.001, 6
+
+    fused = build_fused_system_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    ys_fused = np.asarray(fused(y))
+
+    generic_fn, _ = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        d_t,
+        fused_kernels=False,
+    ).trajectory_function(cp, (0.0, steps * d_t))
+    ys_generic = np.asarray(generic_fn(y.astype(np.float64), 0.0))
+    assert np.allclose(ys_fused, ys_generic, atol=1e-4)
+
+
+def test_polar_end_kernel_matches_trajectory_final_state():
+    from pararealml_tpu.ops import (
+        build_fused_system_rk4_end,
+        build_fused_system_rk4_trajectory,
+    )
+
+    cp = _polar_cp(WaveEquation(2), 2)
+    y = np.asarray(
+        _polar_ic(cp, [1.0, 0.0]).discrete_y_0(True), np.float32
+    )
+    d_t, steps = 0.001, 6
+
+    trajectory = build_fused_system_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    end = build_fused_system_rk4_end(cp, d_t, steps, interpret=True)
+    y_end = np.asarray(end(y))
+    assert y_end.shape == y.shape
+    np.testing.assert_array_equal(
+        y_end, np.asarray(trajectory(y)[-1])
+    )
+
+
+def test_fused_polar_wave_used_by_operator_in_f32():
+    jax.config.update("jax_enable_x64", False)
+    try:
+        cp = _polar_cp(WaveEquation(2), 2)
+        ivp = InitialValueProblem(
+            cp, (0.0, 0.01), _polar_ic(cp, [1.0, 0.0])
+        )
+        fused_op = FDMOperator(
+            RK4(), ThreePointCentralDifferenceMethod(), 0.001
+        )
+        generic_op = FDMOperator(
+            RK4(),
+            ThreePointCentralDifferenceMethod(),
+            0.001,
+            fused_kernels=False,
+        )
+        y_fused = fused_op.solve(ivp).discrete_y()
+        y_generic = generic_op.solve(ivp).discrete_y()
+        assert np.allclose(y_fused, y_generic, atol=1e-4)
+    finally:
+        jax.config.update("jax_enable_x64", True)
