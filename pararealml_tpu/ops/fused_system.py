@@ -89,9 +89,14 @@ def _system_applicable(cp, integrator, equation_type) -> bool:
     if coordinate_system == CoordinateSystem.POLAR:
         # the polar metric terms live in the VMEM-resident kernel only
         # (no tiled polar variant), and the Navier-Stokes in-kernel
-        # Jacobi anti-Laplacian is Cartesian
-        return equation_type is not NavierStokesEquation and _fits_vmem(
-            cp
+        # Jacobi anti-Laplacian is Cartesian; origin-inclusive radial
+        # domains (r_low == 0) are excluded because 1/r at the origin
+        # row produces an inf whose downstream nan pattern differs
+        # between the f32 kernel and the generic (possibly f64) path
+        return (
+            equation_type is not NavierStokesEquation
+            and float(cp.mesh.x_intervals[0][0]) > 0.0
+            and _fits_vmem(cp)
         )
     if coordinate_system != CoordinateSystem.CARTESIAN:
         return False
@@ -652,7 +657,16 @@ class _SystemKernelConfig:
             mesh.coordinate_system_type == CoordinateSystem.POLAR
         )
         self.r_low = float(mesh.x_intervals[0][0])
-        self.d_x0 = float(d_x0)
+        # the generic differentiator's metric terms divide by the
+        # linspace vertex radii (numerical_differentiator._grid), whose
+        # effective spacing (hi - lo) / (height - 1) differs from the
+        # requested d_x0 whenever d_x0 does not evenly divide the r
+        # interval — reconstructing the radii from d_x0 would silently
+        # break the exact-parity contract on such meshes
+        r_high = float(mesh.x_intervals[0][1])
+        self.r_spacing = (
+            (r_high - self.r_low) / (height - 1) if height > 1 else 0.0
+        )
 
         self.geometry_static = dict(
             height=height,
@@ -723,7 +737,7 @@ class _SystemKernelConfig:
                 1.0
                 / (
                     self.r_low
-                    + self.d_x0
+                    + self.r_spacing
                     # Mosaic only lowers integer iotas
                     * jax.lax.broadcasted_iota(
                         jnp.int32, (padded_height, 1), 0
@@ -790,6 +804,13 @@ def build_fused_system_rk4_trajectory(
 
     diff_eq = cp.differential_equation
     if not _fits_vmem(cp):
+        if cp.mesh.coordinate_system_type != CoordinateSystem.CARTESIAN:
+            # the tiled kernel has no curvilinear metric terms;
+            # delegating would return wrong physics with no error
+            raise ValueError(
+                "beyond-VMEM grids are only supported on Cartesian "
+                "meshes (the tiled kernel has no polar metric terms)"
+            )
         # beyond VMEM: the overlapped row-tiling kernel
         from pararealml_tpu.ops.tiled_system import (
             build_tiled_system_rk4_trajectory,

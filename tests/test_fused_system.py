@@ -824,3 +824,105 @@ def test_fused_polar_wave_used_by_operator_in_f32():
         assert np.allclose(y_fused, y_generic, atol=1e-4)
     finally:
         jax.config.update("jax_enable_x64", True)
+
+
+def test_fused_polar_uneven_spacing_matches_generic():
+    # regression: d_x0 = 0.4 on r in [2.5, 7.5] gives 13 vertex rows
+    # with an effective linspace spacing of 5/12 != 0.4; the kernel's
+    # metric radii must match the generic path's linspace radii, not a
+    # d_x0 reconstruction
+    from pararealml_tpu.ops import build_fused_system_rk4_trajectory
+
+    mesh = Mesh(
+        [(2.5, 7.5), (0.0, 2 * np.pi)],
+        [0.4, np.pi / 20.0],
+        CoordinateSystem.POLAR,
+    )
+    cp = ConstrainedProblem(
+        WaveEquation(2),
+        mesh,
+        [
+            (
+                NeumannBoundaryCondition(
+                    lambda x, t: np.zeros((len(x), 2)), is_static=True
+                ),
+            )
+            * 2
+        ]
+        * 2,
+    )
+    assert mesh.vertices_shape[0] == 13
+    y = np.asarray(_polar_ic(cp, [1.0, 0.0]).discrete_y_0(True), np.float32)
+    d_t, steps = 0.001, 6
+
+    fused = build_fused_system_rk4_trajectory(cp, d_t, steps, interpret=True)
+    ys_fused = np.asarray(fused(y))
+
+    generic_fn, _ = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        d_t,
+        fused_kernels=False,
+    ).trajectory_function(cp, (0.0, steps * d_t))
+    ys_generic = np.asarray(generic_fn(y.astype(np.float64), 0.0))
+    assert np.allclose(ys_fused, ys_generic, atol=1e-4)
+
+
+def test_polar_origin_inclusive_not_applicable():
+    # r_low == 0 puts 1/r = inf on the first row; the fused f32 kernel
+    # cannot reproduce the generic path's nan/inf pattern, so the gate
+    # must reject origin-inclusive polar meshes
+    from pararealml_tpu.ops import fused_system_step_applicable
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        mesh = Mesh(
+            [(0.0, 5.0), (0.0, 2 * np.pi)],
+            [0.25, np.pi / 20.0],
+            CoordinateSystem.POLAR,
+        )
+        cp = ConstrainedProblem(
+            WaveEquation(2),
+            mesh,
+            [
+                (
+                    NeumannBoundaryCondition(
+                        lambda x, t: np.zeros((len(x), 2)),
+                        is_static=True,
+                    ),
+                )
+                * 2
+            ]
+            * 2,
+        )
+        assert not fused_system_step_applicable(cp, RK4())
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def test_beyond_vmem_polar_builder_raises():
+    # calling the system trajectory builder directly with a beyond-VMEM
+    # polar problem must raise instead of silently delegating to the
+    # Cartesian-only tiled kernel
+    from pararealml_tpu.ops import build_fused_system_rk4_trajectory
+
+    big_mesh = Mesh(
+        [(2.5, 7.5), (0.0, 2 * np.pi)],
+        [5.0 / 430, 2 * np.pi / 430],
+        CoordinateSystem.POLAR,
+    )
+    big_cp = ConstrainedProblem(
+        WaveEquation(2),
+        big_mesh,
+        [
+            (
+                NeumannBoundaryCondition(
+                    lambda x, t: np.zeros((len(x), 2)), is_static=True
+                ),
+            )
+            * 2
+        ]
+        * 2,
+    )
+    with pytest.raises(ValueError, match="Cartesian"):
+        build_fused_system_rk4_trajectory(big_cp, 0.001, 2)
