@@ -4,7 +4,8 @@ Capability match for /root/reference/pararealml/initial_condition.py:18-405:
 discrete, constant, continuous, Gaussian, and marginal-Beta-product initial
 conditions, with orientation resampling and automatic application of static
 y constraints for vertex-oriented data. Resampling between orientations is
-host-side (SciPy ``interpn``); solvers receive plain arrays.
+an on-device multilinear gather (pararealml_tpu.interpolation);
+solvers receive plain arrays.
 """
 
 from __future__ import annotations
@@ -13,7 +14,6 @@ from copy import deepcopy
 from typing import Callable, Optional, Sequence, Tuple
 
 import numpy as np
-from scipy.interpolate import interpn
 from scipy.stats import beta as beta_dist
 from scipy.stats import multivariate_normal
 
@@ -79,13 +79,16 @@ class DiscreteInitialCondition(InitialCondition):
     def y_0(self, x: Optional[np.ndarray]) -> np.ndarray:
         if not self._cp.differential_equation.x_dimension:
             return np.copy(self._y_0)
-        return interpn(
-            self._cp.mesh.axis_coordinates(self._vertex_oriented),
-            self._y_0,
-            x,
-            method=self._interpolation_method,
-            bounds_error=False,
-            fill_value=None,
+
+        from pararealml_tpu.interpolation import grid_interpolate
+
+        return np.asarray(
+            grid_interpolate(
+                self._y_0,
+                self._cp.mesh.axis_coordinates(self._vertex_oriented),
+                np.asarray(x),
+                method=self._interpolation_method,
+            )
         )
 
     def discrete_y_0(
@@ -99,10 +102,12 @@ class DiscreteInitialCondition(InitialCondition):
         ):
             return np.copy(self._y_0)
 
-        y_0 = self.y_0(self._cp.mesh.all_index_coordinates(vertex_oriented))
+        resampled = self.y_0(
+            self._cp.mesh.all_index_coordinates(vertex_oriented)
+        )
         if vertex_oriented:
-            y_0 = _apply_static_y_constraints(self._cp, y_0)
-        return y_0
+            resampled = _apply_static_y_constraints(self._cp, resampled)
+        return resampled
 
 
 class ConstantInitialCondition(DiscreteInitialCondition):

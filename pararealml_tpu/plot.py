@@ -1,15 +1,21 @@
-"""Visualization of solutions.
+"""Matplotlib visualization of solutions.
 
-Capability match for /root/reference/pararealml/plot.py:24-1005: static and
-animated matplotlib plots covering ODE systems (time series, phase space,
-n-body animations) and 1D/2D/3D PDE solutions (line, contour, surface,
-scatter, stream, and quiver plots), all curvilinear-mesh aware through
-Cartesian coordinate-grid conversion. Everything here is host-side.
+Covers the same plot families as the reference's visualization layer
+(/root/reference/pararealml/plot.py): time series and phase-space
+trajectories for ODE systems, animated n-body scatter views, and
+line/contour/surface/scatter/stream/quiver renderings of 1D/2D/3D PDE
+fields, all aware of curvilinear meshes through the mesh's Cartesian
+coordinate grids and unit-vector fields. The implementation is a fresh
+design: animated plots are template-method subclasses that render
+frames through overridden methods rather than injected closures, and
+input validation is centralized in module-level guards.
+
+Everything in this module is host-side; solver code never imports it.
 """
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Tuple, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 import matplotlib.pyplot as plt
 import numpy as np
@@ -23,93 +29,143 @@ from pararealml_tpu.differential_equation import NBodyGravitationalEquation
 from pararealml_tpu.mesh import CoordinateSystem, Mesh
 
 
+def _require_trajectory_rank(y: np.ndarray, rank: int):
+    if y.ndim != rank:
+        raise ValueError(
+            f"trajectory array must have {rank} axes, got {y.ndim}"
+        )
+
+
+def _require_field(
+    y: np.ndarray,
+    mesh: Mesh,
+    vertex_oriented: bool,
+    spatial_dimensions: Union[int, Tuple[int, int]],
+    components: Optional[int],
+):
+    """Validates a ``(time, *grid, components)`` PDE field array against
+    the mesh it is plotted over.
+
+    ``spatial_dimensions`` is the supported mesh dimensionality (or an
+    inclusive range); ``components`` is the required number of trailing
+    field components (``None`` means one per mesh dimension, i.e. a
+    vector field)."""
+    if isinstance(spatial_dimensions, int):
+        lo = hi = spatial_dimensions
+    else:
+        lo, hi = spatial_dimensions
+    if not lo <= mesh.dimensions <= hi:
+        supported = str(lo) if lo == hi else f"{lo} to {hi}"
+        raise ValueError(
+            f"this plot supports {supported}-dimensional meshes, got "
+            f"{mesh.dimensions}"
+        )
+    grid_shape = mesh.shape(vertex_oriented)
+    expected_rank = len(grid_shape) + 2
+    if y.ndim != expected_rank:
+        raise ValueError(
+            f"field array must have {expected_rank} axes "
+            f"(time, {len(grid_shape)} spatial, components), got {y.ndim}"
+        )
+    if tuple(y.shape[1:-1]) != tuple(grid_shape):
+        raise ValueError(
+            f"field spatial extents {y.shape[1:-1]} do not match the "
+            f"mesh grid {tuple(grid_shape)}"
+        )
+    required = mesh.dimensions if components is None else components
+    if y.shape[-1] != required:
+        raise ValueError(
+            f"field must have {required} component(s) per point, got "
+            f"{y.shape[-1]}"
+        )
+
+
+def _value_range(
+    y: np.ndarray, v_min: Optional[float], v_max: Optional[float]
+) -> Tuple[float, float]:
+    """The color/axis value range, defaulting to the field's extrema."""
+    return (
+        float(np.min(y)) if v_min is None else v_min,
+        float(np.max(y)) if v_max is None else v_max,
+    )
+
+
 class Plot:
-    """Base class for solution plots."""
+    """A static plot backed by a matplotlib figure."""
+
+    _default_save_extension = "png"
 
     def __init__(self, figure: Figure):
         self._figure = figure
 
     def show(self) -> "Plot":
-        """Displays the plot (and any other open figures)."""
+        """Renders the figure in the active matplotlib backend."""
         plt.show()
         return self
 
     def save(
-        self, file_path: str, extension: str = "png", **kwargs
+        self,
+        file_path: str,
+        extension: Optional[str] = None,
+        **kwargs,
     ) -> "Plot":
-        """Saves the plot as ``file_path.extension``."""
-        self._figure.savefig(f"{file_path}.{extension}", **kwargs)
+        """Writes the plot to ``file_path.extension`` (PNG for static
+        plots, GIF for animations, unless overridden)."""
+        extension = extension or self._default_save_extension
+        self._write(f"{file_path}.{extension}", **kwargs)
         return self
 
     def close(self):
-        """Closes the underlying figure."""
+        """Releases the figure's resources."""
         plt.close(self._figure)
+
+    def _write(self, full_path: str, **kwargs):
+        self._figure.savefig(full_path, **kwargs)
 
 
 class AnimatedPlot(Plot):
-    """Base class for animated plots; subsamples the trajectory into
-    ``n_frames`` evenly spaced frames."""
+    """A plot animated over the trajectory's time axis.
+
+    Subclasses assign ``self._figure`` data and implement
+    :meth:`_render_initial` and :meth:`_render_frame`; the base class
+    schedules ``n_frames`` evenly spaced time steps and drives the
+    matplotlib animation through those hooks."""
+
+    _default_save_extension = "gif"
 
     def __init__(
         self,
         figure: Figure,
-        init_func: Callable[[], None],
-        update_func: Callable[[int], None],
         n_time_steps: int,
         n_frames: int,
         interval: int,
     ):
         super().__init__(figure)
-        frames = np.linspace(0, n_time_steps - 1, n_frames, dtype=int)
+        schedule = np.unique(
+            np.round(
+                np.linspace(0, n_time_steps - 1, max(int(n_frames), 1))
+            ).astype(int)
+        ) if n_frames < n_time_steps else np.arange(n_time_steps)
         self._animation = FuncAnimation(
             figure,
-            func=update_func,
-            init_func=init_func,
-            frames=frames,
+            func=self._render_frame,
+            init_func=self._render_initial,
+            frames=schedule,
             interval=interval,
         )
 
-    def save(
-        self, file_path: str, extension: str = "gif", **kwargs
-    ) -> "Plot":
-        self._animation.save(f"{file_path}.{extension}", **kwargs)
-        return self
+    def _render_initial(self):  # pragma: no cover - overridden
+        raise NotImplementedError
 
-    @staticmethod
-    def _check_pde_solution_shape(
-        y: np.ndarray,
-        mesh: Mesh,
-        vertex_oriented: bool,
-        expected_x_dims: Union[int, Tuple[int, int]],
-        is_vector_field: bool,
-    ):
-        if isinstance(expected_x_dims, int):
-            expected_x_dims = (expected_x_dims, expected_x_dims)
-        if not expected_x_dims[0] <= mesh.dimensions <= expected_x_dims[1]:
-            raise ValueError(
-                f"mesh must be between {expected_x_dims[0]} and "
-                f"{expected_x_dims[1]} dimensional"
-            )
-        if y.ndim != mesh.dimensions + 2:
-            raise ValueError(
-                f"number of y axes ({y.ndim}) must be two larger than mesh "
-                f"dimensions ({mesh.dimensions})"
-            )
-        if y.shape[1:-1] != mesh.shape(vertex_oriented):
-            raise ValueError(
-                f"y shape {y.shape} must be compatible with mesh shape "
-                f"{mesh.shape(vertex_oriented)}"
-            )
-        expected_components = mesh.dimensions if is_vector_field else 1
-        if y.shape[-1] != expected_components:
-            raise ValueError(
-                f"number of y components ({y.shape[-1]}) must be "
-                f"{expected_components}"
-            )
+    def _render_frame(self, time_step: int):  # pragma: no cover
+        raise NotImplementedError
+
+    def _write(self, full_path: str, **kwargs):
+        self._animation.save(full_path, **kwargs)
 
 
 class TimePlot(Plot):
-    """y-against-t line plot for ODE solutions."""
+    """Line plot of each solution component against time (ODEs)."""
 
     def __init__(
         self,
@@ -118,59 +174,60 @@ class TimePlot(Plot):
         legend_location: Optional[str] = None,
         **_,
     ):
-        if y.ndim != 2:
-            raise ValueError(f"number of y axes ({y.ndim}) must be 2")
+        _require_trajectory_rank(y, 2)
         if t.ndim != 1:
-            raise ValueError(f"number of t axes ({t.ndim}) must be 1")
-        if y.shape[0] != t.shape[0]:
             raise ValueError(
-                f"first axis of y ({y.shape[0]}) must match length of t "
-                f"({t.shape[0]})"
+                f"time coordinates must be a 1D array, got {t.ndim} axes"
+            )
+        if len(t) != y.shape[0]:
+            raise ValueError(
+                f"trajectory length ({y.shape[0]}) and time coordinate "
+                f"count ({len(t)}) disagree"
             )
 
-        fig, ax = plt.subplots()
-        for i in range(y.shape[1]):
-            ax.plot(t, y[:, i], label=f"y{i}")
-        ax.set_xlabel("t")
-        ax.set_ylabel("y")
+        figure, axes = plt.subplots()
+        for index, component in enumerate(y.T):
+            axes.plot(t, component, label=f"y{index}")
+        axes.set_xlabel("t")
+        axes.set_ylabel("y")
         if legend_location is not None:
-            ax.legend(loc=legend_location)
-        fig.tight_layout()
-        super().__init__(fig)
+            axes.legend(loc=legend_location)
+        figure.tight_layout()
+        super().__init__(figure)
 
 
 class PhaseSpacePlot(Plot):
-    """2D/3D phase-space trajectory plot for ODE systems."""
+    """Trajectory of a 2- or 3-component ODE system in its phase
+    space."""
 
     def __init__(self, y: np.ndarray, **_):
-        if y.ndim != 2:
-            raise ValueError(f"number of y axes ({y.ndim}) must be 2")
-        if not 2 <= y.shape[1] <= 3:
+        _require_trajectory_rank(y, 2)
+        components = y.shape[1]
+        if components not in (2, 3):
             raise ValueError(
-                f"number of y components ({y.shape[1]}) must be either "
-                "2 or 3"
+                "phase-space plots need a 2- or 3-component system, got "
+                f"{components} components"
             )
 
-        fig = plt.figure()
-        if y.shape[1] == 2:
-            ax = fig.add_subplot()
-            ax.plot(y[:, 0], y[:, 1])
-            ax.set_xlabel("y0")
-            ax.set_ylabel("y1")
-            ax.axis("equal")
+        figure = plt.figure()
+        if components == 2:
+            axes = figure.add_subplot()
+            axes.plot(y[:, 0], y[:, 1])
+            axes.axis("equal")
         else:
-            ax = fig.add_subplot(projection="3d")
-            ax.plot3D(y[:, 0], y[:, 1], y[:, 2])
-            ax.set_xlabel("y0")
-            ax.set_ylabel("y1")
-            ax.set_zlabel("y2")
-            ax.set_box_aspect(tuple(np.ptp(y[:, i]) for i in range(3)))
-        super().__init__(fig)
+            axes = figure.add_subplot(projection="3d")
+            axes.plot3D(y[:, 0], y[:, 1], y[:, 2])
+            axes.set_zlabel("y2")
+            axes.set_box_aspect(tuple(np.ptp(y, axis=0)))
+        axes.set_xlabel("y0")
+        axes.set_ylabel("y1")
+        super().__init__(figure)
 
 
 class NBodyPlot(AnimatedPlot):
-    """Animated scatter plot of 2D/3D gravitational n-body solutions with
-    mass-proportional markers and optional trajectory trails."""
+    """Animated view of a gravitational n-body simulation: one marker
+    per body (area scaled with mass) with optional orbit trails, on a
+    dark background."""
 
     def __init__(
         self,
@@ -186,105 +243,112 @@ class NBodyPlot(AnimatedPlot):
         span_scaling_factor: float = 0.25,
         **_,
     ):
-        if y.ndim != 2:
-            raise ValueError(f"number of y axes ({y.ndim}) must be 2")
+        _require_trajectory_rank(y, 2)
         if y.shape[1] != diff_eq.y_dimension:
             raise ValueError(
-                f"number of y components ({y.shape[1]}) must match "
-                "differential equation y dimension "
-                f"({diff_eq.y_dimension})"
+                f"trajectory has {y.shape[1]} state components but the "
+                f"equation defines {diff_eq.y_dimension}"
             )
 
-        dims = diff_eq.spatial_dimension
-        n_obj = diff_eq.n_objects
-        n_pos = n_obj * dims
+        spatial = diff_eq.spatial_dimension
+        n_bodies = diff_eq.n_objects
+        position_count = n_bodies * spatial
+        # positions[d] holds body coordinates along axis d over time
+        self._positions = [
+            y[:, axis:position_count:spatial] for axis in range(spatial)
+        ]
+        self._axis_limits = []
+        for coordinates in self._positions:
+            low, high = float(coordinates.min()), float(coordinates.max())
+            margin = span_scaling_factor * (high - low)
+            self._axis_limits.append((low - margin, high + margin))
 
-        # per-axis object coordinates over time: (T, n_obj) each
-        axes_coords = [y[:, d:n_pos:dims] for d in range(dims)]
-        limits = []
-        for c in axes_coords:
-            lo, hi = c.min(), c.max()
-            pad = span_scaling_factor * (hi - lo)
-            limits.append((lo - pad, hi + pad))
+        masses = np.asarray(diff_eq.masses, dtype=float)
+        # marker area proportional to the cross-section of a sphere
+        # whose volume is proportional to the body's mass
+        volumes = masses * (smallest_marker_size / masses.min())
+        self._marker_areas = np.pi * np.cbrt(
+            3.0 * volumes / (4.0 * np.pi)
+        ) ** 2
+        self._colors = color_map(np.linspace(0.0, 1.0, n_bodies))
+        self._spatial = spatial
+        self._draw_trails = draw_trajectory
+        self._trail_style = trajectory_line_style
+        self._trail_width = trajectory_line_width
+        self._bodies = None
+        self._trails: Optional[List] = None
+        self._style = "dark_background"
 
-        masses = np.asarray(diff_eq.masses)
-        scaled = (smallest_marker_size / masses.min()) * masses
-        radii = np.cbrt(3.0 * scaled / (4.0 * np.pi))
-        marker_sizes = np.pi * radii**2
-        colors = color_map(np.linspace(0.0, 1.0, n_obj))
+        with plt.style.context(self._style):
+            figure = plt.figure()
+            self._axes = figure.add_subplot(
+                projection="3d" if spatial == 3 else None
+            )
 
-        self._scatter_plot = None
-        self._line_plots: Optional[List] = None
-        style = "dark_background"
+        super().__init__(figure, y.shape[0], n_frames, interval)
 
-        with plt.style.context(style):
-            fig = plt.figure()
-            ax = fig.add_subplot(projection="3d" if dims == 3 else None)
+    def _render_initial(self):
+        axes = self._axes
+        with plt.style.context(self._style):
+            axes.clear()
+            start = [p[0, :] for p in self._positions]
+            marker_kwargs = dict(s=self._marker_areas, c=self._colors)
+            if self._spatial == 3:
+                marker_kwargs["depthshade"] = False
+            self._bodies = axes.scatter(*start, **marker_kwargs)
 
-        def init_plot():
-            with plt.style.context(style):
-                ax.clear()
-                first = [c[0, :] for c in axes_coords]
-                scatter_kwargs = dict(s=marker_sizes, c=colors)
-                if dims == 3:
-                    scatter_kwargs["depthshade"] = False
-                self._scatter_plot = ax.scatter(*first, **scatter_kwargs)
+            if self._draw_trails:
+                self._trails = [
+                    axes.plot(
+                        *[p[:1, body] for p in self._positions],
+                        color=self._colors[body],
+                        linestyle=self._trail_style,
+                        linewidth=self._trail_width,
+                    )[0]
+                    for body in range(len(self._colors))
+                ]
 
-                if draw_trajectory:
-                    self._line_plots = [
-                        ax.plot(
-                            *[c[:1, i] for c in axes_coords],
-                            color=colors[i],
-                            linestyle=trajectory_line_style,
-                            linewidth=trajectory_line_width,
-                        )[0]
-                        for i in range(n_obj)
-                    ]
-
-                ax.set_xlabel("x")
-                ax.set_ylabel("y")
-                ax.set_xlim(*limits[0])
-                ax.set_ylim(*limits[1])
-                if dims == 2:
-                    ax.axis("scaled")
-                else:
-                    ax.set_zlabel("z")
-                    ax.set_zlim(*limits[2])
-                    ax.set_box_aspect(
-                        tuple(hi - lo for (lo, hi) in limits)
-                    )
-                    ax.set_facecolor("black")
-                    for pane_axis in (ax.xaxis, ax.yaxis, ax.zaxis):
-                        pane_axis.pane.fill = False
-                    ax.grid(False)
-
-        def update_plot(time_step: int):
-            if dims == 2:
-                self._scatter_plot.set_offsets(
-                    np.stack(
-                        [c[time_step, :] for c in axes_coords], axis=-1
-                    )
-                )
+            axes.set_xlabel("x")
+            axes.set_ylabel("y")
+            axes.set_xlim(*self._axis_limits[0])
+            axes.set_ylim(*self._axis_limits[1])
+            if self._spatial == 2:
+                axes.axis("scaled")
             else:
-                self._scatter_plot._offsets3d = tuple(
-                    c[time_step, :] for c in axes_coords
+                axes.set_zlabel("z")
+                axes.set_zlim(*self._axis_limits[2])
+                axes.set_box_aspect(
+                    tuple(high - low for low, high in self._axis_limits)
                 )
-            if draw_trajectory:
-                for i, line in enumerate(self._line_plots):
-                    line.set_xdata(axes_coords[0][: time_step + 1, i])
-                    line.set_ydata(axes_coords[1][: time_step + 1, i])
-                    if dims == 3:
-                        line.set_3d_properties(
-                            axes_coords[2][: time_step + 1, i]
-                        )
+                axes.set_facecolor("black")
+                for spatial_axis in (axes.xaxis, axes.yaxis, axes.zaxis):
+                    spatial_axis.pane.fill = False
+                axes.grid(False)
 
-        super().__init__(
-            fig, init_plot, update_plot, y.shape[0], n_frames, interval
-        )
+    def _render_frame(self, time_step: int):
+        if self._spatial == 2:
+            self._bodies.set_offsets(
+                np.stack(
+                    [p[time_step, :] for p in self._positions], axis=-1
+                )
+            )
+        else:
+            self._bodies._offsets3d = tuple(
+                p[time_step, :] for p in self._positions
+            )
+        if self._draw_trails:
+            history = slice(0, time_step + 1)
+            for body, trail in enumerate(self._trails):
+                trail.set_xdata(self._positions[0][history, body])
+                trail.set_ydata(self._positions[1][history, body])
+                if self._spatial == 3:
+                    trail.set_3d_properties(
+                        self._positions[2][history, body]
+                    )
 
 
 class SpaceLinePlot(AnimatedPlot):
-    """Animated line plot for 1D PDE solutions."""
+    """Animated profile of a 1D PDE scalar field."""
 
     def __init__(
         self,
@@ -298,34 +362,31 @@ class SpaceLinePlot(AnimatedPlot):
         equal_scale: bool = False,
         **_,
     ):
-        self._check_pde_solution_shape(y, mesh, vertex_oriented, 1, False)
-        self._line_plot = None
-        fig, ax = plt.subplots()
+        _require_field(y, mesh, vertex_oriented, 1, 1)
+        self._field = y
+        self._x = mesh.coordinate_grids(vertex_oriented)[0]
+        self._y_limits = _value_range(y, v_min, v_max)
+        self._equal_scale = equal_scale
+        self._profile = None
+        figure, self._axes = plt.subplots()
+        super().__init__(figure, y.shape[0], n_frames, interval)
 
-        def init_plot():
-            ax.clear()
-            (self._line_plot,) = ax.plot(
-                mesh.coordinate_grids(vertex_oriented)[0], y[0, ..., 0]
-            )
-            ax.set_ylim(
-                np.min(y) if v_min is None else v_min,
-                np.max(y) if v_max is None else v_max,
-            )
-            ax.set_xlabel("x")
-            ax.set_ylabel("y")
-            if equal_scale:
-                ax.axis("equal")
+    def _render_initial(self):
+        axes = self._axes
+        axes.clear()
+        (self._profile,) = axes.plot(self._x, self._field[0, :, 0])
+        axes.set_ylim(*self._y_limits)
+        axes.set_xlabel("x")
+        axes.set_ylabel("y")
+        if self._equal_scale:
+            axes.axis("equal")
 
-        def update_plot(time_step: int):
-            self._line_plot.set_ydata(y[time_step, ..., 0])
-
-        super().__init__(
-            fig, init_plot, update_plot, y.shape[0], n_frames, interval
-        )
+    def _render_frame(self, time_step: int):
+        self._profile.set_ydata(self._field[time_step, :, 0])
 
 
 class ContourPlot(AnimatedPlot):
-    """Animated filled contour plot for 2D PDE scalar fields."""
+    """Animated filled contours of a 2D PDE scalar field."""
 
     def __init__(
         self,
@@ -339,46 +400,43 @@ class ContourPlot(AnimatedPlot):
         v_max: Optional[float] = None,
         **_,
     ):
-        self._check_pde_solution_shape(y, mesh, vertex_oriented, 2, False)
+        _require_field(y, mesh, vertex_oriented, 2, 1)
+        self._field = y
+        self._grids = mesh.cartesian_coordinate_grids(vertex_oriented)
+        self._limits = _value_range(y, v_min, v_max)
+        self._color_map = color_map
+        self._contours = None
+        self._axes = None
+        figure = plt.figure()
+        super().__init__(figure, y.shape[0], n_frames, interval)
 
-        grids = mesh.cartesian_coordinate_grids(vertex_oriented)
-        v_min = np.min(y) if v_min is None else v_min
-        v_max = np.max(y) if v_max is None else v_max
-        self._contour_plot = None
-        fig = plt.figure()
-
-        def draw(ax, frame):
-            return ax.contourf(
-                *grids,
-                y[frame, ..., 0],
-                vmin=v_min,
-                vmax=v_max,
-                cmap=color_map,
-            )
-
-        def init_plot():
-            fig.clear()
-            ax = fig.add_subplot()
-            self._contour_plot = draw(ax, 0)
-            ax.set_xlabel("x0")
-            ax.set_ylabel("x1")
-            ax.axis("scaled")
-            mappable = ScalarMappable(cmap=color_map)
-            mappable.set_clim(v_min, v_max)
-            fig.colorbar(mappable=mappable, ax=ax)
-
-        def update_plot(time_step: int):
-            ax = self._contour_plot.axes
-            self._contour_plot.remove()
-            self._contour_plot = draw(ax, time_step)
-
-        super().__init__(
-            fig, init_plot, update_plot, y.shape[0], n_frames, interval
+    def _fill(self, time_step: int):
+        return self._axes.contourf(
+            *self._grids,
+            self._field[time_step, ..., 0],
+            vmin=self._limits[0],
+            vmax=self._limits[1],
+            cmap=self._color_map,
         )
+
+    def _render_initial(self):
+        self._figure.clear()
+        self._axes = self._figure.add_subplot()
+        self._contours = self._fill(0)
+        self._axes.set_xlabel("x0")
+        self._axes.set_ylabel("x1")
+        self._axes.axis("scaled")
+        colors = ScalarMappable(cmap=self._color_map)
+        colors.set_clim(*self._limits)
+        self._figure.colorbar(mappable=colors, ax=self._axes)
+
+    def _render_frame(self, time_step: int):
+        self._contours.remove()
+        self._contours = self._fill(time_step)
 
 
 class SurfacePlot(AnimatedPlot):
-    """Animated 3D surface plot for 2D PDE scalar fields."""
+    """Animated 3D surface of a 2D PDE scalar field."""
 
     def __init__(
         self,
@@ -393,53 +451,56 @@ class SurfacePlot(AnimatedPlot):
         equal_scale: bool = False,
         **_,
     ):
-        self._check_pde_solution_shape(y, mesh, vertex_oriented, 2, False)
+        _require_field(y, mesh, vertex_oriented, 2, 1)
+        self._field = y
+        self._grids = mesh.cartesian_coordinate_grids(vertex_oriented)
+        self._limits = _value_range(y, v_min, v_max)
 
-        grids = mesh.cartesian_coordinate_grids(vertex_oriented)
-        v_min = np.min(y) if v_min is None else v_min
-        v_max = np.max(y) if v_max is None else v_max
-
-        x_0_ptp, x_1_ptp = np.ptp(grids[0]), np.ptp(grids[1])
-        z_ptp = (v_max - v_min) if equal_scale else min(x_0_ptp, x_1_ptp)
-
-        plot_kwargs = dict(
-            vmin=v_min,
-            vmax=v_max,
+        spans = (np.ptp(self._grids[0]), np.ptp(self._grids[1]))
+        height_span = (
+            self._limits[1] - self._limits[0]
+            if equal_scale
+            else min(spans)
+        )
+        self._box_aspect = (*spans, height_span)
+        self._surface_kwargs = dict(
+            vmin=self._limits[0],
+            vmax=self._limits[1],
             rstride=1,
             cstride=1,
             linewidth=0,
             antialiased=False,
             cmap=color_map,
         )
+        self._surface = None
+        figure = plt.figure()
+        self._axes = figure.add_subplot(projection="3d")
+        super().__init__(figure, y.shape[0], n_frames, interval)
 
-        self._surface_plot = None
-        fig = plt.figure()
-        ax = fig.add_subplot(projection="3d")
+    def _render_initial(self):
+        axes = self._axes
+        axes.clear()
+        self._surface = axes.plot_surface(
+            *self._grids, self._field[0, ..., 0], **self._surface_kwargs
+        )
+        axes.set_xlabel("x0")
+        axes.set_ylabel("x1")
+        axes.set_zlabel("y")
+        axes.set_zlim(*self._limits)
+        axes.set_box_aspect(self._box_aspect)
 
-        def init_plot():
-            ax.clear()
-            self._surface_plot = ax.plot_surface(
-                *grids, y[0, ..., 0], **plot_kwargs
-            )
-            ax.set_xlabel("x0")
-            ax.set_ylabel("x1")
-            ax.set_zlabel("y")
-            ax.set_zlim(v_min, v_max)
-            ax.set_box_aspect((x_0_ptp, x_1_ptp, z_ptp))
-
-        def update_plot(time_step: int):
-            self._surface_plot.remove()
-            self._surface_plot = ax.plot_surface(
-                *grids, y[time_step, ..., 0], **plot_kwargs
-            )
-
-        super().__init__(
-            fig, init_plot, update_plot, y.shape[0], n_frames, interval
+    def _render_frame(self, time_step: int):
+        self._surface.remove()
+        self._surface = self._axes.plot_surface(
+            *self._grids,
+            self._field[time_step, ..., 0],
+            **self._surface_kwargs,
         )
 
 
 class ScatterPlot(AnimatedPlot):
-    """Animated 3D scatter plot for 3D PDE scalar fields."""
+    """Animated scatter rendering of a 3D PDE scalar field, with the
+    field value encoded as marker color."""
 
     def __init__(
         self,
@@ -456,45 +517,43 @@ class ScatterPlot(AnimatedPlot):
         marker_opacity: float = 1.0,
         **_,
     ):
-        self._check_pde_solution_shape(y, mesh, vertex_oriented, 3, False)
+        _require_field(y, mesh, vertex_oriented, 3, 1)
+        self._field = y
+        self._grids = mesh.cartesian_coordinate_grids(vertex_oriented)
+        self._colors = ScalarMappable(cmap=color_map)
+        self._colors.set_clim(*_value_range(y, v_min, v_max))
+        self._marker_shape = marker_shape
+        self._marker_size = marker_size
+        self._marker_opacity = marker_opacity
+        self._markers = None
+        figure = plt.figure()
+        self._axes = figure.add_subplot(projection="3d")
+        super().__init__(figure, y.shape[0], n_frames, interval)
 
-        grids = mesh.cartesian_coordinate_grids(vertex_oriented)
-        mappable = ScalarMappable(cmap=color_map)
-        mappable.set_clim(
-            np.min(y) if v_min is None else v_min,
-            np.max(y) if v_max is None else v_max,
+    def _render_initial(self):
+        axes = self._axes
+        axes.clear()
+        axes.set_xlabel("x0")
+        axes.set_ylabel("x1")
+        axes.set_zlabel("x2")
+        axes.set_box_aspect(tuple(np.ptp(g) for g in self._grids))
+        self._markers = axes.scatter(
+            *self._grids,
+            c=self._colors.to_rgba(self._field[0, ..., 0].ravel()),
+            marker=self._marker_shape,
+            s=self._marker_size,
+            alpha=self._marker_opacity,
         )
 
-        self._scatter_plot = None
-        fig = plt.figure()
-        ax = fig.add_subplot(projection="3d")
-
-        def init_plot():
-            ax.clear()
-            ax.set_xlabel("x0")
-            ax.set_ylabel("x1")
-            ax.set_zlabel("x2")
-            ax.set_box_aspect(tuple(np.ptp(g) for g in grids))
-            self._scatter_plot = ax.scatter(
-                *grids,
-                c=mappable.to_rgba(y[0, ..., 0].flatten()),
-                marker=marker_shape,
-                s=marker_size,
-                alpha=marker_opacity,
-            )
-
-        def update_plot(time_step: int):
-            self._scatter_plot.set_color(
-                mappable.to_rgba(y[time_step, ..., 0].flatten())
-            )
-
-        super().__init__(
-            fig, init_plot, update_plot, y.shape[0], n_frames, interval
+    def _render_frame(self, time_step: int):
+        self._markers.set_color(
+            self._colors.to_rgba(self._field[time_step, ..., 0].ravel())
         )
 
 
 class StreamPlot(AnimatedPlot):
-    """Animated stream plot for 2D PDE vector fields (polar-aware)."""
+    """Animated streamlines of a 2D PDE vector field (Cartesian or
+    polar)."""
 
     def __init__(
         self,
@@ -507,55 +566,74 @@ class StreamPlot(AnimatedPlot):
         density: float = 1.0,
         **_,
     ):
-        self._check_pde_solution_shape(y, mesh, vertex_oriented, 2, True)
-
+        _require_field(y, mesh, vertex_oriented, 2, None)
         grids = mesh.coordinate_grids(vertex_oriented)
-        self._stream_plot = None
-        fig = plt.figure()
-
-        if mesh.coordinate_system_type == CoordinateSystem.POLAR:
-            (x_1_min, x_1_max), (x_0_min, x_0_max) = mesh.x_intervals
-            x_1_min = 0
-            x_0, x_1 = grids[1], grids[0]
-            y_0, y_1 = y[..., 1], y[..., 0]
-            ax = fig.add_subplot(projection="polar")
-        else:
-            (x_0_min, x_0_max), (x_1_min, x_1_max) = mesh.x_intervals
-            x_0, x_1 = grids[0].T, grids[1].T
-            y_0 = y[..., 0].transpose([0, 2, 1])
-            y_1 = y[..., 1].transpose([0, 2, 1])
-            ax = fig.add_subplot()
-
-        def init_plot():
-            ax.clear()
-            self._stream_plot = ax.streamplot(
-                x_0, x_1, y_0[0, ...], y_1[0, ...],
-                color=color, density=density,
-            )
-            ax.set_xlim(x_0_min, x_0_max)
-            ax.set_ylim(x_1_min, x_1_max)
-            if mesh.coordinate_system_type == CoordinateSystem.CARTESIAN:
-                ax.axis("scaled")
-                ax.set_xlabel("x")
-                ax.set_ylabel("y")
-
-        def update_plot(time_step: int):
-            for patch in list(ax.patches):
-                patch.remove()
-            self._stream_plot.lines.remove()
-            self._stream_plot = ax.streamplot(
-                x_0, x_1, y_0[time_step, ...], y_1[time_step, ...],
-                color=color, density=density,
-            )
-
-        super().__init__(
-            fig, init_plot, update_plot, y.shape[0], n_frames, interval
+        self._color = color
+        self._density = density
+        self._polar = (
+            mesh.coordinate_system_type == CoordinateSystem.POLAR
         )
+        figure = plt.figure()
+
+        if self._polar:
+            # matplotlib's polar axes take (theta, r): swap the mesh's
+            # (r, theta) axis order and components
+            (radial, _), (angular, _) = (
+                mesh.x_intervals[0],
+                mesh.x_intervals[1],
+            )
+            self._x_bounds = (mesh.x_intervals[1][0], mesh.x_intervals[1][1])
+            self._y_bounds = (0.0, mesh.x_intervals[0][1])
+            self._grid_x, self._grid_y = grids[1], grids[0]
+            self._u, self._v = y[..., 1], y[..., 0]
+            self._axes = figure.add_subplot(projection="polar")
+        else:
+            self._x_bounds = tuple(mesh.x_intervals[0])
+            self._y_bounds = tuple(mesh.x_intervals[1])
+            # streamplot expects row-major (y, x) grids: transpose
+            self._grid_x = grids[0].T
+            self._grid_y = grids[1].T
+            self._u = y[..., 0].transpose([0, 2, 1])
+            self._v = y[..., 1].transpose([0, 2, 1])
+            self._axes = figure.add_subplot()
+
+        self._streams = None
+        super().__init__(figure, y.shape[0], n_frames, interval)
+
+    def _trace(self, time_step: int):
+        return self._axes.streamplot(
+            self._grid_x,
+            self._grid_y,
+            self._u[time_step, ...],
+            self._v[time_step, ...],
+            color=self._color,
+            density=self._density,
+        )
+
+    def _render_initial(self):
+        axes = self._axes
+        axes.clear()
+        self._streams = self._trace(0)
+        axes.set_xlim(*self._x_bounds)
+        axes.set_ylim(*self._y_bounds)
+        if not self._polar:
+            axes.axis("scaled")
+            axes.set_xlabel("x")
+            axes.set_ylabel("y")
+
+    def _render_frame(self, time_step: int):
+        # streamplot cannot update in place: drop the arrow patches and
+        # line collection, then retrace
+        for arrow in list(self._axes.patches):
+            arrow.remove()
+        self._streams.lines.remove()
+        self._streams = self._trace(time_step)
 
 
 class QuiverPlot(AnimatedPlot):
-    """Animated 2D/3D quiver plot for PDE vector fields; converts
-    curvilinear components to Cartesian via the mesh's unit vectors."""
+    """Animated arrow field of a 2D/3D PDE vector field; curvilinear
+    components are first rotated into Cartesian frame via the mesh's
+    unit-vector grids."""
 
     def __init__(
         self,
@@ -569,79 +647,81 @@ class QuiverPlot(AnimatedPlot):
         quiver_scale: float = 10.0,
         **_,
     ):
-        self._check_pde_solution_shape(
-            y, mesh, vertex_oriented, (2, 3), True
-        )
-
-        grids = mesh.cartesian_coordinate_grids(vertex_oriented)
+        _require_field(y, mesh, vertex_oriented, (2, 3), None)
+        self._grids = mesh.cartesian_coordinate_grids(vertex_oriented)
         unit_vectors = mesh.unit_vector_grids(vertex_oriented)
-        y_cartesian = sum(
-            y[..., i: i + 1] * unit_vectors[i][np.newaxis, ...]
-            for i in range(mesh.dimensions)
+        cartesian_field = sum(
+            y[..., axis : axis + 1] * unit_vectors[axis][np.newaxis, ...]
+            for axis in range(mesh.dimensions)
         )
+        self._spatial = mesh.dimensions
+        self._normalize = normalize
+        self._pivot = pivot
+        self._arrows = None
+        figure = plt.figure()
 
-        self._quiver_plot = None
-        fig = plt.figure()
-
-        if mesh.dimensions == 2:
-            y_0 = np.array(y_cartesian[..., 0])
-            y_1 = np.array(y_cartesian[..., 1])
+        if self._spatial == 2:
+            u = np.array(cartesian_field[..., 0])
+            v = np.array(cartesian_field[..., 1])
             if normalize:
-                magnitude = np.hypot(y_0, y_1)
-                positive = magnitude > 0.0
-                y_0[positive] /= magnitude[positive]
-                y_1[positive] /= magnitude[positive]
-
-            ax = fig.add_subplot()
-
-            def init_plot():
-                ax.clear()
-                ax.set_xlabel("x")
-                ax.set_ylabel("y")
-                self._quiver_plot = ax.quiver(
-                    *grids,
-                    y_0[0, ...],
-                    y_1[0, ...],
-                    pivot=pivot,
-                    angles="xy",
-                    scale_units="xy",
-                    scale=1.0 / quiver_scale,
-                )
-                ax.axis("scaled")
-
-            def update_plot(time_step: int):
-                self._quiver_plot.set_UVC(
-                    y_0[time_step, ...], y_1[time_step, ...]
-                )
-
+                length = np.hypot(u, v)
+                nonzero = length > 0.0
+                u[nonzero] /= length[nonzero]
+                v[nonzero] /= length[nonzero]
+            self._components = (u, v)
+            self._arrow_scale = 1.0 / quiver_scale
+            self._axes = figure.add_subplot()
         else:
-            components = [
-                y_cartesian[..., i] * quiver_scale for i in range(3)
-            ]
-            ax = fig.add_subplot(projection="3d")
-
-            def init_plot():
-                ax.clear()
-                self._quiver_plot = ax.quiver(
-                    *grids,
-                    *[c[0, ...] for c in components],
-                    pivot=pivot,
-                    normalize=normalize,
-                )
-                ax.set_xlabel("x")
-                ax.set_ylabel("y")
-                ax.set_zlabel("z")
-                ax.set_box_aspect(tuple(np.ptp(g) for g in grids))
-
-            def update_plot(time_step: int):
-                self._quiver_plot.remove()
-                self._quiver_plot = ax.quiver(
-                    *grids,
-                    *[c[time_step, ...] for c in components],
-                    pivot=pivot,
-                    normalize=normalize,
-                )
+            self._components = tuple(
+                cartesian_field[..., axis] * quiver_scale
+                for axis in range(3)
+            )
+            self._axes = figure.add_subplot(projection="3d")
 
         super().__init__(
-            fig, init_plot, update_plot, y.shape[0], n_frames, interval
+            figure, cartesian_field.shape[0], n_frames, interval
         )
+
+    def _render_initial(self):
+        axes = self._axes
+        if self._spatial == 2:
+            axes.clear()
+            axes.set_xlabel("x")
+            axes.set_ylabel("y")
+            self._arrows = axes.quiver(
+                *self._grids,
+                self._components[0][0, ...],
+                self._components[1][0, ...],
+                pivot=self._pivot,
+                angles="xy",
+                scale_units="xy",
+                scale=self._arrow_scale,
+            )
+            axes.axis("scaled")
+        else:
+            axes.clear()
+            self._arrows = axes.quiver(
+                *self._grids,
+                *[c[0, ...] for c in self._components],
+                pivot=self._pivot,
+                normalize=self._normalize,
+            )
+            axes.set_xlabel("x")
+            axes.set_ylabel("y")
+            axes.set_zlabel("z")
+            axes.set_box_aspect(tuple(np.ptp(g) for g in self._grids))
+
+    def _render_frame(self, time_step: int):
+        if self._spatial == 2:
+            self._arrows.set_UVC(
+                self._components[0][time_step, ...],
+                self._components[1][time_step, ...],
+            )
+        else:
+            self._arrows.remove()
+            self._arrows = self._axes.quiver(
+                *self._grids,
+                *[c[time_step, ...] for c in self._components],
+                pivot=self._pivot,
+                normalize=self._normalize,
+            )

@@ -14,7 +14,6 @@ from typing import TYPE_CHECKING, Generator, List, NamedTuple, Optional, \
     Sequence, Set
 
 import numpy as np
-from scipy.interpolate import interpn
 
 from pararealml_tpu.differential_equation import NBodyGravitationalEquation
 from pararealml_tpu.initial_value_problem import InitialValueProblem
@@ -106,27 +105,32 @@ class Solution:
         interpolation_method: str = "linear",
     ) -> np.ndarray:
         """The solution interpolated at spatial coordinates ``x`` at every
-        time step."""
+        time step.
+
+        The interpolation runs on device (multilinear gather over the
+        whole trajectory at once; see
+        :func:`pararealml_tpu.interpolation.grid_interpolate`) rather
+        than through a host SciPy call per query.
+        """
         cp = self._ivp.constrained_problem
         diff_eq = cp.differential_equation
         if not diff_eq.x_dimension:
             return np.copy(self._discrete_y)
 
-        y = interpn(
+        from pararealml_tpu.interpolation import grid_interpolate
+
+        # carry the time axis through the blend as a trailing value
+        # axis so one gather resamples the entire trajectory
+        trajectory_last = np.moveaxis(self._discrete_y, 0, -1)
+        interpolated = grid_interpolate(
+            trajectory_last,
             cp.mesh.axis_coordinates(self._vertex_oriented),
-            np.moveaxis(self._discrete_y, 0, -2),
-            x,
+            np.asarray(x),
             method=interpolation_method,
-            bounds_error=False,
-            fill_value=None,
         )
-        y = np.moveaxis(y, -2, 0)
-        y = y.reshape(
-            (len(self._t_coordinates),)
-            + x.shape[:-1]
-            + (diff_eq.y_dimension,)
+        return np.ascontiguousarray(
+            np.moveaxis(np.asarray(interpolated), -1, 0)
         )
-        return np.ascontiguousarray(y)
 
     def discrete_y(
         self,
@@ -144,13 +148,14 @@ class Solution:
         ):
             return np.copy(self._discrete_y)
 
-        x = cp.mesh.all_index_coordinates(vertex_oriented)
-        discrete_y = self.y(x, interpolation_method)
-        if vertex_oriented and cp.static_y_vertex_constraints is not None:
-            discrete_y = np.asarray(
-                cp.static_y_vertex_constraints.apply(discrete_y)
-            )
-        return discrete_y
+        resampled = self.y(
+            cp.mesh.all_index_coordinates(vertex_oriented),
+            interpolation_method,
+        )
+        constraints = cp.static_y_vertex_constraints
+        if vertex_oriented and constraints is not None:
+            resampled = np.asarray(constraints.apply(resampled))
+        return resampled
 
     def diff(
         self, solutions: Sequence["Solution"], atol: float = 1e-8
