@@ -1,36 +1,50 @@
 """Block-tiled fused Pallas TPU kernels for large-grid diffusion steps.
 
 The monolithic kernel in :mod:`pararealml_tpu.ops.fused_diffusion` keeps
-the whole grid resident in VMEM, which caps it at roughly 500x500 f32
-cells. This module covers the regime beyond that cap — the one where the
-generic XLA path was measured at ~2.5% of v5e HBM bandwidth — with an
-overlapped row-tiling scheme:
+the whole grid resident in VMEM, which caps its grid size. This module
+covers the regime beyond that cap with an HBM-streaming row-tiled
+pipeline tuned to run at the DMA roofline:
 
-- The state lives in HBM, padded to ``(8 + height + 8, width_padded)``
-  (rounded to the f32 sublane tile) so every tile's DMA has a static,
-  aligned offset and shape — Mosaic requires both to be provably
-  tile-aligned even for HBM refs, which is why the tile loop is
-  unrolled in Python rather than traced.
-- Each tile loads ``block + 16`` rows (8-row halos on both sides — the
-  four chained RK4 stencil stages only need 4, but 8 keeps every DMA
-  on the sublane tile boundary), computes the full RK4 step entirely
-  in VMEM with recomputation in the halo, and writes back ``block``
-  rows. The last tile is *clamped* so its block ends exactly at the
-  (8-rounded) trajectory height, recomputing part of its neighbor —
-  this keeps every DMA a full, identically-shaped buffer copy.
-- Steps run in a single ``fori_loop`` inside one kernel invocation with
-  double-buffered input DMAs and ping-pong HBM state buffers, so per
-  step the HBM traffic is ~1.1x state read + ~2.1x state write (next
-  state plus the trajectory entry) — within ~1.6x of the speed of
-  light for a trajectory-materializing stencil solver, independent of
-  grid size.
+- The state lives in HBM, padded to ``(halo + h_traj + halo,
+  w_pad)`` (widths rounded to the lane tile, heights and the halo to
+  the storage dtype's sublane tile) so every tile DMA has a static,
+  provably tile-aligned offset and shape. The tile loop is unrolled in
+  Python for the same reason.
+- The tile plan prefers FEW, LARGE tiles: per-DMA fixed costs dominate
+  this pipeline once compute is cheap (measured on v5e at 641x641: the
+  2-tile plan's DMA floor is 7.0 us/step against 11.7 us/step for the
+  round-3 3-tile plan), so ``block`` grows to the VMEM budget and the
+  tile count is the minimum that fits.
+- Each step's compute is the **Horner form of RK4**: for the affine
+  semi-discrete system ``y' = A y + b`` (diffusion/convection with
+  static boundary conditions; Dirichlet clamping is itself affine),
+  classic RK4 with per-stage clamping is algebraically identical to the
+  nested evaluation ``t <- D(y + (dt/k) * rhs(t))`` for ``k = 4, 3, 2,
+  1`` — both expand to ``y + c + Mc/2 + M^2c/6 + M^3c/24`` with
+  ``M = dt A`` and ``c = dt (A y + b)``. The nested form needs no
+  ``k1..k4`` temporaries and no final combination pass, and the
+  stencils run as ``pltpu.roll`` lane/sublane rotations instead of
+  zero-concatenated shift copies: measured per-tile compute drops 3.1x
+  against the round-3 classic-RK4 formulation (4.27 -> 1.37 us on a
+  272x768 tile), sinking compute below the DMA floor so the pipeline
+  runs DMA-bound.
+- Roll wrap-around is neutralized structurally: padding columns and the
+  out-of-grid halo rows of edge tiles are kept exactly zero by masking
+  the RHS (matching the generic path's zero-halo stencil semantics;
+  reference halo synthesis: /root/reference/pararealml/operators/fdm/
+  numerical_differentiator.py:1188-1242), and interior-tile halo rows
+  may hold garbage because a radius-1 stencil chained four times
+  corrupts at most 4 of the ``sublane >= 8`` halo rows.
 
-Boundary conditions are represented as face vectors (Dirichlet
-row/column values and Neumann ghost data), with all boundary fixes
-applied at statically-known tile rows, exactly matching the generic
-path's semantics (pararealml_tpu/operators/fdm/numerical_differentiator
-halo synthesis; reference: /root/reference/pararealml/operators/fdm/
-numerical_differentiator.py:1188-1242).
+Boundary conditions are face vectors (Dirichlet row/column values and
+Neumann ghost data); every boundary fix lands on a statically-known
+tile row or a one-hot lane mask, exactly reproducing the generic path's
+semantics.
+
+``storage_dtype=jnp.bfloat16`` stores the HBM state/trajectory in bf16
+(halving DMA traffic) while all stencil arithmetic stays f32; the
+per-step state round-off accumulates, so it trades ~1e-2 relative error
+at 2000 steps for bandwidth — see the bench's measured figures.
 """
 
 from __future__ import annotations
@@ -47,9 +61,10 @@ from pararealml_tpu.differential_equation import (
     ConvectionDiffusionEquation,
 )
 
-# each tile holds ~14 live (tile_h, w_pad) f32 arrays during the RK4
-# stages; 210k elements/tile keeps the total under ~12 MB of VMEM
-_MAX_TILE_ELEMS = 210_000
+# VMEM budget per tile buffer (tile_h * w_pad elements). Live arrays
+# are ~2 input slots + 2 output slots + ~4 Horner-stage f32 temporaries;
+# 420k elements/tile keeps the total under ~12 MB of VMEM
+_MAX_TILE_ELEMS = 420_000
 # the per-tile compute is unrolled per tile, so the tile count (and with
 # it the grid extent) is capped to keep compile times sane
 _MAX_WIDTH_PAD = 2304
@@ -77,33 +92,33 @@ def make_tile_plan(
     bf16): every DMA offset and buffer height is rounded to it so Mosaic
     can prove the slices tile-aligned. The halo is ``sublane`` rows on
     each side (the chained RK4 stencil stages need only 4).
+
+    The plan minimizes the tile count under the VMEM budget — fixed
+    per-DMA costs are this pipeline's dominant overhead — and sizes
+    ``block`` so consecutive tiles cover ``h_traj`` with as little
+    overlap as possible (the last tile is clamped to end exactly at
+    ``h_traj``, recomputing part of its neighbor when the division is
+    not exact, which keeps every DMA a full identically-shaped copy).
     """
     w_pad = -(-width // 128) * 128
     if w_pad > _MAX_WIDTH_PAD or height > _MAX_HEIGHT:
         return None
     halo = sublane
-    block = min(
-        (_MAX_TILE_ELEMS // w_pad - 2 * halo)
-        // sublane * sublane,
-        256,
-    )
-    if block < sublane:
-        return None
-    if height <= block:
-        # force at least two tiles so the pipeline logic is uniform
-        block = max(
-            sublane,
-            -(-((height + 1) // 2) // sublane) * sublane,
-        )
-    n_tiles = -(-height // block)
-    if n_tiles < 2 or block >= height:
-        return None
     h_traj = -(-height // sublane) * sublane
-    # the last tile is clamped to end exactly at h_traj; its start is a
-    # multiple of the sublane tile because both h_traj and block are
-    starts = tuple(
-        i * block for i in range(n_tiles - 1)
-    ) + (h_traj - block,)
+    max_block = (
+        (_MAX_TILE_ELEMS // w_pad - 2 * halo) // sublane * sublane
+    )
+    if max_block < sublane:
+        return None
+    # at least two tiles so the pipeline logic is uniform; beyond that,
+    # the fewest tiles whose block fits the VMEM budget
+    n_tiles = max(2, -(-h_traj // max_block))
+    block = -(-h_traj // n_tiles // sublane) * sublane
+    if block >= height or block < sublane:
+        return None
+    starts = tuple(i * block for i in range(n_tiles - 1)) + (
+        h_traj - block,
+    )
     return _TilePlan(
         block=block,
         n_tiles=n_tiles,
@@ -186,30 +201,42 @@ def _face_tensors(cp: ConstrainedProblem, plan: _TilePlan):
             )
         )
 
+    # column-indexed tensors ride as f32 0/1 masks with PREMASKED
+    # values: the kernel then applies every column fix as rank-1
+    # broadcast multiply-adds (a (tile_h, 1) column factor times a
+    # (1, w_pad) one-hot lane vector), which fuse into single VPU
+    # passes — single-lane extracts like ``state[:, 1]`` measured ~7 us
+    # per tile and are avoided entirely
     return dict(
         dir_row_mask=stack_rows(dir_mask[0], dir_mask[-1]),
         dir_row_vals=stack_rows(
             dir_vals[0].astype(dtype), dir_vals[-1].astype(dtype)
         ),
-        dir_col_mask=stack_cols(dir_mask[:, 0], dir_mask[:, -1]),
+        dir_col_mask=stack_cols(
+            dir_mask[:, 0].astype(dtype), dir_mask[:, -1].astype(dtype)
+        ),
         dir_col_vals=stack_cols(
-            dir_vals[:, 0].astype(dtype), dir_vals[:, -1].astype(dtype)
+            (dir_vals[:, 0] * dir_mask[:, 0]).astype(dtype),
+            (dir_vals[:, -1] * dir_mask[:, -1]).astype(dtype),
         ),
         ghost_row_mask=stack_rows(g_row_lo_m, g_row_hi_m),
         ghost_row_vals=stack_rows(
             g_row_lo_v.astype(dtype), g_row_hi_v.astype(dtype)
         ),
-        ghost_col_mask=stack_cols(g_col_lo_m, g_col_hi_m),
+        ghost_col_mask=stack_cols(
+            g_col_lo_m.astype(dtype), g_col_hi_m.astype(dtype)
+        ),
         ghost_col_vals=stack_cols(
-            g_col_lo_v.astype(dtype), g_col_hi_v.astype(dtype)
+            (g_col_lo_v * g_col_lo_m).astype(dtype),
+            (g_col_hi_v * g_col_hi_m).astype(dtype),
         ),
     )
 
 
 def _override_rows(array, fixes):
     """Rebuilds ``array`` with the given static rows transformed,
-    keeping everything else as static slices (cheap on the VPU compared
-    to full-grid selects)."""
+    keeping everything else as static slices (one VMEM copy — cheap
+    next to full-grid selects, and only boundary tiles pay it)."""
     rows = sorted({r for r, _ in fixes})
     segments = []
     prev = 0
@@ -237,15 +264,17 @@ def build_tiled_diffusion_rk4_trajectory(
 ):
     """Builds ``trajectory(y) -> ys`` computing ``n_steps`` fused RK4
     diffusion(-convection) steps on a grid too large for VMEM, via
-    overlapped row tiles. Semantically identical to
+    overlapped row tiles. Matches
     :func:`pararealml_tpu.ops.fused_diffusion.
-    build_fused_diffusion_rk4_trajectory`.
+    build_fused_diffusion_rk4_trajectory` (the Horner evaluation order
+    reassociates the stage arithmetic, so agreement is to f32
+    rounding, not bitwise).
 
     ``storage_dtype`` selects the precision of the HBM-resident state
     and trajectory buffers (``jnp.float32`` by default;
     ``jnp.bfloat16`` halves the kernel's HBM and DMA traffic while all
-    stencil arithmetic stays in f32 — the RK4 stages up-convert each
-    tile on load and round the result once per step on store).
+    stencil arithmetic stays in f32 — each tile up-converts on load and
+    rounds once per step on store).
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -296,12 +325,36 @@ def build_tiled_diffusion_rk4_trajectory(
     else:
         velocity = (0.0, 0.0)
     has_convection = any(v != 0.0 for v in velocity)
-    inv_dx0_sqr = 1.0 / float(d_x0) ** 2
-    inv_dx1_sqr = 1.0 / float(d_x1) ** 2
-    inv_two_dx0 = 1.0 / (2.0 * float(d_x0))
-    inv_two_dx1 = 1.0 / (2.0 * float(d_x1))
-    two_dx0 = 2.0 * float(d_x0)
-    two_dx1 = 2.0 * float(d_x1)
+    inv_dx0_sqr = np.float32(1.0 / float(d_x0) ** 2)
+    inv_dx1_sqr = np.float32(1.0 / float(d_x1) ** 2)
+    center_tap = np.float32(-2.0 * (inv_dx0_sqr + inv_dx1_sqr))
+    inv_two_dx0 = np.float32(1.0 / (2.0 * float(d_x0)))
+    inv_two_dx1 = np.float32(1.0 / (2.0 * float(d_x1)))
+    two_dx0 = np.float32(2.0 * float(d_x0))
+    two_dx1 = np.float32(2.0 * float(d_x1))
+    d_f32 = np.float32(d)
+    # Horner-form RK4 stage coefficients: t <- D(y + (dt/k) rhs(t))
+    horner_coefficients = tuple(
+        np.float32(float(d_t) / k) for k in (4.0, 3.0, 2.0, 1.0)
+    )
+
+    # one-hot f32 lane vectors for the boundary columns, plus the
+    # valid-lane mask that re-zeroes padding columns every stage
+    lane_valid = np.zeros((1, w_pad), np.float32)
+    lane_valid[0, :width] = 1.0
+    onehot_left = np.zeros((1, w_pad), np.float32)
+    onehot_left[0, 0] = 1.0
+    onehot_right = np.zeros((1, w_pad), np.float32)
+    onehot_right[0, width - 1] = 1.0
+    lane_masks = jnp.asarray(
+        np.concatenate([lane_valid, onehot_left, onehot_right], axis=0)
+    )
+
+    def roll(array, shift, axis):
+        if interpret:
+            # interpreter-mode fallback: pltpu.roll only lowers on TPU
+            return jnp.roll(array, shift, axis)
+        return pltpu.roll(array, shift, axis)
 
     def kernel(
         y0_ref,
@@ -313,6 +366,7 @@ def build_tiled_diffusion_rk4_trajectory(
         ghost_row_vals_ref,
         ghost_col_mask_ref,
         ghost_col_vals_ref,
+        lane_masks_ref,
         traj_ref,
         state_ref,
         in_buf,
@@ -325,6 +379,9 @@ def build_tiled_diffusion_rk4_trajectory(
         dir_row_vals = dir_row_vals_ref[:]
         ghost_row_mask = ghost_row_mask_ref[:]
         ghost_row_vals = ghost_row_vals_ref[:]
+        lane_valid_v = lane_masks_ref[0:1]
+        onehot_l = lane_masks_ref[1:2]
+        onehot_r = lane_masks_ref[2:3]
 
         # seed the ping-pong state with the initial condition
         init = pltpu.make_async_copy(
@@ -333,13 +390,6 @@ def build_tiled_diffusion_rk4_trajectory(
         init.start()
         init.wait()
 
-        zero_row = jnp.zeros((1, w_pad), dtype)
-        zero_col = jnp.zeros((tile_h, 1), dtype)
-        col_pad = (
-            jnp.zeros((tile_h, w_pad - width), dtype)
-            if w_pad > width
-            else None
-        )
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0)
 
         def in_dma(src_slot, i, buf_slot):
@@ -376,21 +426,33 @@ def build_tiled_diffusion_rk4_trajectory(
             has_top = 0 <= top_row < tile_h
             bottom_row = (height - 1) - first_global
             has_bottom = bottom_row < tile_h
-            # rows outside [0, height) must be zeroed so they never
-            # feed back through the stencil
+            # rows outside [0, height) must stay exactly zero so they
+            # never feed back through the stencil; the roll wrap-around
+            # lands in those rows too, so edge tiles always mask
             needs_sanitize = first_global < 0 or (
                 first_global + tile_h > height
             )
-            valid_rows = (row_iota + first_global >= 0) & (
-                row_iota + first_global < height
-            )
+            if needs_sanitize:
+                row_valid_bool = (row_iota + first_global >= 0) & (
+                    row_iota + first_global < height
+                )
+                rhs_mask = (
+                    row_valid_bool.astype(dtype) * lane_valid_v
+                )
+            else:
+                rhs_mask = lane_valid_v
 
             # per-tile windows of the column-indexed vectors,
-            # pre-sliced host-side
-            dcm = dir_col_mask_ref[i]
-            dcv = dir_col_vals_ref[i]
-            gcm = ghost_col_mask_ref[i]
-            gcv = ghost_col_vals_ref[i]
+            # pre-sliced host-side: (tile_h, 1) f32 masks and
+            # premasked values for rank-1 broadcast fixes
+            dcm_l = dir_col_mask_ref[i, 0][:, jnp.newaxis]
+            dcm_r = dir_col_mask_ref[i, 1][:, jnp.newaxis]
+            dcv_l = dir_col_vals_ref[i, 0][:, jnp.newaxis]
+            dcv_r = dir_col_vals_ref[i, 1][:, jnp.newaxis]
+            gcm_l = ghost_col_mask_ref[i, 0][:, jnp.newaxis]
+            gcm_r = ghost_col_mask_ref[i, 1][:, jnp.newaxis]
+            gcv_l = ghost_col_vals_ref[i, 0][:, jnp.newaxis]
+            gcv_r = ghost_col_vals_ref[i, 1][:, jnp.newaxis]
 
             def boundary_row_fixes(make_fn, present):
                 fixes = []
@@ -400,7 +462,11 @@ def build_tiled_diffusion_rk4_trajectory(
                     fixes.append((bottom_row, make_fn(1)))
                 return fixes
 
-            def apply_dirichlet(state):
+            def clamp(state):
+                """The affine Dirichlet stamp ``D``: boundary rows are
+                rebuilt in place (<= 2 static rows), boundary columns
+                through one-hot lane masks."""
+
                 def dir_row_fix(face):
                     def fix(row):
                         return jnp.where(
@@ -416,33 +482,25 @@ def build_tiled_diffusion_rk4_trajectory(
                     state = _override_rows(state, fixes)
                 if not dir_cols_present:
                     return state
-                left = jnp.where(
-                    dcm[0], dcv[0], state[:, 0]
-                )[:, jnp.newaxis]
-                right = jnp.where(
-                    dcm[1], dcv[1], state[:, width - 1]
-                )[:, jnp.newaxis]
-                parts = [left, state[:, 1:width - 1], right]
-                if col_pad is not None:
-                    parts.append(state[:, width:])
-                return jnp.concatenate(parts, axis=1)
+                # rank-1 column stamp: rows with the mask set take the
+                # (premasked) Dirichlet value, others keep the state
+                return (
+                    state
+                    * (1.0 - dcm_l * onehot_l - dcm_r * onehot_r)
+                    + dcv_l * onehot_l
+                    + dcv_r * onehot_r
+                )
 
             def rhs(state):
-                above = jnp.concatenate(
-                    [zero_row, state[:-1, :]], axis=0
+                above = roll(state, 1, 0)
+                below = roll(state, tile_h - 1, 0)
+                left = roll(state, 1, 1)
+                right = roll(state, w_pad - 1, 1)
+                lap = (
+                    (above + below) * inv_dx0_sqr
+                    + (left + right) * inv_dx1_sqr
+                    + state * center_tap
                 )
-                below = jnp.concatenate(
-                    [state[1:, :], zero_row], axis=0
-                )
-                left = jnp.concatenate(
-                    [zero_col, state[:, :-1]], axis=1
-                )
-                right = jnp.concatenate(
-                    [state[:, 1:], zero_col], axis=1
-                )
-                lap = (above - 2.0 * state + below) * inv_dx0_sqr + (
-                    left - 2.0 * state + right
-                ) * inv_dx1_sqr
 
                 # Neumann ghost contributions at the boundary rows
                 # (additive; the inward neighbor's tile row is static)
@@ -473,31 +531,19 @@ def build_tiled_diffusion_rk4_trajectory(
                     lap = _override_rows(lap, lap_fixes)
 
                 if ghost_cols_present:
-                    ghost_left = jnp.where(
-                        gcm[0], state[:, 1] - two_dx1 * gcv[0], 0.0
+                    # ghost contribution at the boundary columns as
+                    # rank-1 broadcasts: at column 0 the rolled
+                    # ``right`` plane already holds state[:, 1], so no
+                    # single-lane extraction is needed (measured ~7 us
+                    # per tile per stage for the extract formulation)
+                    lap = (
+                        lap
+                        + (right * gcm_l - two_dx1 * gcv_l)
+                        * (inv_dx1_sqr * onehot_l)
+                        + (left * gcm_r + two_dx1 * gcv_r)
+                        * (inv_dx1_sqr * onehot_r)
                     )
-                    ghost_right = jnp.where(
-                        gcm[1],
-                        state[:, width - 2] + two_dx1 * gcv[1],
-                        0.0,
-                    )
-                    col_parts = [
-                        lap[:, 0:1] + ghost_left[:, jnp.newaxis]
-                        * inv_dx1_sqr,
-                        lap[:, 1:width - 1],
-                        lap[:, width - 1:width]
-                        + ghost_right[:, jnp.newaxis] * inv_dx1_sqr,
-                    ]
-                    if col_pad is not None:
-                        col_parts.append(col_pad)
-                    lap = jnp.concatenate(col_parts, axis=1)
-                elif col_pad is not None:
-                    # padding columns must be re-zeroed so they never
-                    # feed back through the column stencil
-                    lap = jnp.concatenate(
-                        [lap[:, :width], col_pad], axis=1
-                    )
-                rhs_value = d * lap
+                rhs_value = d_f32 * lap
 
                 if has_convection:
                     gradient_0 = (below - above) * inv_two_dx0
@@ -520,25 +566,17 @@ def build_tiled_diffusion_rk4_trajectory(
 
                     gradient_1 = (right - left) * inv_two_dx1
                     if ghost_cols_present:
-                        grad_left = jnp.where(
-                            gcm[0], gcv[0], gradient_1[:, 0]
-                        )[:, jnp.newaxis]
-                        grad_right = jnp.where(
-                            gcm[1], gcv[1], gradient_1[:, width - 1]
-                        )[:, jnp.newaxis]
-                        grad_parts = [
-                            grad_left,
-                            gradient_1[:, 1:width - 1],
-                            grad_right,
-                        ]
-                        if col_pad is not None:
-                            grad_parts.append(col_pad)
-                        gradient_1 = jnp.concatenate(
-                            grad_parts, axis=1
-                        )
-                    elif col_pad is not None:
-                        gradient_1 = jnp.concatenate(
-                            [gradient_1[:, :width], col_pad], axis=1
+                        # Neumann stamp on the boundary-column
+                        # gradients, rank-1 form
+                        gradient_1 = (
+                            gradient_1
+                            * (
+                                1.0
+                                - gcm_l * onehot_l
+                                - gcm_r * onehot_r
+                            )
+                            + gcv_l * onehot_l
+                            + gcv_r * onehot_r
                         )
 
                     rhs_value = (
@@ -547,20 +585,24 @@ def build_tiled_diffusion_rk4_trajectory(
                         - velocity[1] * gradient_1
                     )
 
-                if needs_sanitize:
-                    rhs_value = jnp.where(valid_rows, rhs_value, 0.0)
-                return rhs_value
+                # one multiply re-zeroes padding columns (killing the
+                # lane wrap-around) and, on edge tiles, the
+                # out-of-grid halo rows
+                return rhs_value * rhs_mask
 
-            state = tile.astype(dtype)
+            y = tile.astype(dtype)
             if needs_sanitize:
-                state = jnp.where(valid_rows, state, 0.0)
-            k1 = d_t * rhs(state)
-            k2 = d_t * rhs(apply_dirichlet(state + 0.5 * k1))
-            k3 = d_t * rhs(apply_dirichlet(state + 0.5 * k2))
-            k4 = d_t * rhs(apply_dirichlet(state + k3))
-            result = apply_dirichlet(
-                state + (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
-            )
+                # where, not multiply: the never-written padding rows of
+                # the ping-pong state buffer are uninitialized memory,
+                # and NaN * 0 would keep the NaN
+                y = jnp.where(row_valid_bool, y, 0.0) * lane_valid_v
+            # Horner chain: t_k = D(y + (dt/k) rhs(t_{k+1})), exactly
+            # classic RK4 for the affine clamped system (see module
+            # docstring)
+            t = y
+            for coefficient in horner_coefficients[:-1]:
+                t = clamp(y + coefficient * rhs(t))
+            result = clamp(y + horner_coefficients[-1] * rhs(t))
             return result[halo:halo + block].astype(storage_dtype)
 
         def step(k, _):
@@ -608,7 +650,7 @@ def build_tiled_diffusion_rk4_trajectory(
             jax.ShapeDtypeStruct((2, h_buf, w_pad), storage_dtype),
         ),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -632,6 +674,7 @@ def build_tiled_diffusion_rk4_trajectory(
         faces["ghost_row_vals"],
         faces["ghost_col_mask"],
         faces["ghost_col_vals"],
+        lane_masks,
     )
 
     def trajectory(y: jax.Array) -> jax.Array:

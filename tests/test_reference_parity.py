@@ -239,3 +239,161 @@ def test_dynamic_bc_solve_matches_reference(reference):
         ref_solution.discrete_y(),
         atol=1e-10,
     )
+
+
+# -- broader differential coverage -------------------------------------------
+# (shared problem builders: tests/parity_cases.py; a vendored-fixture
+# subset of these runs without the reference mount in
+# tests/test_vendored_parity.py)
+
+from tests.parity_cases import equation_cases, solve_fdm_trajectory  # noqa: E402
+
+_EQUATION_TOLERANCES = {
+    # the stream-function anti-Laplacian solve is iterative on both
+    # sides (Jacobi to 1e-3 here and in the reference), so trajectories
+    # agree to the solver tolerance rather than machine precision
+    "navier_stokes": 1e-6,
+}
+
+
+@pytest.mark.parametrize("case_name", sorted(equation_cases()))
+def test_fdm_trajectory_matches_reference_per_equation(
+    reference, case_name
+):
+    ref, ref_fdm = reference
+    import pararealml_tpu as mine
+    import pararealml_tpu.operators.fdm as mine_fdm
+
+    case = equation_cases()[case_name]
+    my_y = solve_fdm_trajectory(vars(mine), vars(mine_fdm), case)
+    ref_y = solve_fdm_trajectory(vars(ref), vars(ref_fdm), case)
+    assert my_y.shape == ref_y.shape
+    atol = _EQUATION_TOLERANCES.get(case_name, 1e-9)
+    scale = max(1.0, float(np.abs(ref_y).max()))
+    assert np.allclose(my_y, ref_y, atol=atol * scale), (
+        f"{case_name}: max diff "
+        f"{float(np.abs(my_y - ref_y).max()):.3e} "
+        f"(scale {scale:.3e})"
+    )
+
+
+@pytest.mark.parametrize(
+    "integrator_name",
+    [
+        "ForwardEulerMethod",
+        "ExplicitMidpointMethod",
+        "RK4",
+        "BackwardEulerMethod",
+        "CrankNicolsonMethod",
+    ],
+)
+def test_integrator_matches_reference(reference, integrator_name):
+    ref, ref_fdm = reference
+    import pararealml_tpu.operators.fdm as mine_fdm
+
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal((9, 2))
+    d_t = 0.01
+    decay = np.array([0.8, 1.3])
+
+    # an autonomous affine rhs so both calling conventions (the
+    # reference passes absolute t, this package a static stage offset)
+    # describe the same problem
+    def ref_rhs(t, y_value):
+        return -decay * y_value + 0.5
+
+    def my_rhs(offset, y_value):
+        return -decay * y_value + 0.5
+
+    mine_out = np.asarray(
+        getattr(mine_fdm, integrator_name)().integral(
+            y, d_t, my_rhs, lambda _: None
+        )
+    )
+    ref_out = getattr(ref_fdm, integrator_name)().integral(
+        y, 0.0, d_t, ref_rhs, lambda _: None
+    )
+    # implicit methods solve the update equation iteratively (secant
+    # here, scipy.optimize.newton in the reference): same tolerance,
+    # different iteration arithmetic
+    atol = 1e-12 if integrator_name in (
+        "ForwardEulerMethod", "ExplicitMidpointMethod", "RK4"
+    ) else 1e-7
+    assert np.allclose(mine_out, ref_out, atol=atol)
+
+
+class _SingleRankComm:
+    """Just enough of mpi4py's COMM_WORLD for the reference Parareal's
+    degenerate single-process path (its own test suite relies on the
+    same degeneration; SURVEY.md section 4)."""
+
+    size = 1
+    rank = 0
+
+    def Allgather(self, send_buffer, recv_buffer):
+        send = send_buffer[0] if isinstance(send_buffer, list) else send_buffer
+        recv = recv_buffer[0] if isinstance(recv_buffer, list) else recv_buffer
+        np.copyto(recv, np.asarray(send)[np.newaxis])
+
+    def barrier(self):
+        pass
+
+
+def test_single_slice_parareal_matches_reference(reference):
+    ref, ref_fdm = reference
+    import pararealml_tpu as mine
+    import pararealml_tpu.operators.fdm as mine_fdm
+    from pararealml_tpu.operators.parareal import PararealOperator
+
+    import types
+
+    fake_mpi = types.SimpleNamespace(
+        COMM_WORLD=_SingleRankComm(), DOUBLE=None
+    )
+    fake_module = types.SimpleNamespace(MPI=fake_mpi)
+    sys.modules.setdefault("mpi4py", fake_module)
+    sys.modules["mpi4py"].MPI = fake_mpi
+    try:
+        from pararealml.operators.parareal import (
+            PararealOperator as RefParareal,
+        )
+    except ImportError:
+        pytest.skip("reference parareal not importable")
+
+    case = equation_cases()["lorenz"]
+    tolerance = 1e-2
+
+    ref_ivp = case["build"](vars(ref))
+    ref_f = ref_fdm.FDMOperator(
+        ref_fdm.RK4(),
+        ref_fdm.ThreePointCentralDifferenceMethod(),
+        case["d_t"],
+    )
+    ref_g = ref_fdm.FDMOperator(
+        ref_fdm.RK4(),
+        ref_fdm.ThreePointCentralDifferenceMethod(),
+        case["d_t"] * 2,
+    )
+    ref_y = RefParareal(ref_f, ref_g, tolerance).solve(
+        ref_ivp
+    ).discrete_y()
+
+    my_ivp = case["build"](vars(mine))
+    my_f = mine_fdm.FDMOperator(
+        mine_fdm.RK4(),
+        mine_fdm.ThreePointCentralDifferenceMethod(),
+        case["d_t"],
+        fused_kernels=False,
+    )
+    my_g = mine_fdm.FDMOperator(
+        mine_fdm.RK4(),
+        mine_fdm.ThreePointCentralDifferenceMethod(),
+        case["d_t"] * 2,
+        fused_kernels=False,
+    )
+    my_y = PararealOperator(
+        my_f, my_g, tolerance, num_time_slices=1
+    ).solve(my_ivp).discrete_y()
+
+    assert my_y.shape == ref_y.shape
+    assert np.allclose(my_y, ref_y, atol=1e-9)
