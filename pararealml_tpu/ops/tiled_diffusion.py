@@ -491,16 +491,29 @@ def build_tiled_diffusion_rk4_trajectory(
                     + dcv_r * onehot_r
                 )
 
-            def rhs(state):
+            def scaled_update(state, stage_coefficient):
+                """``c * rhs(state)`` with the stage coefficient and the
+                diffusion coefficient folded into every stencil tap, so
+                the stage needs no standalone scaling multiplies."""
+                c = float(stage_coefficient)
+                a0 = np.float32(c * d * float(inv_dx0_sqr))
+                a1 = np.float32(c * d * float(inv_dx1_sqr))
+                a_center = np.float32(c * d * float(center_tap))
+
                 above = roll(state, 1, 0)
                 below = roll(state, tile_h - 1, 0)
                 left = roll(state, 1, 1)
                 right = roll(state, w_pad - 1, 1)
-                lap = (
-                    (above + below) * inv_dx0_sqr
-                    + (left + right) * inv_dx1_sqr
-                    + state * center_tap
-                )
+                if a0 == a1:  # square cells: one combined neighbor sum
+                    lap = (
+                        above + below + left + right
+                    ) * a0 + state * a_center
+                else:
+                    lap = (
+                        (above + below) * a0
+                        + (left + right) * a1
+                        + state * a_center
+                    )
 
                 # Neumann ghost contributions at the boundary rows
                 # (additive; the inward neighbor's tile row is static)
@@ -513,7 +526,7 @@ def build_tiled_diffusion_rk4_trajectory(
                             - two_dx0 * ghost_row_vals[0],
                             0.0,
                         )
-                        return row_lap + ghost * inv_dx0_sqr
+                        return row_lap + ghost * a0
 
                     lap_fixes.append((top_row, top_fix))
                 if has_bottom and ghost_row_present[1]:
@@ -524,7 +537,7 @@ def build_tiled_diffusion_rk4_trajectory(
                             + two_dx0 * ghost_row_vals[1],
                             0.0,
                         )
-                        return row_lap + ghost * inv_dx0_sqr
+                        return row_lap + ghost * a0
 
                     lap_fixes.append((bottom_row, bottom_fix))
                 if lap_fixes:
@@ -539,20 +552,22 @@ def build_tiled_diffusion_rk4_trajectory(
                     lap = (
                         lap
                         + (right * gcm_l - two_dx1 * gcv_l)
-                        * (inv_dx1_sqr * onehot_l)
+                        * (a1 * onehot_l)
                         + (left * gcm_r + two_dx1 * gcv_r)
-                        * (inv_dx1_sqr * onehot_r)
+                        * (a1 * onehot_r)
                     )
-                rhs_value = d_f32 * lap
+                update = lap
 
                 if has_convection:
-                    gradient_0 = (below - above) * inv_two_dx0
+                    cv0 = np.float32(-c * velocity[0] * inv_two_dx0)
+                    gradient_0 = (below - above) * cv0
 
                     def grad_row_fix(face):
                         def fix(row):
                             return jnp.where(
                                 ghost_row_mask[face],
-                                ghost_row_vals[face],
+                                np.float32(-c * velocity[0])
+                                * ghost_row_vals[face],
                                 row,
                             )
 
@@ -564,7 +579,8 @@ def build_tiled_diffusion_rk4_trajectory(
                     if fixes:
                         gradient_0 = _override_rows(gradient_0, fixes)
 
-                    gradient_1 = (right - left) * inv_two_dx1
+                    cv1 = np.float32(-c * velocity[1] * inv_two_dx1)
+                    gradient_1 = (right - left) * cv1
                     if ghost_cols_present:
                         # Neumann stamp on the boundary-column
                         # gradients, rank-1 form
@@ -575,20 +591,20 @@ def build_tiled_diffusion_rk4_trajectory(
                                 - gcm_l * onehot_l
                                 - gcm_r * onehot_r
                             )
-                            + gcv_l * onehot_l
-                            + gcv_r * onehot_r
+                            + np.float32(-c * velocity[1])
+                            * gcv_l
+                            * onehot_l
+                            + np.float32(-c * velocity[1])
+                            * gcv_r
+                            * onehot_r
                         )
 
-                    rhs_value = (
-                        rhs_value
-                        - velocity[0] * gradient_0
-                        - velocity[1] * gradient_1
-                    )
+                    update = update + gradient_0 + gradient_1
 
                 # one multiply re-zeroes padding columns (killing the
                 # lane wrap-around) and, on edge tiles, the
                 # out-of-grid halo rows
-                return rhs_value * rhs_mask
+                return update * rhs_mask
 
             y = tile.astype(dtype)
             if needs_sanitize:
@@ -601,8 +617,10 @@ def build_tiled_diffusion_rk4_trajectory(
             # docstring)
             t = y
             for coefficient in horner_coefficients[:-1]:
-                t = clamp(y + coefficient * rhs(t))
-            result = clamp(y + horner_coefficients[-1] * rhs(t))
+                t = clamp(y + scaled_update(t, coefficient))
+            result = clamp(
+                y + scaled_update(t, horner_coefficients[-1])
+            )
             return result[halo:halo + block].astype(storage_dtype)
 
         def step(k, _):
@@ -618,25 +636,38 @@ def build_tiled_diffusion_rk4_trajectory(
                 in_dma(src_slot, i, buf_slot).wait()
                 result = compute_tile(in_buf[buf_slot], i)
 
-                # the DMAs that used this slot two tiles ago must have
-                # drained before the buffers are overwritten
+                # the DMAs that last used this slot must have drained
+                # before the buffer is overwritten: two tiles ago
+                # within this step, or — for the first two tiles — the
+                # trajectory write still pending from the PREVIOUS
+                # step (trajectory data is never read back, so those
+                # waits are deferred a full step off the critical path;
+                # the state writes were drained at the prior step's
+                # end). The wait descriptor only fixes the transfer
+                # size, which is identical for every (k, i).
                 if i >= 2:
                     state_dma(dst_slot, i - 2, buf_slot).wait()
                     traj_dma(k, i - 2, buf_slot).wait()
+                else:
+                    @pl.when(k > 0)
+                    def _(i=i, buf_slot=buf_slot):
+                        traj_dma(k, i, buf_slot).wait()
 
                 out_state[buf_slot] = result
                 state_dma(dst_slot, i, buf_slot).start()
                 traj_dma(k, i, buf_slot).start()
 
-            # drain the last two tiles' writes before the next step
-            # reads the buffer they wrote
+            # the next step reads the dst state buffer, so its writes
+            # must land before this step returns; the final two
+            # trajectory writes stay pending into the next step
             for i in (n_tiles - 2, n_tiles - 1):
-                slot = i % 2
-                state_dma(dst_slot, i, slot).wait()
-                traj_dma(k, i, slot).wait()
+                state_dma(dst_slot, i, i % 2).wait()
             return 0
 
         jax.lax.fori_loop(0, n_steps, step, 0)
+        # drain the last step's still-pending trajectory writes
+        for i in (n_tiles - 2, n_tiles - 1):
+            traj_dma(n_steps - 1, i, i % 2).wait()
 
     call = pl.pallas_call(
         kernel,
