@@ -394,11 +394,31 @@ def build_fused_diffusion_rk4_trajectory(
     height, width = mesh.vertices_shape
 
     if _padded_cells(mesh.vertices_shape) > _MAX_VMEM_CELLS:
-        # beyond VMEM: the overlapped row-tiling kernel
+        from pararealml_tpu.ops.resident_diffusion import (
+            build_resident_diffusion_rk4_trajectory,
+            make_resident_plan,
+        )
         from pararealml_tpu.ops.tiled_diffusion import (
             build_tiled_diffusion_rk4_trajectory,
+            dirichlet_is_face_only,
         )
 
+        # mid-size grids: VMEM-resident Horner kernel (state never
+        # round-trips through HBM — 3x less traffic than tiled)
+        if (
+            make_resident_plan(*mesh.vertices_shape) is not None
+            and dirichlet_is_face_only(cp)
+        ):
+            return build_resident_diffusion_rk4_trajectory(
+                cp,
+                d_t,
+                n_steps,
+                diffusion_coefficient=diffusion_coefficient,
+                interpret=interpret,
+                storage_dtype=storage_dtype,
+            )
+
+        # beyond VMEM: the overlapped row-tiling kernel
         return build_tiled_diffusion_rk4_trajectory(
             cp,
             d_t,

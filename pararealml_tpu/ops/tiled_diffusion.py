@@ -694,6 +694,11 @@ def build_tiled_diffusion_rk4_trajectory(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        # stage temporaries on wide tiles can push peak stack use just
+        # past the 16 MB default scoped limit; physical VMEM is larger
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )
 
     face_args = (
