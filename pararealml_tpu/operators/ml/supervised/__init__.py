@@ -2,6 +2,9 @@ from pararealml_tpu.operators.ml.deeponet import DeepONet
 from pararealml_tpu.operators.ml.supervised.sklearn_jax_regressor import (
     SKLearnJaxRegressor,
 )
+from pararealml_tpu.operators.ml.supervised.state_operator_regressor import (
+    StateOperatorRidgeRegressor,
+)
 from pararealml_tpu.operators.ml.supervised.supervised_ml_operator import (
     SupervisedMLOperator,
 )
@@ -14,5 +17,6 @@ __all__ = [
     "DeepONet",
     "SKLearnJaxRegressor",
     "SKLearnKerasRegressor",
+    "StateOperatorRidgeRegressor",
     "SupervisedMLOperator",
 ]
