@@ -355,25 +355,38 @@ class PhysicsInformedMLOperator(JaxOperator):
                 mesh, PartitionSpec(None, data_axis)
             )
 
-            def shard_stacked(stacked):
-                # (n_batches, batch_size, ...) leaves shard over the
-                # per-step batch axis; batches whose size does not
-                # divide the device count stay replicated (GSPMD
-                # requires even splits)
+            def shard_stacked(stacked, batch_axis=1):
+                # (n_batches, batch_size, ...) leaves — or, for an
+                # epoch block, (epochs, n_batches, batch_size, ...) —
+                # shard over the per-step batch axis; batches whose
+                # size does not divide the device count stay
+                # replicated (GSPMD requires even splits)
                 def place(leaf):
                     leaf = jnp.asarray(leaf)
                     if (
-                        leaf.ndim >= 2
-                        and leaf.shape[1] % n_data_shards == 0
+                        leaf.ndim > batch_axis
+                        and leaf.shape[batch_axis] % n_data_shards
+                        == 0
                     ):
-                        return jax.device_put(leaf, batch_sharding)
+                        if batch_axis == 1:
+                            return jax.device_put(
+                                leaf, batch_sharding
+                            )
+                        spec = [None] * (batch_axis + 1)
+                        spec[batch_axis] = data_axis
+                        return jax.device_put(
+                            leaf,
+                            NamedSharding(
+                                mesh, PartitionSpec(*spec)
+                            ),
+                        )
                     return jax.device_put(leaf, replicated)
 
                 return jax.tree_util.tree_map(place, stacked)
 
         else:
 
-            def shard_stacked(stacked):
+            def shard_stacked(stacked, batch_axis=1):
                 return stacked
 
         def loss_fn(params, domain_batch, initial_batch, boundary_batch):
@@ -421,9 +434,31 @@ class PhysicsInformedMLOperator(JaxOperator):
             )
             return jax.tree_util.tree_map(jnp.mean, metrics)
 
+        def train_epoch_block(
+            params, opt_state, stacked_block, _epoch=train_epoch
+        ):
+            """A whole block of epochs (leading epoch axis on every
+            ``stacked_block`` leaf) as one compiled program: one
+            dispatch and one host sync per block instead of per epoch,
+            which dominates wall time when the host<->device link is a
+            high-latency tunnel."""
+
+            def epoch(carry, stacked):
+                params, opt_state = carry
+                params, opt_state, metrics = _epoch(
+                    params, opt_state, stacked
+                )
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                epoch, (params, opt_state), stacked_block
+            )
+            return params, opt_state, metrics
+
         if mesh is None:
             train_epoch = jax.jit(train_epoch)
             evaluate_epoch = jax.jit(evaluate_epoch)
+            train_epoch_block = jax.jit(train_epoch_block)
         else:
             # parameters/optimizer state replicated, batches sharded
             # (carried by the device_put placement of `stacked`)
@@ -437,9 +472,89 @@ class PhysicsInformedMLOperator(JaxOperator):
                 in_shardings=(replicated, None),
                 out_shardings=replicated,
             )
+            train_epoch_block = jax.jit(
+                train_epoch_block,
+                in_shardings=(replicated, replicated, None),
+                out_shardings=(replicated, replicated, replicated),
+            )
 
         history: Dict[str, list] = {}
         params = model.params
+
+        # without per-epoch host observers (callbacks, prints), whole
+        # blocks of epochs run as one compiled scan — one dispatch and
+        # one metric sync per block instead of per epoch
+        if not optimization_args.callbacks and not (
+            optimization_args.verbose
+            and optimization_args.verbose != "auto"
+        ):
+            sample = training_iterator.stacked_batches()
+            epoch_bytes = sum(
+                leaf.nbytes
+                for leaf in jax.tree_util.tree_leaves(sample)
+            )
+            max_block = max(
+                1, min(256, (256 << 20) // max(epoch_bytes, 1))
+            )
+            epoch = 0
+            epochs = optimization_args.epochs
+            while epoch < epochs:
+                block = min(max_block, epochs - epoch)
+                if validation_iterator is not None:
+                    frequency = optimization_args.validation_frequency
+                    block = min(
+                        block, frequency - epoch % frequency
+                    )
+                chunk = [sample] + [
+                    training_iterator.stacked_batches()
+                    for _ in range(block - 1)
+                ]
+                sample = None
+                stacked_block = jax.tree_util.tree_map(
+                    lambda *leaves: np.stack(leaves), *chunk
+                )
+                params, opt_state, metrics = train_epoch_block(
+                    params,
+                    opt_state,
+                    shard_stacked(stacked_block, batch_axis=2),
+                )
+                for key, value in metrics.items():
+                    history.setdefault(key, []).extend(
+                        np.asarray(value)
+                    )
+                epoch += block
+                if (
+                    validation_iterator is not None
+                    and epoch % optimization_args.validation_frequency
+                    == 0
+                ):
+                    validation_metrics = evaluate_epoch(
+                        params,
+                        shard_stacked(
+                            validation_iterator.stacked_batches()
+                        ),
+                    )
+                    for key, value in validation_metrics.items():
+                        history.setdefault(f"val_{key}", []).append(
+                            np.asarray(value)
+                        )
+                if epoch < epochs:
+                    sample = training_iterator.stacked_batches()
+            model.params = params
+            self._model = model
+            test_metrics = None
+            if test_iterator is not None:
+                test_metrics = {
+                    key: np.asarray(value)
+                    for key, value in evaluate_epoch(
+                        params,
+                        shard_stacked(
+                            test_iterator.stacked_batches()
+                        ),
+                    ).items()
+                }
+            return history, test_metrics
+
         for epoch in range(optimization_args.epochs):
             stacked = shard_stacked(training_iterator.stacked_batches())
             params, opt_state, metrics = train_epoch(

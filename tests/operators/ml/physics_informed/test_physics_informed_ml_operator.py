@@ -669,3 +669,38 @@ def test_data_parallel_training_matches_single_device():
     np.testing.assert_allclose(
         parallel["loss"], single["loss"], rtol=1e-4
     )
+
+
+def test_epoch_block_path_matches_per_epoch_path():
+    """Without per-epoch host observers, whole blocks of epochs run as
+    one compiled scan; adding a callback forces the per-epoch path.
+    With pinned data and parameter seeds, both must produce the same
+    training history, and the callback must fire once per epoch."""
+
+    def run(callbacks):
+        np.random.seed(42)
+        cp, model_args, data_args = _population_growth_setup()
+        operator = PhysicsInformedMLOperator(SAMPLER, 0.1, True)
+        history, _ = operator.train(
+            cp,
+            (0.0, 1.0),
+            data_args,
+            OptimizationArgs(
+                optimizer=optax.adam(1e-3),
+                epochs=6,
+                verbose=0,
+                seed=11,
+                callbacks=callbacks,
+            ),
+            model_args,
+        )
+        return history
+
+    blocked = run(())
+    seen = []
+    per_epoch = run([lambda epoch, logs: seen.append(epoch)])
+    assert seen == list(range(6))
+    assert len(blocked["loss"]) == 6
+    np.testing.assert_allclose(
+        blocked["loss"], per_epoch["loss"], rtol=1e-6
+    )
