@@ -338,6 +338,124 @@ class DatasetIterator:
             batch for _ in itertools.count(0) for batch in self
         )
 
+    def device_epoch_inputs(self):
+        """The dataset as device-resident arrays plus a jittable epoch
+        builder — the input for whole-training-run compiled programs.
+
+        Returns ``(data, epoch_batches)`` where ``data`` is a pytree of
+        arrays (the four dataset tensors, pre-split into batch columns)
+        and ``epoch_batches(data, key)`` reproduces
+        :meth:`stacked_batches` — one (reshuffled) epoch of
+        Cartesian-product batches with a leading ``n_batches`` axis —
+        entirely on device. Shuffling draws a ``jax.random`` permutation
+        of the Cartesian-product row order per epoch (the host path uses
+        NumPy's global generator; the sample distribution is identical),
+        so a training loop can ``lax.scan`` over per-epoch PRNG keys
+        with zero host work and zero host->device data motion per epoch.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        diff_eq = self._dataset.constrained_problem.differential_equation
+        has_x = bool(diff_eq.x_dimension)
+        n_batches = self._n_batches
+        shuffle = self._shuffle
+        iv_size = self._dataset.initial_value_data.shape[0]
+        domain_size = self._dataset.domain_collocation_data.shape[0]
+        initial_size = self._dataset.initial_collocation_data.shape[0]
+        total_domain = self._total_domain_size
+        total_initial = self._total_initial_size
+        total_boundary = self._total_boundary_size
+        y_dimension = diff_eq.y_dimension
+
+        domain_collocation = self._dataset.domain_collocation_data
+        initial_collocation = self._dataset.initial_collocation_data
+        data = {
+            "iv": jnp.asarray(self._dataset.initial_value_data),
+            "domain_t": jnp.asarray(domain_collocation[:, :1]),
+            "initial_t": jnp.asarray(initial_collocation[:, :1]),
+        }
+        if has_x:
+            data["domain_x"] = jnp.asarray(domain_collocation[:, 1:])
+            data["initial_x"] = jnp.asarray(initial_collocation[:, 1:])
+        if total_boundary:
+            boundary = self._dataset.boundary_collocation_data
+            x_offset = 1
+            y_offset = x_offset + diff_eq.x_dimension
+            d_y_offset = y_offset + y_dimension
+            axis_offset = d_y_offset + y_dimension
+            data["boundary_t"] = jnp.asarray(boundary[:, :x_offset])
+            data["boundary_x"] = jnp.asarray(
+                boundary[:, x_offset:y_offset]
+            )
+            data["boundary_y"] = jnp.asarray(
+                boundary[:, y_offset:d_y_offset]
+            )
+            data["boundary_d_y"] = jnp.asarray(
+                boundary[:, d_y_offset:axis_offset]
+            )
+            data["boundary_axis"] = jnp.asarray(
+                boundary[:, axis_offset].astype(np.int32)
+            )
+            boundary_size = boundary.shape[0]
+
+        def batched_rows(key, total):
+            rows = (
+                jax.random.permutation(key, total)
+                if shuffle
+                else jnp.arange(total)
+            )
+            return rows.reshape(n_batches, total // n_batches)
+
+        def epoch_batches(data, key):
+            k_domain, k_initial, k_boundary = jax.random.split(key, 3)
+
+            rows = batched_rows(k_domain, total_domain)
+            domain = DomainBatch(
+                data["iv"][rows // domain_size],
+                data["domain_t"][rows % domain_size],
+                data["domain_x"][rows % domain_size] if has_x else None,
+            )
+
+            rows = batched_rows(k_initial, total_initial)
+            pair = rows % (iv_size * initial_size)
+            iv_rows = pair // initial_size
+            collocation_rows = pair % initial_size
+            u = data["iv"][iv_rows]
+            if has_x:
+                iv_y = data["iv"].reshape(
+                    iv_size, initial_size, y_dimension
+                )
+                initial = InitialBatch(
+                    u,
+                    data["initial_t"][collocation_rows],
+                    data["initial_x"][collocation_rows],
+                    iv_y[iv_rows, collocation_rows],
+                )
+            else:
+                initial = InitialBatch(
+                    u, data["initial_t"][collocation_rows], None, u
+                )
+
+            if not total_boundary:
+                return domain, initial, None
+            rows = batched_rows(k_boundary, total_boundary)
+            collocation_rows = rows % boundary_size
+            return (
+                domain,
+                initial,
+                BoundaryBatch(
+                    data["iv"][rows // boundary_size],
+                    data["boundary_t"][collocation_rows],
+                    data["boundary_x"][collocation_rows],
+                    data["boundary_y"][collocation_rows],
+                    data["boundary_d_y"][collocation_rows],
+                    data["boundary_axis"][collocation_rows],
+                ),
+            )
+
+        return data, epoch_batches
+
     def stacked_batches(self):
         """All batches of one (reshuffled) epoch stacked with a leading
         ``n_batches`` axis — the input for a jitted ``lax.scan`` over the

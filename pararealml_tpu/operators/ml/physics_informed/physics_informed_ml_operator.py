@@ -114,6 +114,9 @@ class PhysicsInformedMLOperator(JaxOperator):
         self._sampler = sampler
         self._auto_regressive = auto_regressive
         self._model: Optional[PhysicsInformedRegressor] = None
+        # single-slot cache of the jitted training programs, keyed on
+        # (model, optimizer, data signature); see train()
+        self._train_programs: Optional[dict] = None
 
     @property
     def auto_regressive(self) -> bool:
@@ -481,9 +484,139 @@ class PhysicsInformedMLOperator(JaxOperator):
         history: Dict[str, list] = {}
         params = model.params
 
-        # without per-epoch host observers (callbacks, prints), whole
-        # blocks of epochs run as one compiled scan — one dispatch and
-        # one metric sync per block instead of per epoch
+        # without per-epoch host observers (callbacks, prints), the
+        # whole training run compiles into scans over per-epoch PRNG
+        # keys: the dataset lives on device and each epoch's shuffled
+        # Cartesian-product batches are gathered in-program, so a run
+        # costs one dispatch per validation interval (or one total)
+        # with zero per-epoch host work or host->device data motion
+        if (
+            mesh is None
+            and not optimization_args.callbacks
+            and not (
+                optimization_args.verbose
+                and optimization_args.verbose != "auto"
+            )
+        ):
+            device_data, epoch_fn = (
+                training_iterator.device_epoch_inputs()
+            )
+            # compiled programs are cached across train() calls on the
+            # same model/optimizer/data-shape (jax.jit caches on
+            # function identity, and these closures would otherwise be
+            # rebuilt — and recompiled — every call): warmup runs and
+            # repeated retraining pay compilation once
+            signature = (
+                jax.tree_util.tree_map(
+                    lambda leaf: (leaf.shape, leaf.dtype), device_data
+                ),
+                training_iterator.domain_batch_size,
+                training_iterator.initial_batch_size,
+                training_iterator.boundary_batch_size,
+            )
+            cached = self._train_programs
+            if (
+                cached is not None
+                and cached["model"] is model
+                and cached["optimizer"] is optimizer
+                and cached["signature"] == signature
+            ):
+                train_epochs = cached["train_epochs"]
+                evaluate_epoch = cached["evaluate_epoch"]
+            else:
+
+                def train_epochs(
+                    params, opt_state, keys, data, _epoch=train_epoch
+                ):
+                    def epoch(carry, key):
+                        params, opt_state = carry
+                        params, opt_state, metrics = _epoch(
+                            params, opt_state, epoch_fn(data, key)
+                        )
+                        return (params, opt_state), metrics
+
+                    (params, opt_state), metrics = jax.lax.scan(
+                        epoch, (params, opt_state), keys
+                    )
+                    return params, opt_state, metrics
+
+                train_epochs = jax.jit(train_epochs)
+                self._train_programs = {
+                    "model": model,
+                    "optimizer": optimizer,
+                    "signature": signature,
+                    "train_epochs": train_epochs,
+                    "evaluate_epoch": evaluate_epoch,
+                }
+            epochs = optimization_args.epochs
+            keys = jax.random.split(
+                jax.random.fold_in(
+                    jax.random.PRNGKey(optimization_args.seed), 1
+                ),
+                max(epochs, 1),
+            )
+            chunk_len = (
+                optimization_args.validation_frequency
+                if validation_iterator is not None
+                else max(epochs, 1)
+            )
+            validation_stacked = (
+                jax.tree_util.tree_map(
+                    jnp.asarray,
+                    validation_iterator.stacked_batches(),
+                )
+                if validation_iterator is not None
+                else None
+            )
+            metric_chunks = []
+            validation_chunks = []
+            epoch = 0
+            while epoch < epochs:
+                block = min(chunk_len, epochs - epoch)
+                params, opt_state, metrics = train_epochs(
+                    params,
+                    opt_state,
+                    keys[epoch: epoch + block],
+                    device_data,
+                )
+                metric_chunks.append(metrics)
+                epoch += block
+                if (
+                    validation_iterator is not None
+                    and epoch % optimization_args.validation_frequency
+                    == 0
+                ):
+                    validation_chunks.append(
+                        evaluate_epoch(params, validation_stacked)
+                    )
+            # one host sync for the whole run: materialize the metric
+            # history only after every chunk is dispatched
+            for metrics in metric_chunks:
+                for key, value in metrics.items():
+                    history.setdefault(key, []).extend(
+                        np.asarray(value)
+                    )
+            for metrics in validation_chunks:
+                for key, value in metrics.items():
+                    history.setdefault(f"val_{key}", []).append(
+                        np.asarray(value)
+                    )
+            model.params = params
+            self._model = model
+            test_metrics = None
+            if test_iterator is not None:
+                test_metrics = {
+                    key: np.asarray(value)
+                    for key, value in evaluate_epoch(
+                        params, test_iterator.stacked_batches()
+                    ).items()
+                }
+            return history, test_metrics
+
+        # sharded training (a device mesh): epochs are host-stacked in
+        # blocks and the per-step batch axis is sharded over the mesh;
+        # one dispatch and one metric sync per block instead of per
+        # epoch
         if not optimization_args.callbacks and not (
             optimization_args.verbose
             and optimization_args.verbose != "auto"
