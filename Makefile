@@ -20,6 +20,15 @@ format-check:
 test:
 	python -m pytest -v tests/
 
+# the CI-viable subset: skips tests marked slow, parallelized over all
+# cores (the full suite takes ~20 minutes on 8 workers)
+test-fast:
+	python -m pytest -q -n auto -m "not examples and not slow" tests/
+
+# end-to-end smoke runs of every example script (PRML_SMOKE scaling)
+test-examples:
+	python -m pytest -q -n auto -m examples tests/test_examples.py
+
 coverage:
 	python -m pytest --cov=pararealml_tpu --cov-report=xml tests/
 
