@@ -262,19 +262,31 @@ SML_N_SLICES = 100
 SML_MAX_ITERATIONS = 12
 SML_RANK = 128
 SML_PARAMS_PATH = "bench_assets/sml_coarse_diffusion_2d.msgpack"
+SML_RIDGE_PATH = "bench_assets/sml_ridge_diffusion_2d.msgpack"
 
 
 def bench_sml_coarse_parareal(timer, fused_time):
-    """Parareal with a trained supervised-ML coarse operator — the
-    composition the reference exists to study (README.md:9-13): a
-    DeepONet surrogate of the coarse slice jump (linear branch over the
-    flattened state, tanh trunk over mesh coordinates, linear combiner
-    — affine in the state, so the Parareal iteration inherits a stable
-    contraction), trained once on fine-solver trajectories of perturbed
-    initial conditions and composed into the compiled Parareal program.
-    The trained parameters and standardization statistics ride in a
-    committed asset so the benchmark measures inference composition,
-    not training; delete the asset to retrain (adds ~6 minutes)."""
+    """Parareal with trained supervised-ML coarse operators — the
+    composition the reference exists to study (README.md:9-13). Two
+    surrogates of the coarse slice jump, trained on the same
+    fine-solver trajectories of perturbed initial conditions:
+
+    - the headline: a ``StateOperatorRidgeRegressor`` — a closed-form
+      ridge fit of the full affine state-transition operator. The
+      diffusion slice jump IS affine, so the fit is near-exact
+      (slice-jump RMS ~1e-5) and Parareal converges in ONE iteration;
+      inference is a single MXU matvec consumed directly by the
+      log-depth affine-sweep machinery.
+    - secondary: the round-3 DeepONet (linear branch over the
+      flattened state, tanh trunk over mesh coordinates, linear
+      combiner — affine in the state, rank-bounded by its 128-wide
+      trunk, which floors its slice-jump error near 5e-2 and costs ~8
+      Parareal iterations; kept as the neural-surrogate data point).
+
+    Trained parameters ride in committed assets so the benchmark
+    measures inference composition, not training; delete the assets to
+    retrain (DeepONet adds ~6 minutes, the ridge fit seconds plus data
+    generation)."""
     import os
 
     import jax
@@ -388,34 +400,304 @@ def bench_sml_coarse_parareal(timer, fused_time):
         )
     sml.model = model
 
-    parareal = PararealOperator(
-        f,
-        sml,
-        TOLERANCE,
-        num_time_slices=SML_N_SLICES,
-        max_iterations=SML_MAX_ITERATIONS,
+    # the headline: the closed-form ridge fit of the full affine
+    # slice-jump operator, trained on the same kind of data
+    from pararealml_tpu.operators.ml.supervised import (
+        StateOperatorRidgeRegressor,
     )
-    parareal_fn, _ = parareal.trajectory_function(cp, (0.0, T_END))
+
+    ridge_asset = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), SML_RIDGE_PATH
+    )
+    ridge_model = StateOperatorRidgeRegressor(n_y)
+    ridge_sml = SupervisedMLOperator(T_END / SML_N_SLICES, True)
+    if os.path.exists(ridge_asset):
+        ridge_model.load(ridge_asset)
+        log("sml ridge operator: loaded cached fit")
+    else:
+        set_random_seed(SEEDS[0])
+        start = time.perf_counter()
+        ridge_data = ridge_sml.generate_data(
+            ivp,
+            f,
+            12,
+            lambda t, y: y * np.random.uniform(
+                0.9, 1.1, size=y.shape
+            ),
+        )
+        train_mse, test_mse = ridge_sml.fit_model(
+            ridge_model, ridge_data
+        )
+        log(
+            f"sml ridge operator: fitted in "
+            f"{time.perf_counter() - start:.0f}s "
+            f"(MSE train {train_mse:.2e} test {test_mse:.2e})"
+        )
+        os.makedirs(os.path.dirname(ridge_asset), exist_ok=True)
+        ridge_model.save(ridge_asset)
+    ridge_sml.model = ridge_model
+
+    def measure(coarse_operator, label, max_iterations):
+        parareal = PararealOperator(
+            f,
+            coarse_operator,
+            TOLERANCE,
+            num_time_slices=SML_N_SLICES,
+            max_iterations=max_iterations,
+        )
+        parareal_fn, _ = parareal.trajectory_function(
+            cp, (0.0, T_END)
+        )
+
+        def solve(y):
+            return parareal_fn(y, jnp.asarray(0.0, y.dtype))
+
+        diff_fn = jax.jit(
+            lambda y: jnp.max(jnp.abs(solve(y) - fine_fn(y, 0.0)))
+        )
+        max_diff = float(diff_fn(y_0))
+        elapsed = timer.time_chained(solve, y_0, 32)
+        log(
+            f"{label} parareal ({SML_N_SLICES} slices, <= "
+            f"{max_iterations} iterations): {elapsed * 1e3:.2f}ms -> "
+            f"{fused_time / elapsed:.2f}x vs fused fine; max diff vs "
+            f"fine {max_diff:.3e}"
+        )
+        return {
+            "speedup_vs_fused_fine": fused_time / elapsed,
+            "time_s": elapsed,
+            "max_diff_vs_fine": max_diff,
+        }
+
+    ridge = measure(ridge_sml, "sml-ridge-coarse", SML_MAX_ITERATIONS)
+    deeponet = measure(
+        sml, "sml-deeponet-coarse", SML_MAX_ITERATIONS
+    )
+    ridge["deeponet"] = deeponet
+    return ridge
+
+
+def bench_pinn(timer):
+    """Physics-informed (DeepONet) training and inference throughput on
+    the reference's diffusion_1d_physics_informed_ml workload shape
+    (/root/reference/examples/diffusion_1d_physics_informed_ml.py;
+    training loop shape /root/reference/pararealml/operators/ml/
+    physics_informed/physics_informed_ml_operator.py:139-246): 24
+    initial-condition functions x 500 domain collocation points per
+    epoch through an 8x50 branch/trunk DeepONet. Reports training
+    epochs/s, domain-collocation-point residual evaluations/s, the
+    final training loss after the measured window, and the jitted
+    auto-regressive solve latency for the example's 500-step roll-out."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import pararealml_tpu as prml
+    from pararealml_tpu.operators.ml import DeepONet, FNN
+    from pararealml_tpu.operators.ml.physics_informed import (
+        DataArgs,
+        ModelArgs,
+        OptimizationArgs,
+        PhysicsInformedMLOperator,
+        UniformRandomCollocationPointSampler,
+    )
+
+    diff_eq = prml.DiffusionEquation(1, 0.2)
+    mesh = prml.Mesh([(0.0, 1.0)], (0.1,))
+    bcs = [
+        (
+            prml.NeumannBoundaryCondition(
+                lambda x, t: np.zeros((len(x), 1)), is_static=True
+            ),
+        )
+        * 2
+    ]
+    cp = prml.ConstrainedProblem(diff_eq, mesh, bcs)
+    t_interval = (0.0, 0.5)
+    n_ic = 24
+    n_domain = 500
+    training_y_0_functions = [
+        prml.MarginalBetaProductInitialCondition(
+            cp, [[(p, p)]]
+        ).y_0
+        for p in np.linspace(1.2, 5.8, n_ic)
+    ]
+    piml = PhysicsInformedMLOperator(
+        UniformRandomCollocationPointSampler(), 0.001, True
+    )
+    data_args = DataArgs(
+        y_0_functions=training_y_0_functions,
+        n_domain_points=n_domain,
+        n_boundary_points=100,
+        n_batches=1,
+    )
+    model_args = ModelArgs(
+        model=DeepONet(
+            branch_net=FNN([50] * 8),
+            trunk_net=FNN([50] * 8),
+            combiner_net=FNN([diff_eq.y_dimension]),
+            branch_net_input_size=int(
+                np.prod(cp.y_vertices_shape)
+            ),
+        ),
+        ic_loss_weight=10.0,
+    )
+    optimizer = optax.adam(optax.exponential_decay(2e-3, 25, 0.98))
+
+    # warmup: builds the dataset and compiles the epoch program
+    piml.train(
+        cp,
+        t_interval,
+        training_data_args=data_args,
+        optimization_args=OptimizationArgs(
+            optimizer=optimizer, epochs=2, verbose=0
+        ),
+        model_args=model_args,
+    )
+    epochs = 100
+    start = time.perf_counter()
+    history, _ = piml.train(
+        cp,
+        t_interval,
+        training_data_args=data_args,
+        optimization_args=OptimizationArgs(
+            optimizer=optimizer, epochs=epochs, verbose=0
+        ),
+    )
+    jnp.asarray(history["loss"][-1]).block_until_ready()
+    train_elapsed = time.perf_counter() - start
+    epochs_per_s = epochs / train_elapsed
+    points_per_s = epochs_per_s * n_ic * n_domain
+    final_loss = float(np.asarray(history["loss"][-1]))
+
+    ic = prml.MarginalBetaProductInitialCondition(cp, [[(3.5, 3.5)]])
+    ivp = prml.InitialValueProblem(cp, t_interval, ic)
+    y_0 = jnp.asarray(ivp.initial_condition.discrete_y_0(True))
+    solve_fn, _ = piml.trajectory_function(cp, t_interval)
 
     def solve(y):
-        return parareal_fn(y, jnp.asarray(0.0, y.dtype))
+        return solve_fn(y, jnp.asarray(0.0, y.dtype))
 
-    diff_fn = jax.jit(
-        lambda y: jnp.max(jnp.abs(solve(y) - fine_fn(y, 0.0)))
-    )
-    max_diff = float(diff_fn(y_0))
-    elapsed = timer.time_chained(solve, y_0, 32)
+    solve_time = timer.time_chained(solve, y_0, 32)
+    n_steps = round((t_interval[1] - t_interval[0]) / piml.d_t)
     log(
-        f"sml-coarse parareal ({SML_N_SLICES} slices, <= "
-        f"{SML_MAX_ITERATIONS} iterations): {elapsed * 1e3:.2f}ms -> "
-        f"{fused_time / elapsed:.2f}x vs fused fine; max diff vs fine "
-        f"{max_diff:.3e}"
+        f"pinn (diffusion_1d deeponet): {epochs_per_s:.1f} training "
+        f"epochs/s ({points_per_s:.3g} domain-residual points/s, "
+        f"loss {final_loss:.3e} after {epochs + 2} epochs), "
+        f"{n_steps}-step solve {solve_time * 1e3:.2f}ms"
     )
     return {
-        "speedup_vs_fused_fine": fused_time / elapsed,
-        "time_s": elapsed,
-        "max_diff_vs_fine": max_diff,
+        "train_epochs_per_s": epochs_per_s,
+        "train_domain_points_per_s": points_per_s,
+        "train_loss": final_loss,
+        "solve_time_s": solve_time,
+        "solve_steps": n_steps,
     }
+
+
+def bench_fcf(timer):
+    """Classic vs FCF Parareal relaxation, iterations-to-tolerance and
+    wall time, on a configuration where the correction schedule is the
+    deciding factor: a Crank-Nicolson coarse operator at d_t = 0.5 —
+    A-stable but badly inaccurate (its amplification of the grid's
+    stiff modes approaches -1, so slice jumps carry large oscillatory
+    errors). Measured on this config (f32): classic Parareal's
+    corrections transiently AMPLIFY the oscillatory error (max diff
+    grows past 1e3) and only the k = n exactness property rescues it
+    at 8 iterations, while FCF's extra fine sweep damps each
+    correction before the next coarse sweep and reaches tolerance in
+    3. Two caveats the study makes explicit rather than hiding: with a
+    strongly dissipative coarse operator (backward Euler at the same
+    step) FCF stagnates below the termination threshold while still
+    ~1.7 off the fine solution, and with an unstable coarse operator
+    FCF's 2-slices-per-iteration exactness holds in f64 (converges in
+    ONE iteration where classic needs 7) but is destroyed by amplified
+    rounding in f32. Iteration counts are found by stepping
+    ``max_iterations`` until the result stops changing (the compiled
+    program early-exits on the shared RMS termination criterion)."""
+    import jax
+    import jax.numpy as jnp
+
+    import pararealml_tpu as prml
+    from pararealml_tpu.operators.fdm import (
+        CrankNicolsonMethod,
+        FDMOperator,
+        RK4,
+        ThreePointCentralDifferenceMethod,
+    )
+    from pararealml_tpu.operators.parareal import PararealOperator
+
+    t_end = 4.0
+    ivp = build_problem(vars(prml), t_end)
+    cp = ivp.constrained_problem
+    y_0 = jnp.asarray(ivp.initial_condition.discrete_y_0(True))
+    f = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), FINE_D_T
+    )
+    g = FDMOperator(
+        CrankNicolsonMethod(), ThreePointCentralDifferenceMethod(), 0.5
+    )
+    n_slices = 8
+    tolerance = 0.01
+    fine_fn = jax.jit(
+        f.trajectory_function(cp, (0.0, t_end), allow_fused=False)[0]
+    )
+    fine_ref = fine_fn(y_0, 0.0)
+
+    results = {}
+    for relaxation in ("f", "fcf"):
+        diffs = []
+        for k in range(1, n_slices + 1):
+            p = PararealOperator(
+                f,
+                g,
+                tolerance,
+                num_time_slices=n_slices,
+                max_iterations=k,
+                relaxation=relaxation,
+            )
+            fn, _ = p.trajectory_function(cp, (0.0, t_end))
+            diffs.append(
+                float(
+                    jnp.max(
+                        jnp.abs(
+                            fn(y_0, jnp.asarray(0.0, y_0.dtype))
+                            - fine_ref
+                        )
+                    )
+                )
+            )
+            if len(diffs) > 1 and diffs[-1] == diffs[-2]:
+                break
+        converged_early = len(diffs) > 1 and diffs[-1] == diffs[-2]
+        iterations = (
+            len(diffs) - 1 if converged_early else len(diffs)
+        )
+        p = PararealOperator(
+            f,
+            g,
+            tolerance,
+            num_time_slices=n_slices,
+            max_iterations=n_slices,
+            relaxation=relaxation,
+        )
+        fn, _ = p.trajectory_function(cp, (0.0, t_end))
+
+        def solve(y):
+            return fn(y, jnp.asarray(0.0, y.dtype))
+
+        elapsed = timer.time_chained(solve, y_0, 32)
+        results[relaxation] = {
+            "iterations_to_tolerance": iterations,
+            "time_s": elapsed,
+            "max_diff_vs_fine": diffs[-1],
+        }
+        log(
+            f"fcf-study {relaxation}: converged in {iterations} "
+            f"iterations, {elapsed * 1e3:.2f}ms, max diff "
+            f"{diffs[-1]:.3e}"
+        )
+    return results
 
 
 def measure_device_profile(fn, *args):
@@ -481,8 +763,23 @@ def measure_device_profile(fn, *args):
 
 
 def bench_large_grid(timer):
-    """Fused tiled kernel (f32 and bf16 HBM storage) vs generic path at
-    641x641, with achieved HBM traffic vs peak."""
+    """Fused kernel (f32 and bf16 trajectory storage) vs generic path
+    at 641x641, with HBM traffic accounting.
+
+    Since round 4 this grid takes the VMEM-resident kernel
+    (ops/resident_diffusion.py): the state never round-trips through
+    HBM, so the only DMA traffic is the per-step trajectory write and
+    the kernel is bound by VPU compute, not bandwidth. Two bandwidth
+    figures are reported: ``hbm_peak_fraction`` keeps round 3's
+    streaming-kernel traffic model (halo'd read + state write + traj
+    write per step) as the series-comparable EFFECTIVE bandwidth — the
+    rate a streaming kernel would need to match the measured wall time
+    — and ``actual_dma_*`` carries the honest traffic the resident
+    kernel really moves. bf16 trajectory storage costs no wall time in
+    this compute-bound regime (Mosaic has no sub-32-bit VPU rotates,
+    so compute stays f32 either way); its value is the error: rounding
+    only the stored snapshots collapses the round-3 accumulated bf16
+    drift (2.3e-2) to a single rounding (~2e-3)."""
     import jax
     import jax.numpy as jnp
 
@@ -491,6 +788,9 @@ def bench_large_grid(timer):
         FDMOperator,
         RK4,
         ThreePointCentralDifferenceMethod,
+    )
+    from pararealml_tpu.ops.resident_diffusion import (
+        make_resident_plan,
     )
     from pararealml_tpu.ops.tiled_diffusion import make_tile_plan
 
@@ -525,8 +825,12 @@ def bench_large_grid(timer):
     bf16_scalar = jax.jit(lambda y: jnp.sum(bf16_fn(y, 0.0)[-1]))
     generic_scalar = jax.jit(lambda y: jnp.sum(generic_fn(y, 0.0)[-1]))
 
-    fused_time = timer.time(fused_scalar, y_0)
-    bf16_time = timer.time(bf16_scalar, y_0)
+    # chained windows amortize the tunnel's noisy ~25-35 ms host
+    # round-trip, which is the same order as the ~24 ms solve
+    fused_time = timer.time_chained(
+        lambda y: fused_fn(y, 0.0), y_0, 8
+    )
+    bf16_time = timer.time_chained(lambda y: bf16_fn(y, 0.0), y_0, 8)
     generic_time = timer.time(generic_scalar, y_0)
     bf16_err_fn = jax.jit(
         lambda y: jnp.max(jnp.abs(bf16_fn(y, 0.0)[-1] - fused_fn(y, 0.0)[-1]))
@@ -536,21 +840,38 @@ def bench_large_grid(timer):
 
     def modeled_gb_s(elapsed, sublane, bytes_per):
         plan = make_tile_plan(n, n, sublane)
-        # modeled tiled-kernel traffic: halo'd read + state write +
-        # traj write per step
+        # round 3's streaming-kernel traffic model: halo'd read +
+        # state write + traj write per step (the EFFECTIVE bandwidth a
+        # streaming kernel would need to match this wall time)
         traffic = steps * n * n * bytes_per * (
             plan.tile_h / plan.block + 2.0
         )
         return traffic / elapsed / 1e9
 
+    resident_plan = make_resident_plan(n, n)
+
+    def actual_dma_gb_s(elapsed, bytes_per):
+        # the resident kernel's real traffic: one padded-grid
+        # trajectory write per step (plus one initial-state read)
+        cells = (
+            resident_plan.h_pad * resident_plan.w_pad
+            if resident_plan is not None
+            else n * n
+        )
+        return (steps + 1) * cells * bytes_per / elapsed / 1e9
+
     achieved_gb_s = modeled_gb_s(fused_time, 8, 4)
     bf16_gb_s = modeled_gb_s(bf16_time, 16, 2)
+    actual_gb_s = actual_dma_gb_s(fused_time, 4)
     log(
-        f"large grid {n}x{n}, {steps} steps: fused f32 "
-        f"{fused_time:.3f}s ({achieved_gb_s:.0f} GB/s, "
-        f"{achieved_gb_s / V5E_HBM_PEAK_GB_S:.1%} of v5e peak), "
-        f"bf16 {bf16_time:.3f}s ({bf16_gb_s:.0f} GB/s, "
-        f"{fused_time / bf16_time:.2f}x over f32, last-step rel err "
+        f"large grid {n}x{n}, {steps} steps (VMEM-resident kernel): "
+        f"fused f32 {fused_time:.3f}s (effective "
+        f"{achieved_gb_s:.0f} GB/s = "
+        f"{achieved_gb_s / V5E_HBM_PEAK_GB_S:.1%} of v5e peak over the "
+        "round-3 streaming traffic model; actual DMA "
+        f"{actual_gb_s:.0f} GB/s - compute-bound), "
+        f"bf16 snapshots {bf16_time:.3f}s "
+        f"({fused_time / bf16_time:.2f}x over f32, last-step rel err "
         f"{bf16_rel_err:.1e}), generic {generic_time:.3f}s "
         f"-> {generic_time / fused_time:.2f}x"
     )
@@ -558,6 +879,7 @@ def bench_large_grid(timer):
     # measured (profiler-trace) on-device figures alongside the model
     profile = measure_device_profile(fused_scalar, y_0)
     measured_kernel_gb_s = None
+    measured_actual_dma_gb_s = None
     if profile is not None:
         plan = make_tile_plan(n, n, 8)
         kernel_traffic = steps * n * n * 4 * (
@@ -565,6 +887,9 @@ def bench_large_grid(timer):
         )
         measured_kernel_gb_s = (
             kernel_traffic / profile["kernel_device_s"] / 1e9
+        )
+        measured_actual_dma_gb_s = actual_dma_gb_s(
+            profile["kernel_device_s"], 4
         )
         epilogue_gb_s = profile["epilogue_copy_gb_s"]
         # the round-3 wrapper reordering (reshape the contiguous kernel
@@ -602,6 +927,14 @@ def bench_large_grid(timer):
         "fused_speedup_vs_generic": generic_time / fused_time,
         "achieved_hbm_gb_s": achieved_gb_s,
         "hbm_peak_fraction": achieved_gb_s / V5E_HBM_PEAK_GB_S,
+        "actual_dma_gb_s": actual_gb_s,
+        "actual_dma_peak_fraction": actual_gb_s / V5E_HBM_PEAK_GB_S,
+        "kernel_regime": (
+            "vmem_resident_compute_bound"
+            if resident_plan is not None
+            else "hbm_streaming"
+        ),
+        "measured_actual_dma_gb_s": measured_actual_dma_gb_s,
         "fused_time_s": fused_time,
         "bf16_time_s": bf16_time,
         "bf16_speedup_vs_f32": fused_time / bf16_time,
@@ -769,6 +1102,8 @@ def main():
     )
     large = bench_large_grid(timer)
     burgers_3d = bench_3d(timer)
+    pinn = bench_pinn(timer)
+    fcf = bench_fcf(timer)
     ref_time = bench_reference_fine()
 
     extra = {
@@ -799,6 +1134,15 @@ def main():
         "sml_coarse_parareal_max_diff_vs_fine": sml[
             "max_diff_vs_fine"
         ],
+        "sml_deeponet_parareal_speedup": round(
+            sml["deeponet"]["speedup_vs_fused_fine"], 3
+        ),
+        "sml_deeponet_parareal_time_s": round(
+            sml["deeponet"]["time_s"], 5
+        ),
+        "sml_deeponet_parareal_max_diff_vs_fine": sml["deeponet"][
+            "max_diff_vs_fine"
+        ],
         "large_grid_fused_speedup_vs_generic": round(
             large["fused_speedup_vs_generic"], 3
         ),
@@ -808,6 +1152,13 @@ def main():
         "large_grid_hbm_peak_fraction": round(
             large["hbm_peak_fraction"], 4
         ),
+        "large_grid_actual_dma_gb_s": round(
+            large["actual_dma_gb_s"], 1
+        ),
+        "large_grid_actual_dma_peak_fraction": round(
+            large["actual_dma_peak_fraction"], 4
+        ),
+        "large_grid_kernel_regime": large["kernel_regime"],
         "large_grid_bf16_speedup_vs_f32": round(
             large["bf16_speedup_vs_f32"], 3
         ),
@@ -823,12 +1174,32 @@ def main():
             if large["measured_kernel_hbm_gb_s"]
             else None
         ),
+        "large_grid_measured_actual_dma_gb_s": (
+            round(large["measured_actual_dma_gb_s"], 1)
+            if large["measured_actual_dma_gb_s"]
+            else None
+        ),
         "large_grid_measured_epilogue_copy_gb_s": (
             round(large["measured_epilogue_copy_gb_s"], 1)
             if large["measured_epilogue_copy_gb_s"]
             else None
         ),
         "burgers_3d_fused_speedup_vs_generic": round(burgers_3d, 3),
+        "pinn_train_epochs_per_s": round(
+            pinn["train_epochs_per_s"], 2
+        ),
+        "pinn_train_domain_points_per_s": round(
+            pinn["train_domain_points_per_s"], 1
+        ),
+        "pinn_train_loss": pinn["train_loss"],
+        "pinn_solve_time_s": round(pinn["solve_time_s"], 5),
+        "pinn_solve_steps": pinn["solve_steps"],
+        "fcf_classic_iterations": fcf["f"][
+            "iterations_to_tolerance"
+        ],
+        "fcf_classic_time_s": round(fcf["f"]["time_s"], 5),
+        "fcf_fcf_iterations": fcf["fcf"]["iterations_to_tolerance"],
+        "fcf_fcf_time_s": round(fcf["fcf"]["time_s"], 5),
     }
     # the headline is the faster of the two measured decompositions;
     # since the log-depth trajectory expansion, that is usually the
