@@ -34,163 +34,176 @@ class InitialCondition:
         raise NotImplementedError
 
     def discrete_y_0(
-        self, vertex_oriented: Optional[bool] = None
+        self, vertex_oriented: Optional[bool] = None,
     ) -> np.ndarray:
         """The initial values discretized on the vertices or cell centers
         of the mesh."""
         raise NotImplementedError
 
 
-def _apply_static_y_constraints(cp: ConstrainedProblem, y: np.ndarray):
-    constraint = cp.static_y_vertex_constraints
+def _constrain_vertex_values(
+    problem: ConstrainedProblem, values: np.ndarray
+) -> np.ndarray:
+    constraint = problem.static_y_vertex_constraints
     if constraint is None:
-        return y
-    return np.asarray(constraint.apply(y))
+        return values
+    return np.asarray(constraint.apply(values))
 
 
 class DiscreteInitialCondition(InitialCondition):
     """An initial condition given by an array over the mesh points."""
 
     def __init__(
-        self,
-        cp: ConstrainedProblem,
-        y_0: np.ndarray,
+        self, cp: ConstrainedProblem, y_0: np.ndarray,
         vertex_oriented: Optional[bool] = None,
         interpolation_method: str = "linear",
     ):
-        if cp.differential_equation.x_dimension and vertex_oriented is None:
-            raise ValueError("vertex orientation must be defined for PDEs")
-        y_0 = np.asarray(y_0, dtype=float)
-        if y_0.shape != cp.y_shape(vertex_oriented):
-            raise ValueError(
-                f"discrete initial value shape {y_0.shape} must match "
-                "constrained problem solution shape "
-                f"{cp.y_shape(vertex_oriented)}"
+        if cp.differential_equation.x_dimension \
+                and vertex_oriented is None:
+            message = (
+                "PDE initial conditions require an explicit vertex "
+                "orientation"
             )
+            raise ValueError(message)
+        values = np.asarray(y_0, dtype=float)
+        expected = cp.y_shape(vertex_oriented)
+        if values.shape != expected:
+            message = (
+                f"initial value array of shape {values.shape} does not "
+                f"fit the problem's {expected} grid"
+            )
+            raise ValueError(message)
 
-        self._cp = cp
-        self._vertex_oriented = vertex_oriented
-        self._interpolation_method = interpolation_method
-        y_0 = np.copy(y_0)
+        self._problem = cp
+        self._on_vertices = vertex_oriented
+        self._method = interpolation_method
+        values = values.copy()
         if vertex_oriented:
-            y_0 = _apply_static_y_constraints(cp, y_0)
-        self._y_0 = y_0
+            values = _constrain_vertex_values(cp, values)
+        self._values = values
 
     def y_0(self, x: Optional[np.ndarray]) -> np.ndarray:
-        if not self._cp.differential_equation.x_dimension:
-            return np.copy(self._y_0)
+        if not self._problem.differential_equation.x_dimension:
+            return self._values.copy()
 
         from pararealml_tpu.interpolation import grid_interpolate
 
         return np.asarray(
             grid_interpolate(
-                self._y_0,
-                self._cp.mesh.axis_coordinates(self._vertex_oriented),
+                self._values,
+                self._problem.mesh.axis_coordinates(self._on_vertices),
                 np.asarray(x),
-                method=self._interpolation_method,
+                method=self._method,
             )
         )
 
     def discrete_y_0(
-        self, vertex_oriented: Optional[bool] = None
+        self, vertex_oriented: Optional[bool] = None,
     ) -> np.ndarray:
         if vertex_oriented is None:
-            vertex_oriented = self._vertex_oriented
-        if (
-            not self._cp.differential_equation.x_dimension
-            or vertex_oriented == self._vertex_oriented
-        ):
-            return np.copy(self._y_0)
+            vertex_oriented = self._on_vertices
+        same_grid = (
+            vertex_oriented == self._on_vertices
+            or not self._problem.differential_equation.x_dimension
+        )
+        if same_grid:
+            return self._values.copy()
 
         resampled = self.y_0(
-            self._cp.mesh.all_index_coordinates(vertex_oriented)
+            self._problem.mesh.all_index_coordinates(vertex_oriented)
         )
         if vertex_oriented:
-            resampled = _apply_static_y_constraints(self._cp, resampled)
+            resampled = _constrain_vertex_values(self._problem, resampled)
         return resampled
 
 
 class ConstantInitialCondition(DiscreteInitialCondition):
     """An initial condition constant in space per y component."""
 
-    def __init__(self, cp: ConstrainedProblem, constant_y_0s: Sequence[float]):
-        y_dim = cp.differential_equation.y_dimension
-        if len(constant_y_0s) != y_dim:
-            raise ValueError(
-                f"length of constant y0 values ({len(constant_y_0s)}) must "
-                f"match number of y components ({y_dim})"
+    def __init__(
+        self, cp: ConstrainedProblem, constant_y_0s: Sequence[float]
+    ):
+        n_components = cp.differential_equation.y_dimension
+        if len(constant_y_0s) != n_components:
+            message = (
+                f"one constant is needed per y component "
+                f"({n_components}), got {len(constant_y_0s)}"
             )
-        y_0 = np.broadcast_to(
+            raise ValueError(message)
+        values = np.broadcast_to(
             np.array(constant_y_0s, dtype=float), cp.y_shape(True)
         ).copy()
-        super().__init__(cp, y_0, True)
+        super().__init__(cp, values, True)
 
 
 class ContinuousInitialCondition(InitialCondition):
     """An initial condition defined by a vectorized function of x."""
 
     def __init__(
-        self,
-        cp: ConstrainedProblem,
+        self, cp: ConstrainedProblem,
         y_0_func: VectorizedInitialConditionFunction,
         multipliers: Optional[Sequence[float]] = None,
     ):
-        diff_eq = cp.differential_equation
-        if multipliers is not None:
-            if len(multipliers) != diff_eq.y_dimension:
-                raise ValueError(
-                    f"length of multipliers ({len(multipliers)}) must "
-                    "match number of y dimensions "
-                    f"({diff_eq.y_dimension})"
-                )
-            self._multipliers = np.array(multipliers, dtype=float)
+        n_components = cp.differential_equation.y_dimension
+        if multipliers is None:
+            self._multipliers = np.ones(n_components)
         else:
-            self._multipliers = np.ones(diff_eq.y_dimension)
+            if len(multipliers) != n_components:
+                message = (
+                    f"one multiplier is needed per y component "
+                    f"({n_components}), got {len(multipliers)}"
+                )
+                raise ValueError(message)
+            self._multipliers = np.array(multipliers, dtype=float)
 
-        self._cp = cp
-        self._y_0_func = y_0_func
-        self._discrete_y_0_vertices = self._discretize(True)
-        self._discrete_y_0_cells = self._discretize(False)
+        self._problem = cp
+        self._function = y_0_func
+        self._vertex_values = self._discretize(True)
+        self._cell_values = self._discretize(False)
 
     def y_0(self, x: Optional[np.ndarray]) -> np.ndarray:
-        return np.multiply(self._y_0_func(x), self._multipliers)
+        return np.multiply(self._function(x), self._multipliers)
 
     def discrete_y_0(
-        self, vertex_oriented: Optional[bool] = None
+        self, vertex_oriented: Optional[bool] = None,
     ) -> np.ndarray:
-        return np.copy(
-            self._discrete_y_0_vertices
-            if vertex_oriented
-            else self._discrete_y_0_cells
-        )
+        if vertex_oriented:
+            return self._vertex_values.copy()
+        return self._cell_values.copy()
 
     def _discretize(self, vertex_oriented: bool) -> np.ndarray:
-        diff_eq = self._cp.differential_equation
-        if not diff_eq.x_dimension:
-            y_0 = np.asarray(self.y_0(None), dtype=float)
-            if y_0.shape != self._cp.y_shape():
-                raise ValueError(
-                    "expected initial condition function output shape to "
-                    f"be {self._cp.y_shape()} but got {y_0.shape}"
+        problem = self._problem
+        equation = problem.differential_equation
+        if not equation.x_dimension:
+            values = np.asarray(self.y_0(None), dtype=float)
+            if values.shape != problem.y_shape():
+                message = (
+                    f"the initial condition function returned shape "
+                    f"{values.shape} instead of {problem.y_shape()}"
                 )
-            return y_0
+                raise ValueError(message)
+            return values
 
-        x = self._cp.mesh.all_index_coordinates(vertex_oriented, flatten=True)
-        y_0 = np.asarray(self.y_0(x), dtype=float)
-        if y_0.shape != (len(x), diff_eq.y_dimension):
-            raise ValueError(
-                "expected initial condition function output shape to be "
-                f"{(len(x), diff_eq.y_dimension)} but got {y_0.shape}"
+        points = problem.mesh.all_index_coordinates(
+            vertex_oriented, flatten=True
+        )
+        values = np.asarray(self.y_0(points), dtype=float)
+        flat_shape = (len(points), equation.y_dimension)
+        if values.shape != flat_shape:
+            message = (
+                f"the initial condition function returned shape "
+                f"{values.shape} instead of {flat_shape}"
             )
-        y_0 = y_0.reshape(self._cp.y_shape(vertex_oriented))
+            raise ValueError(message)
+        values = values.reshape(problem.y_shape(vertex_oriented))
         if vertex_oriented:
-            y_0 = _apply_static_y_constraints(self._cp, y_0)
-        return y_0
+            values = _constrain_vertex_values(problem, values)
+        return values
 
     def _to_cartesian(self, x: np.ndarray) -> np.ndarray:
         cartesian = to_cartesian_coordinates(
-            [x[:, i] for i in range(x.shape[1])],
-            self._cp.mesh.coordinate_system_type,
+            [column for column in x.T],
+            self._problem.mesh.coordinate_system_type,
         )
         return np.stack(cartesian, axis=-1)
 
@@ -200,32 +213,36 @@ class GaussianInitialCondition(ContinuousInitialCondition):
     component, evaluated in Cartesian coordinates."""
 
     def __init__(
-        self,
-        cp: ConstrainedProblem,
+        self, cp: ConstrainedProblem,
         means_and_covs: Sequence[Tuple[np.ndarray, np.ndarray]],
         multipliers: Optional[Sequence[float]] = None,
     ):
-        diff_eq = cp.differential_equation
-        if not diff_eq.x_dimension:
-            raise ValueError("constrained problem must be a PDE")
-        if len(means_and_covs) != diff_eq.y_dimension:
-            raise ValueError(
-                f"number of means and covariances ({len(means_and_covs)}) "
-                "must match number of y dimensions "
-                f"({diff_eq.y_dimension})"
+        equation = cp.differential_equation
+        x_dim = equation.x_dimension
+        if not x_dim:
+            message = (
+                "Gaussian initial conditions are only defined for PDEs"
             )
-        x_dim = diff_eq.x_dimension
+            raise ValueError(message)
+        if len(means_and_covs) != equation.y_dimension:
+            message = (
+                f"one (mean, covariance) pair is needed per y component "
+                f"({equation.y_dimension}), got {len(means_and_covs)}"
+            )
+            raise ValueError(message)
         for mean, cov in means_and_covs:
             if mean.shape != (x_dim,):
-                raise ValueError(
-                    f"expected mean shape to be {(x_dim,)} but got "
-                    f"{mean.shape}"
+                message = (
+                    f"mean of shape {mean.shape} does not fit the "
+                    f"{x_dim}-dimensional domain"
                 )
+                raise ValueError(message)
             if cov.shape != (x_dim, x_dim):
-                raise ValueError(
-                    f"expected covariance shape to be {(x_dim, x_dim)} but "
-                    f"got {cov.shape}"
+                message = (
+                    f"covariance of shape {cov.shape} does not fit the "
+                    f"{x_dim}-dimensional domain"
                 )
+                raise ValueError(message)
 
         self._means_and_covs = deepcopy(means_and_covs)
         super().__init__(cp, self._gaussian_y_0, multipliers)
@@ -244,27 +261,27 @@ class MarginalBetaProductInitialCondition(ContinuousInitialCondition):
     per-axis Beta PDFs evaluated in Cartesian coordinates."""
 
     def __init__(
-        self,
-        cp: ConstrainedProblem,
+        self, cp: ConstrainedProblem,
         all_alphas_and_betas: Sequence[Sequence[Tuple[float, float]]],
         multipliers: Optional[Sequence[float]] = None,
     ):
-        diff_eq = cp.differential_equation
-        if len(all_alphas_and_betas) != diff_eq.y_dimension:
-            raise ValueError(
-                "number of alphas and betas sequences "
-                f"({len(all_alphas_and_betas)}) must match the number of "
-                f"y dimensions ({diff_eq.y_dimension})"
+        equation = cp.differential_equation
+        if len(all_alphas_and_betas) != equation.y_dimension:
+            message = (
+                f"one (alpha, beta) parameter sequence is needed per y "
+                f"component ({equation.y_dimension}), got "
+                f"{len(all_alphas_and_betas)}"
             )
+            raise ValueError(message)
         if any(
-            len(params) != diff_eq.x_dimension
+            len(params) != equation.x_dimension
             for params in all_alphas_and_betas
         ):
-            raise ValueError(
-                "all sequences of alphas and betas must have same length "
-                "as number of spatial dimensions "
-                f"({diff_eq.x_dimension})"
+            message = (
+                f"each (alpha, beta) parameter sequence needs one entry "
+                f"per spatial axis ({equation.x_dimension})"
             )
+            raise ValueError(message)
 
         self._all_alphas_and_betas = deepcopy(all_alphas_and_betas)
         super().__init__(cp, self._beta_y_0, multipliers)

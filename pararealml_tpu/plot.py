@@ -31,9 +31,10 @@ from pararealml_tpu.mesh import CoordinateSystem, Mesh
 
 def _require_trajectory_rank(y: np.ndarray, rank: int):
     if y.ndim != rank:
-        raise ValueError(
+        message = (
             f"trajectory array must have {rank} axes, got {y.ndim}"
         )
+        raise ValueError(message)
 
 
 def _require_field(
@@ -56,28 +57,32 @@ def _require_field(
         lo, hi = spatial_dimensions
     if not lo <= mesh.dimensions <= hi:
         supported = str(lo) if lo == hi else f"{lo} to {hi}"
-        raise ValueError(
+        message = (
             f"this plot supports {supported}-dimensional meshes, got "
             f"{mesh.dimensions}"
         )
+        raise ValueError(message)
     grid_shape = mesh.shape(vertex_oriented)
     expected_rank = len(grid_shape) + 2
     if y.ndim != expected_rank:
-        raise ValueError(
+        message = (
             f"field array must have {expected_rank} axes "
             f"(time, {len(grid_shape)} spatial, components), got {y.ndim}"
         )
+        raise ValueError(message)
     if tuple(y.shape[1:-1]) != tuple(grid_shape):
-        raise ValueError(
+        message = (
             f"field spatial extents {y.shape[1:-1]} do not match the "
             f"mesh grid {tuple(grid_shape)}"
         )
+        raise ValueError(message)
     required = mesh.dimensions if components is None else components
     if y.shape[-1] != required:
-        raise ValueError(
+        message = (
             f"field must have {required} component(s) per point, got "
             f"{y.shape[-1]}"
         )
+        raise ValueError(message)
 
 
 def _value_range(
@@ -104,8 +109,7 @@ class Plot:
         return self
 
     def save(
-        self,
-        file_path: str,
+        self, file_path: str,
         extension: Optional[str] = None,
         **kwargs,
     ) -> "Plot":
@@ -134,8 +138,7 @@ class AnimatedPlot(Plot):
     _default_save_extension = "gif"
 
     def __init__(
-        self,
-        figure: Figure,
+        self, figure: Figure,
         n_time_steps: int,
         n_frames: int,
         interval: int,
@@ -168,22 +171,23 @@ class TimePlot(Plot):
     """Line plot of each solution component against time (ODEs)."""
 
     def __init__(
-        self,
-        y: np.ndarray,
+        self, y: np.ndarray,
         t: np.ndarray,
         legend_location: Optional[str] = None,
         **_,
     ):
         _require_trajectory_rank(y, 2)
         if t.ndim != 1:
-            raise ValueError(
+            message = (
                 f"time coordinates must be a 1D array, got {t.ndim} axes"
             )
+            raise ValueError(message)
         if len(t) != y.shape[0]:
-            raise ValueError(
+            message = (
                 f"trajectory length ({y.shape[0]}) and time coordinate "
                 f"count ({len(t)}) disagree"
             )
+            raise ValueError(message)
 
         figure, axes = plt.subplots()
         for index, component in enumerate(y.T):
@@ -204,10 +208,11 @@ class PhaseSpacePlot(Plot):
         _require_trajectory_rank(y, 2)
         components = y.shape[1]
         if components not in (2, 3):
-            raise ValueError(
+            message = (
                 "phase-space plots need a 2- or 3-component system, got "
                 f"{components} components"
             )
+            raise ValueError(message)
 
         figure = plt.figure()
         if components == 2:
@@ -230,11 +235,9 @@ class NBodyPlot(AnimatedPlot):
     dark background."""
 
     def __init__(
-        self,
-        y: np.ndarray,
+        self, y: np.ndarray,
         diff_eq: NBodyGravitationalEquation,
-        n_frames: int = 100,
-        interval: int = 100,
+        n_frames: int = 100, interval: int = 100,
         color_map: Colormap = cm.cividis,
         smallest_marker_size: float = 10.0,
         draw_trajectory: bool = True,
@@ -245,10 +248,11 @@ class NBodyPlot(AnimatedPlot):
     ):
         _require_trajectory_rank(y, 2)
         if y.shape[1] != diff_eq.y_dimension:
-            raise ValueError(
+            message = (
                 f"trajectory has {y.shape[1]} state components but the "
                 f"equation defines {diff_eq.y_dimension}"
             )
+            raise ValueError(message)
 
         spatial = diff_eq.spatial_dimension
         n_bodies = diff_eq.n_objects
@@ -351,14 +355,10 @@ class SpaceLinePlot(AnimatedPlot):
     """Animated profile of a 1D PDE scalar field."""
 
     def __init__(
-        self,
-        y: np.ndarray,
-        mesh: Mesh,
-        vertex_oriented: bool,
-        n_frames: int = 100,
-        interval: int = 100,
-        v_min: Optional[float] = None,
-        v_max: Optional[float] = None,
+        self, y: np.ndarray,
+        mesh: Mesh, vertex_oriented: bool,
+        n_frames: int = 100, interval: int = 100,
+        v_min: Optional[float] = None, v_max: Optional[float] = None,
         equal_scale: bool = False,
         **_,
     ):
@@ -389,15 +389,11 @@ class ContourPlot(AnimatedPlot):
     """Animated filled contours of a 2D PDE scalar field."""
 
     def __init__(
-        self,
-        y: np.ndarray,
-        mesh: Mesh,
-        vertex_oriented: bool,
-        n_frames: int = 100,
-        interval: int = 100,
+        self, y: np.ndarray,
+        mesh: Mesh, vertex_oriented: bool,
+        n_frames: int = 100, interval: int = 100,
         color_map: Colormap = cm.viridis,
-        v_min: Optional[float] = None,
-        v_max: Optional[float] = None,
+        v_min: Optional[float] = None, v_max: Optional[float] = None,
         **_,
     ):
         _require_field(y, mesh, vertex_oriented, 2, 1)
@@ -439,15 +435,11 @@ class SurfacePlot(AnimatedPlot):
     """Animated 3D surface of a 2D PDE scalar field."""
 
     def __init__(
-        self,
-        y: np.ndarray,
-        mesh: Mesh,
-        vertex_oriented: bool,
-        n_frames: int = 100,
-        interval: int = 100,
+        self, y: np.ndarray,
+        mesh: Mesh, vertex_oriented: bool,
+        n_frames: int = 100, interval: int = 100,
         color_map: Colormap = cm.viridis,
-        v_min: Optional[float] = None,
-        v_max: Optional[float] = None,
+        v_min: Optional[float] = None, v_max: Optional[float] = None,
         equal_scale: bool = False,
         **_,
     ):
@@ -503,15 +495,11 @@ class ScatterPlot(AnimatedPlot):
     field value encoded as marker color."""
 
     def __init__(
-        self,
-        y: np.ndarray,
-        mesh: Mesh,
-        vertex_oriented: bool,
-        n_frames: int = 100,
-        interval: int = 100,
+        self, y: np.ndarray,
+        mesh: Mesh, vertex_oriented: bool,
+        n_frames: int = 100, interval: int = 100,
         color_map: Colormap = cm.viridis,
-        v_min: Optional[float] = None,
-        v_max: Optional[float] = None,
+        v_min: Optional[float] = None, v_max: Optional[float] = None,
         marker_shape: str = "o",
         marker_size: Union[float, np.ndarray] = 20.0,
         marker_opacity: float = 1.0,
@@ -556,12 +544,9 @@ class StreamPlot(AnimatedPlot):
     polar)."""
 
     def __init__(
-        self,
-        y: np.ndarray,
-        mesh: Mesh,
-        vertex_oriented: bool,
-        n_frames: int = 100,
-        interval: int = 100,
+        self, y: np.ndarray,
+        mesh: Mesh, vertex_oriented: bool,
+        n_frames: int = 100, interval: int = 100,
         color: str = "black",
         density: float = 1.0,
         **_,
@@ -636,12 +621,9 @@ class QuiverPlot(AnimatedPlot):
     unit-vector grids."""
 
     def __init__(
-        self,
-        y: np.ndarray,
-        mesh: Mesh,
-        vertex_oriented: bool,
-        n_frames: int = 100,
-        interval: int = 100,
+        self, y: np.ndarray,
+        mesh: Mesh, vertex_oriented: bool,
+        n_frames: int = 100, interval: int = 100,
         normalize: bool = False,
         pivot: str = "middle",
         quiver_scale: float = 10.0,

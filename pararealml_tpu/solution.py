@@ -34,74 +34,67 @@ class Solution:
     """A discrete solution of an IVP."""
 
     def __init__(
-        self,
-        ivp: InitialValueProblem,
-        t_coordinates: np.ndarray,
-        discrete_y: np.ndarray,
+        self, ivp: InitialValueProblem,
+        t_coordinates: np.ndarray, discrete_y: np.ndarray,
         vertex_oriented: Optional[bool] = None,
         d_t: Optional[float] = None,
     ):
-        t_coordinates = np.asarray(t_coordinates, dtype=float)
-        discrete_y = np.asarray(discrete_y, dtype=float)
+        times = np.asarray(t_coordinates, dtype=float)
+        trajectory = np.asarray(discrete_y, dtype=float)
 
-        if t_coordinates.ndim != 1:
+        if times.ndim != 1:
             raise ValueError(
-                "number of t coordinate dimensions "
-                f"({t_coordinates.ndim}) must be 1"
+                f"t coordinates must be one-dimensional, got {times.ndim} "
+                "dimensions"
             )
-        if len(t_coordinates) == 0:
-            raise ValueError("length of t coordinates must be greater than 0")
-        cp = ivp.constrained_problem
-        if cp.differential_equation.x_dimension and vertex_oriented is None:
+        if not times.size:
+            raise ValueError("at least one t coordinate is required")
+        problem = ivp.constrained_problem
+        if problem.differential_equation.x_dimension \
+                and vertex_oriented is None:
             raise ValueError(
-                "vertex orientation must be defined for solutions to PDEs"
+                "PDE solutions require an explicit vertex orientation"
             )
-        y_shape = cp.y_shape(vertex_oriented)
-        if discrete_y.shape != (len(t_coordinates),) + tuple(y_shape):
+        expected = (times.size,) + tuple(problem.y_shape(vertex_oriented))
+        if trajectory.shape != expected:
             raise ValueError(
-                "expected solution shape to be "
-                f"{(len(t_coordinates),) + tuple(y_shape)} but got "
-                f"{discrete_y.shape}"
+                f"solution shape {trajectory.shape} does not match the "
+                f"expected {expected}"
             )
 
-        self._ivp = ivp
-        self._t_coordinates = np.copy(t_coordinates)
-        self._discrete_y = np.copy(discrete_y)
-        self._vertex_oriented = vertex_oriented
-        self._t_coordinates.setflags(write=False)
+        self._problem = ivp
+        self._times = times.copy()
+        self._trajectory = trajectory.copy()
+        self._on_vertices = vertex_oriented
+        self._times.setflags(write=False)
 
         if d_t is None:
-            d_t = (
-                0.0
-                if len(t_coordinates) == 1
-                else float(t_coordinates[1] - t_coordinates[0])
-            )
-        self._d_t = d_t
+            d_t = float(times[1] - times[0]) if times.size > 1 else 0.0
+        self._step = d_t
 
     @property
     def initial_value_problem(self) -> InitialValueProblem:
         """The solved IVP."""
-        return self._ivp
+        return self._problem
 
     @property
     def vertex_oriented(self) -> Optional[bool]:
         """Whether the solution is vertex or cell oriented (None for
         ODEs)."""
-        return self._vertex_oriented
+        return self._on_vertices
 
     @property
     def d_t(self) -> float:
         """The temporal step size of the solution."""
-        return self._d_t
+        return self._step
 
     @property
     def t_coordinates(self) -> np.ndarray:
         """The time coordinates of the solution."""
-        return self._t_coordinates
+        return self._times
 
     def y(
-        self,
-        x: Optional[np.ndarray] = None,
+        self, x: Optional[np.ndarray] = None,
         interpolation_method: str = "linear",
     ) -> np.ndarray:
         """The solution interpolated at spatial coordinates ``x`` at every
@@ -112,19 +105,18 @@ class Solution:
         :func:`pararealml_tpu.interpolation.grid_interpolate`) rather
         than through a host SciPy call per query.
         """
-        cp = self._ivp.constrained_problem
-        diff_eq = cp.differential_equation
-        if not diff_eq.x_dimension:
-            return np.copy(self._discrete_y)
+        problem = self._problem.constrained_problem
+        if not problem.differential_equation.x_dimension:
+            return self._trajectory.copy()
 
         from pararealml_tpu.interpolation import grid_interpolate
 
         # carry the time axis through the blend as a trailing value
         # axis so one gather resamples the entire trajectory
-        trajectory_last = np.moveaxis(self._discrete_y, 0, -1)
+        trajectory_last = np.moveaxis(self._trajectory, 0, -1)
         interpolated = grid_interpolate(
             trajectory_last,
-            cp.mesh.axis_coordinates(self._vertex_oriented),
+            problem.mesh.axis_coordinates(self._on_vertices),
             np.asarray(x),
             method=interpolation_method,
         )
@@ -133,26 +125,26 @@ class Solution:
         )
 
     def discrete_y(
-        self,
-        vertex_oriented: Optional[bool] = None,
+        self, vertex_oriented: Optional[bool] = None,
         interpolation_method: str = "linear",
     ) -> np.ndarray:
         """The discrete solution resampled to the requested orientation."""
         if vertex_oriented is None:
-            vertex_oriented = self._vertex_oriented
+            vertex_oriented = self._on_vertices
 
-        cp = self._ivp.constrained_problem
-        if (
-            not cp.differential_equation.x_dimension
-            or self._vertex_oriented == vertex_oriented
-        ):
-            return np.copy(self._discrete_y)
+        problem = self._problem.constrained_problem
+        same_grid = (
+            vertex_oriented == self._on_vertices
+            or not problem.differential_equation.x_dimension
+        )
+        if same_grid:
+            return self._trajectory.copy()
 
         resampled = self.y(
-            cp.mesh.all_index_coordinates(vertex_oriented),
+            problem.mesh.all_index_coordinates(vertex_oriented),
             interpolation_method,
         )
-        constraints = cp.static_y_vertex_constraints
+        constraints = problem.static_y_vertex_constraints
         if vertex_oriented and constraints is not None:
             resampled = np.asarray(constraints.apply(resampled))
         return resampled
@@ -162,14 +154,15 @@ class Solution:
     ) -> Diffs:
         """Differences between this solution and the provided ones at every
         time point present (within ``atol``) in all of them."""
-        if len(solutions) == 0:
-            raise ValueError("length of solutions must be greater than 0")
+        if not solutions:
+            raise ValueError("at least one solution to diff against is "
+                             "required")
 
-        all_time_points = [self._t_coordinates] + [
+        all_time_points = [self._times] + [
             s.t_coordinates for s in solutions
         ]
-        all_time_steps = [self._d_t] + [s.d_t for s in solutions]
-        other_ys = [s.discrete_y(self._vertex_oriented) for s in solutions]
+        all_time_steps = [self._step] + [s.d_t for s in solutions]
+        other_ys = [s.discrete_y(self._on_vertices) for s in solutions]
 
         sparsest = int(np.argmin([len(tp) for tp in all_time_points]))
 
@@ -194,7 +187,7 @@ class Solution:
                 for j, y_other in enumerate(other_ys):
                     all_diffs[j].append(
                         y_other[indices[j + 1]]
-                        - self._discrete_y[indices[0]]
+                        - self._trajectory[indices[0]]
                     )
 
         return Diffs(
@@ -204,67 +197,54 @@ class Solution:
 
     def generate_plots(self, **kwargs) -> Generator["Plot", None, None]:
         """Yields every plot type applicable to the solved problem."""
+        equation = self._problem.constrained_problem.differential_equation
+        if equation.x_dimension == 0:
+            yield from self._ode_plots(equation, **kwargs)
+        elif equation.x_dimension <= 3:
+            yield from self._pde_plots(equation, **kwargs)
+
+    def _ode_plots(self, equation, **kwargs):
+        from pararealml_tpu.plot import NBodyPlot, PhaseSpacePlot, TimePlot
+
+        if isinstance(equation, NBodyGravitationalEquation):
+            yield NBodyPlot(self._trajectory, equation, **kwargs)
+            return
+        yield TimePlot(self._trajectory, self._times, **kwargs)
+        if equation.y_dimension in (2, 3):
+            yield PhaseSpacePlot(self._trajectory, **kwargs)
+
+    def _pde_plots(self, equation, **kwargs):
         from pararealml_tpu.plot import (
             ContourPlot,
-            NBodyPlot,
-            PhaseSpacePlot,
             QuiverPlot,
             ScatterPlot,
             SpaceLinePlot,
             StreamPlot,
             SurfacePlot,
-            TimePlot,
         )
 
-        cp = self._ivp.constrained_problem
-        diff_eq = cp.differential_equation
-
-        if diff_eq.x_dimension > 3:
-            return
-
-        if diff_eq.x_dimension == 0:
-            if isinstance(diff_eq, NBodyGravitationalEquation):
-                yield NBodyPlot(self._discrete_y, diff_eq, **kwargs)
-            else:
-                yield TimePlot(
-                    self._discrete_y, self._t_coordinates, **kwargs
-                )
-                if 2 <= diff_eq.y_dimension <= 3:
-                    yield PhaseSpacePlot(self._discrete_y, **kwargs)
-            return
+        mesh = self._problem.constrained_problem.mesh
+        spatial_dims = equation.x_dimension
 
         vector_indices: Set[int] = set()
-        if diff_eq.x_dimension > 1 and diff_eq.all_vector_field_indices:
-            for indices in diff_eq.all_vector_field_indices:
+        if spatial_dims > 1 and equation.all_vector_field_indices:
+            for indices in equation.all_vector_field_indices:
                 vector_indices.update(indices)
-                vector_field = self._discrete_y[..., indices]
-                yield QuiverPlot(
-                    vector_field, cp.mesh, self._vertex_oriented, **kwargs
-                )
-                if diff_eq.x_dimension == 2:
+                field = self._trajectory[..., indices]
+                yield QuiverPlot(field, mesh, self._on_vertices, **kwargs)
+                if spatial_dims == 2:
                     yield StreamPlot(
-                        vector_field,
-                        cp.mesh,
-                        self._vertex_oriented,
-                        **kwargs,
+                        field, mesh, self._on_vertices, **kwargs
                     )
 
-        for i in range(diff_eq.y_dimension):
+        scalar_plot_types = {
+            1: (SpaceLinePlot,),
+            2: (ContourPlot, SurfacePlot),
+            3: (ScatterPlot,),
+        }[spatial_dims]
+        for i in range(equation.y_dimension):
             if i in vector_indices:
                 continue
-            scalar_field = self._discrete_y[..., i: i + 1]
-            if diff_eq.x_dimension == 1:
-                yield SpaceLinePlot(
-                    scalar_field, cp.mesh, self._vertex_oriented, **kwargs
-                )
-            elif diff_eq.x_dimension == 2:
-                yield ContourPlot(
-                    scalar_field, cp.mesh, self._vertex_oriented, **kwargs
-                )
-                yield SurfacePlot(
-                    scalar_field, cp.mesh, self._vertex_oriented, **kwargs
-                )
-            else:
-                yield ScatterPlot(
-                    scalar_field, cp.mesh, self._vertex_oriented, **kwargs
-                )
+            field = self._trajectory[..., i: i + 1]
+            for plot_type in scalar_plot_types:
+                yield plot_type(field, mesh, self._on_vertices, **kwargs)
