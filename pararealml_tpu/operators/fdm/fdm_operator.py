@@ -75,6 +75,8 @@ class FDMOperator(JaxOperator):
         fused_kernels: bool = True,
         linear_propagator: bool = True,
         kernel_storage_dtype=None,
+        kernel_traj_dtype=None,
+        kernel_temporal_block: int = 1,
         spatial_mesh=None,
         spatial_partition=None,
     ):
@@ -100,6 +102,17 @@ class FDMOperator(JaxOperator):
             the block-tiled fused kernels on beyond-VMEM grids
             (``jnp.bfloat16`` halves their HBM traffic; stencil
             arithmetic stays f32 regardless); ``None`` keeps float32
+        :param kernel_traj_dtype: trajectory snapshot precision of the
+            block-tiled streaming kernels, independent of the state
+            (``jnp.bfloat16`` over an f32 state halves the dominant
+            DMA stream while each snapshot rounds exactly once);
+            requires ``kernel_temporal_block >= 2`` when it differs
+            from the state dtype; ``None`` matches the state dtype
+        :param kernel_temporal_block: RK4 steps a streaming tile
+            advances per HBM round-trip on beyond-VMEM grids (state
+            DMA traffic drops by this factor; per-step arithmetic is
+            unchanged). The actual block is the largest even divisor
+            of the solve's step count not exceeding this value
         :param spatial_mesh: an optional ``jax.sharding.Mesh`` over
             which :meth:`solve` partitions the *spatial* grid (domain
             decomposition). The whole compiled program — state, stencil
@@ -130,6 +143,8 @@ class FDMOperator(JaxOperator):
         self._fused_kernels = fused_kernels
         self._linear_propagator = linear_propagator
         self._kernel_storage_dtype = kernel_storage_dtype
+        self._kernel_traj_dtype = kernel_traj_dtype
+        self._kernel_temporal_block = int(kernel_temporal_block)
         self._spatial_mesh = spatial_mesh
         self._spatial_partition = spatial_partition
         self._compiled_cache = {}
@@ -629,12 +644,28 @@ class FDMOperator(JaxOperator):
             )
 
             if fused_diffusion_step_applicable(cp, self._integrator):
+                from pararealml_tpu.ops.tiled_diffusion import (
+                    pick_temporal_block,
+                )
+
+                temporal_block = pick_temporal_block(
+                    steps, self._kernel_temporal_block
+                )
                 fused_trajectory = build_fused_diffusion_rk4_trajectory(
                     cp,
                     self._d_t,
                     steps,
                     interpret=jax.default_backend() != "tpu",
                     storage_dtype=self._kernel_storage_dtype,
+                    # a split snapshot dtype needs the blocked pipeline;
+                    # fall back to the state dtype when no valid block
+                    # divides this solve's step count
+                    traj_dtype=(
+                        self._kernel_traj_dtype
+                        if temporal_block > 1
+                        else self._kernel_storage_dtype
+                    ),
+                    temporal_block=temporal_block,
                 )
                 return lambda y_init, t_start: fused_trajectory(y_init)
             if fused_system_step_applicable(

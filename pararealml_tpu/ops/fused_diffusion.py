@@ -367,6 +367,8 @@ def build_fused_diffusion_rk4_trajectory(
     diffusion_coefficient: Optional[float] = None,
     interpret: bool = False,
     storage_dtype=None,
+    traj_dtype=None,
+    temporal_block: int = 1,
 ):
     """Builds ``trajectory(y) -> ys`` computing ``n_steps`` fused RK4
     diffusion steps in ONE kernel invocation.
@@ -382,8 +384,12 @@ def build_fused_diffusion_rk4_trajectory(
     state/trajectory precision; ``jnp.bfloat16`` halves the tiled
     kernel's HBM traffic while all stencil arithmetic stays f32 (see
     :func:`pararealml_tpu.ops.tiled_diffusion.
-    build_tiled_diffusion_rk4_trajectory`). The VMEM-resident kernel
-    ignores it (its state never round-trips through HBM).
+    build_tiled_diffusion_rk4_trajectory`). ``traj_dtype`` and
+    ``temporal_block`` tune the beyond-VMEM streaming pipeline the
+    same way (snapshot precision and RK4 steps per tile residency).
+    The VMEM-resident kernel ignores all three (its state never
+    round-trips through HBM and its snapshots DMA straight out of the
+    resident state).
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -426,6 +432,8 @@ def build_fused_diffusion_rk4_trajectory(
             diffusion_coefficient=diffusion_coefficient,
             interpret=interpret,
             storage_dtype=storage_dtype,
+            traj_dtype=traj_dtype,
+            temporal_block=temporal_block,
         )
     cfg = _KernelConfig(cp, d_t, diffusion_coefficient)
     dtype = cfg.dtype

@@ -65,6 +65,10 @@ from pararealml_tpu.differential_equation import (
 # are ~2 input slots + 2 output slots + ~4 Horner-stage f32 temporaries;
 # 420k elements/tile keeps the total under ~12 MB of VMEM
 _MAX_TILE_ELEMS = 420_000
+# the temporally-blocked pipeline wants FEW, TALL tiles (per-DMA fixed
+# costs dominate once state traffic is amortized); ~1.2M elements/tile
+# keeps the total under ~45 MB of VMEM
+_MAX_TILE_ELEMS_BLOCKED = 1_200_000
 # the per-tile compute is unrolled per tile, so the tile count (and with
 # it the grid extent) is capped to keep compile times sane
 _MAX_WIDTH_PAD = 2304
@@ -83,7 +87,11 @@ class _TilePlan(NamedTuple):
 
 
 def make_tile_plan(
-    height: int, width: int, sublane: int = 8
+    height: int,
+    width: int,
+    sublane: int = 8,
+    temporal_block: int = 1,
+    max_tile_elems: int = _MAX_TILE_ELEMS,
 ) -> Optional[_TilePlan]:
     """Plans the row tiling for a grid, or returns None when the grid is
     outside the tiled kernel's supported range.
@@ -91,7 +99,10 @@ def make_tile_plan(
     ``sublane`` is the storage dtype's sublane tile (8 for f32, 16 for
     bf16): every DMA offset and buffer height is rounded to it so Mosaic
     can prove the slices tile-aligned. The halo is ``sublane`` rows on
-    each side (the chained RK4 stencil stages need only 4).
+    each side (one chained RK4 step's stencil stages need only 4);
+    ``temporal_block > 1`` widens it to cover ``4 * temporal_block``
+    rows so a tile can advance that many RK4 steps per residency —
+    amortizing the state read/write DMA traffic by the block factor.
 
     The plan minimizes the tile count under the VMEM budget — fixed
     per-DMA costs are this pipeline's dominant overhead — and sizes
@@ -103,10 +114,10 @@ def make_tile_plan(
     w_pad = -(-width // 128) * 128
     if w_pad > _MAX_WIDTH_PAD or height > _MAX_HEIGHT:
         return None
-    halo = sublane
+    halo = -(-max(sublane, 4 * temporal_block) // sublane) * sublane
     h_traj = -(-height // sublane) * sublane
     max_block = (
-        (_MAX_TILE_ELEMS // w_pad - 2 * halo) // sublane * sublane
+        (max_tile_elems // w_pad - 2 * halo) // sublane * sublane
     )
     if max_block < sublane:
         return None
@@ -129,6 +140,16 @@ def make_tile_plan(
         starts=starts,
         halo=halo,
     )
+
+
+def pick_temporal_block(n_steps: int, requested: int) -> int:
+    """Largest valid temporal block <= ``requested``: even (the
+    trajectory write ring needs static slot parity) and dividing
+    ``n_steps``; 1 when no such block exists."""
+    for k in range(min(int(requested), n_steps), 1, -1):
+        if k % 2 == 0 and n_steps % k == 0:
+            return k
+    return 1
 
 
 def dirichlet_is_face_only(cp: ConstrainedProblem) -> bool:
@@ -261,6 +282,8 @@ def build_tiled_diffusion_rk4_trajectory(
     diffusion_coefficient: Optional[float] = None,
     interpret: bool = False,
     storage_dtype=None,
+    traj_dtype=None,
+    temporal_block: int = 1,
 ):
     """Builds ``trajectory(y) -> ys`` computing ``n_steps`` fused RK4
     diffusion(-convection) steps on a grid too large for VMEM, via
@@ -271,10 +294,24 @@ def build_tiled_diffusion_rk4_trajectory(
     rounding, not bitwise).
 
     ``storage_dtype`` selects the precision of the HBM-resident state
-    and trajectory buffers (``jnp.float32`` by default;
-    ``jnp.bfloat16`` halves the kernel's HBM and DMA traffic while all
-    stencil arithmetic stays in f32 — each tile up-converts on load and
-    rounds once per step on store).
+    buffer (``jnp.float32`` by default; ``jnp.bfloat16`` halves the
+    state's HBM and DMA traffic while all stencil arithmetic stays in
+    f32 — each tile up-converts on load and rounds once per store).
+    ``traj_dtype`` independently selects the trajectory snapshot
+    precision (defaults to ``storage_dtype``): trajectory writes are
+    this pipeline's dominant traffic, and a snapshot rounds exactly
+    once, so ``traj_dtype=jnp.bfloat16`` over an f32 state keeps the
+    integration f32-exact while halving the biggest DMA stream.
+
+    ``temporal_block=K`` advances every resident tile K RK4 steps per
+    HBM round-trip, with a ``4*K``-row halo: state traffic (and its
+    bf16 round-off, when the state is bf16 — it rounds once per K
+    steps) drops K-fold, leaving the unavoidable per-step trajectory
+    write as the asymptotic traffic floor. K must be even (the
+    trajectory write ring alternates two VMEM slots; an even K keeps
+    the slot parity static) and divide ``n_steps``. The per-step
+    arithmetic is identical to ``K=1`` — only halo rows are recomputed
+    instead of reloaded.
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -284,16 +321,44 @@ def build_tiled_diffusion_rk4_trajectory(
     mesh = cp.mesh
     height, width = mesh.vertices_shape
     storage_dtype = jnp.dtype(storage_dtype or jnp.float32)
-    if storage_dtype not in (
-        jnp.dtype(jnp.float32),
-        jnp.dtype(jnp.bfloat16),
-    ):
+    traj_dtype = jnp.dtype(traj_dtype or storage_dtype)
+    for name, dt in (("storage", storage_dtype), ("traj", traj_dtype)):
+        if dt not in (
+            jnp.dtype(jnp.float32),
+            jnp.dtype(jnp.bfloat16),
+        ):
+            raise ValueError(
+                f"{name}_dtype must be float32 or bfloat16, got {dt}"
+            )
+    temporal_block = int(temporal_block)
+    if temporal_block < 1:
+        raise ValueError("temporal_block must be >= 1")
+    if temporal_block > 1:
+        if temporal_block % 2:
+            raise ValueError("temporal_block must be 1 or even")
+        if n_steps % temporal_block:
+            raise ValueError(
+                f"temporal_block={temporal_block} must divide "
+                f"n_steps={n_steps}"
+            )
+    elif traj_dtype != storage_dtype:
         raise ValueError(
-            "storage_dtype must be float32 or bfloat16, got "
-            f"{storage_dtype}"
+            "split storage/trajectory dtypes require temporal_block "
+            ">= 2 (the K=1 pipeline shares one output buffer)"
         )
-    sublane = 8 if storage_dtype == jnp.dtype(jnp.float32) else 16
-    plan = make_tile_plan(height, width, sublane)
+    f32 = jnp.dtype(jnp.float32)
+    sublane = 8 if storage_dtype == f32 and traj_dtype == f32 else 16
+    plan = make_tile_plan(
+        height,
+        width,
+        sublane,
+        temporal_block,
+        max_tile_elems=(
+            _MAX_TILE_ELEMS
+            if temporal_block == 1
+            else _MAX_TILE_ELEMS_BLOCKED
+        ),
+    )
     if plan is None:
         raise ValueError("grid outside the tiled kernel's range")
     if not dirichlet_is_face_only(cp):
@@ -356,7 +421,242 @@ def build_tiled_diffusion_rk4_trajectory(
             return jnp.roll(array, shift, axis)
         return pltpu.roll(array, shift, axis)
 
-    def kernel(
+    def make_tile_ops(
+        i,
+        dir_row_mask,
+        dir_row_vals,
+        ghost_row_mask,
+        ghost_row_vals,
+        lane_valid_v,
+        onehot_l,
+        onehot_r,
+        row_iota,
+        dir_col_mask_ref,
+        dir_col_vals_ref,
+        ghost_col_mask_ref,
+        ghost_col_vals_ref,
+    ):
+        """Per-tile ``(sanitize, one_step)`` closures shared by the
+        single-step and temporally-blocked pipelines. ``i`` is a Python
+        index, so every boundary fix lands on a statically-known row;
+        after ``k`` chained ``one_step`` applications, rows
+        [halo, halo+block) stay globally correct as long as
+        ``halo >= 4 * k`` (corruption creeps 4 rows per step from the
+        tile edges — the plan sizes the halo for ``temporal_block``
+        steps)."""
+        start = starts[i]
+        first_global = start - halo  # global row of tile row 0
+
+        # statically-known tile rows of the global boundary rows,
+        # when they fall inside this tile's window
+        top_row = -first_global  # global row 0
+        has_top = 0 <= top_row < tile_h
+        bottom_row = (height - 1) - first_global
+        has_bottom = bottom_row < tile_h
+        # rows outside [0, height) must stay exactly zero so they
+        # never feed back through the stencil; the roll wrap-around
+        # lands in those rows too, so edge tiles always mask
+        needs_sanitize = first_global < 0 or (
+            first_global + tile_h > height
+        )
+        if needs_sanitize:
+            row_valid_bool = (row_iota + first_global >= 0) & (
+                row_iota + first_global < height
+            )
+            rhs_mask = (
+                row_valid_bool.astype(dtype) * lane_valid_v
+            )
+        else:
+            row_valid_bool = None
+            rhs_mask = lane_valid_v
+
+        # per-tile windows of the column-indexed vectors,
+        # pre-sliced host-side: (tile_h, 1) f32 masks and
+        # premasked values for rank-1 broadcast fixes
+        dcm_l = dir_col_mask_ref[i, 0][:, jnp.newaxis]
+        dcm_r = dir_col_mask_ref[i, 1][:, jnp.newaxis]
+        dcv_l = dir_col_vals_ref[i, 0][:, jnp.newaxis]
+        dcv_r = dir_col_vals_ref[i, 1][:, jnp.newaxis]
+        gcm_l = ghost_col_mask_ref[i, 0][:, jnp.newaxis]
+        gcm_r = ghost_col_mask_ref[i, 1][:, jnp.newaxis]
+        gcv_l = ghost_col_vals_ref[i, 0][:, jnp.newaxis]
+        gcv_r = ghost_col_vals_ref[i, 1][:, jnp.newaxis]
+
+        def boundary_row_fixes(make_fn, present):
+            fixes = []
+            if has_top and present[0]:
+                fixes.append((top_row, make_fn(0)))
+            if has_bottom and present[1]:
+                fixes.append((bottom_row, make_fn(1)))
+            return fixes
+
+        def clamp(state):
+            """The affine Dirichlet stamp ``D``: boundary rows are
+            rebuilt in place (<= 2 static rows), boundary columns
+            through one-hot lane masks."""
+
+            def dir_row_fix(face):
+                def fix(row):
+                    return jnp.where(
+                        dir_row_mask[face],
+                        dir_row_vals[face],
+                        row,
+                    )
+
+                return fix
+
+            fixes = boundary_row_fixes(dir_row_fix, dir_row_present)
+            if fixes:
+                state = _override_rows(state, fixes)
+            if not dir_cols_present:
+                return state
+            # rank-1 column stamp: rows with the mask set take the
+            # (premasked) Dirichlet value, others keep the state
+            return (
+                state
+                * (1.0 - dcm_l * onehot_l - dcm_r * onehot_r)
+                + dcv_l * onehot_l
+                + dcv_r * onehot_r
+            )
+
+        def scaled_update(state, stage_coefficient):
+            """``c * rhs(state)`` with the stage coefficient and the
+            diffusion coefficient folded into every stencil tap, so
+            the stage needs no standalone scaling multiplies."""
+            c = float(stage_coefficient)
+            a0 = np.float32(c * d * float(inv_dx0_sqr))
+            a1 = np.float32(c * d * float(inv_dx1_sqr))
+            a_center = np.float32(c * d * float(center_tap))
+
+            above = roll(state, 1, 0)
+            below = roll(state, tile_h - 1, 0)
+            left = roll(state, 1, 1)
+            right = roll(state, w_pad - 1, 1)
+            if a0 == a1:  # square cells: one combined neighbor sum
+                lap = (
+                    above + below + left + right
+                ) * a0 + state * a_center
+            else:
+                lap = (
+                    (above + below) * a0
+                    + (left + right) * a1
+                    + state * a_center
+                )
+
+            # Neumann ghost contributions at the boundary rows
+            # (additive; the inward neighbor's tile row is static)
+            lap_fixes = []
+            if has_top and ghost_row_present[0]:
+                def top_fix(row_lap):
+                    ghost = jnp.where(
+                        ghost_row_mask[0],
+                        state[top_row + 1, :]
+                        - two_dx0 * ghost_row_vals[0],
+                        0.0,
+                    )
+                    return row_lap + ghost * a0
+
+                lap_fixes.append((top_row, top_fix))
+            if has_bottom and ghost_row_present[1]:
+                def bottom_fix(row_lap):
+                    ghost = jnp.where(
+                        ghost_row_mask[1],
+                        state[bottom_row - 1, :]
+                        + two_dx0 * ghost_row_vals[1],
+                        0.0,
+                    )
+                    return row_lap + ghost * a0
+
+                lap_fixes.append((bottom_row, bottom_fix))
+            if lap_fixes:
+                lap = _override_rows(lap, lap_fixes)
+
+            if ghost_cols_present:
+                # ghost contribution at the boundary columns as
+                # rank-1 broadcasts: at column 0 the rolled
+                # ``right`` plane already holds state[:, 1], so no
+                # single-lane extraction is needed (measured ~7 us
+                # per tile per stage for the extract formulation)
+                lap = (
+                    lap
+                    + (right * gcm_l - two_dx1 * gcv_l)
+                    * (a1 * onehot_l)
+                    + (left * gcm_r + two_dx1 * gcv_r)
+                    * (a1 * onehot_r)
+                )
+            update = lap
+
+            if has_convection:
+                cv0 = np.float32(-c * velocity[0] * inv_two_dx0)
+                gradient_0 = (below - above) * cv0
+
+                def grad_row_fix(face):
+                    def fix(row):
+                        return jnp.where(
+                            ghost_row_mask[face],
+                            np.float32(-c * velocity[0])
+                            * ghost_row_vals[face],
+                            row,
+                        )
+
+                    return fix
+
+                fixes = boundary_row_fixes(
+                    grad_row_fix, ghost_row_present
+                )
+                if fixes:
+                    gradient_0 = _override_rows(gradient_0, fixes)
+
+                cv1 = np.float32(-c * velocity[1] * inv_two_dx1)
+                gradient_1 = (right - left) * cv1
+                if ghost_cols_present:
+                    # Neumann stamp on the boundary-column
+                    # gradients, rank-1 form
+                    gradient_1 = (
+                        gradient_1
+                        * (
+                            1.0
+                            - gcm_l * onehot_l
+                            - gcm_r * onehot_r
+                        )
+                        + np.float32(-c * velocity[1])
+                        * gcv_l
+                        * onehot_l
+                        + np.float32(-c * velocity[1])
+                        * gcv_r
+                        * onehot_r
+                    )
+
+                update = update + gradient_0 + gradient_1
+
+            # one multiply re-zeroes padding columns (killing the
+            # lane wrap-around) and, on edge tiles, the
+            # out-of-grid halo rows
+            return update * rhs_mask
+
+        def sanitize(tile):
+            y = tile.astype(dtype)
+            if needs_sanitize:
+                # where, not multiply: the never-written padding rows
+                # of the ping-pong state buffer are uninitialized
+                # memory, and NaN * 0 would keep the NaN
+                y = jnp.where(row_valid_bool, y, 0.0) * lane_valid_v
+            return y
+
+        def one_step(y):
+            # Horner chain: t_k = D(y + (dt/k) rhs(t_{k+1})), exactly
+            # classic RK4 for the affine clamped system (see module
+            # docstring)
+            t = y
+            for coefficient in horner_coefficients[:-1]:
+                t = clamp(y + scaled_update(t, coefficient))
+            return clamp(
+                y + scaled_update(t, horner_coefficients[-1])
+            )
+
+        return sanitize, one_step
+
+    def _kernel_prelude(
         y0_ref,
         dir_row_mask_ref,
         dir_row_vals_ref,
@@ -371,18 +671,14 @@ def build_tiled_diffusion_rk4_trajectory(
         state_ref,
         in_buf,
         out_state,
+        out_traj,
         in_sems,
         state_sems,
         traj_sems,
     ):
-        dir_row_mask = dir_row_mask_ref[:]
-        dir_row_vals = dir_row_vals_ref[:]
-        ghost_row_mask = ghost_row_mask_ref[:]
-        ghost_row_vals = ghost_row_vals_ref[:]
-        lane_valid_v = lane_masks_ref[0:1]
-        onehot_l = lane_masks_ref[1:2]
-        onehot_r = lane_masks_ref[2:3]
-
+        """Seeds the ping-pong state with the initial condition and
+        returns the per-tile op builder plus the three DMA descriptor
+        factories shared by both pipelines."""
         # seed the ping-pong state with the initial condition
         init = pltpu.make_async_copy(
             y0_ref, state_ref.at[0], in_sems.at[0]
@@ -391,6 +687,23 @@ def build_tiled_diffusion_rk4_trajectory(
         init.wait()
 
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0)
+
+        def tile_ops(i):
+            return make_tile_ops(
+                i,
+                dir_row_mask_ref[:],
+                dir_row_vals_ref[:],
+                ghost_row_mask_ref[:],
+                ghost_row_vals_ref[:],
+                lane_masks_ref[0:1],
+                lane_masks_ref[1:2],
+                lane_masks_ref[2:3],
+                row_iota,
+                dir_col_mask_ref,
+                dir_col_vals_ref,
+                ghost_col_mask_ref,
+                ghost_col_vals_ref,
+            )
 
         def in_dma(src_slot, i, buf_slot):
             return pltpu.make_async_copy(
@@ -408,219 +721,31 @@ def build_tiled_diffusion_rk4_trajectory(
 
         def traj_dma(k, i, buf_slot):
             return pltpu.make_async_copy(
-                out_state.at[buf_slot],
+                out_traj.at[buf_slot],
                 traj_ref.at[k, pl.ds(starts[i], block)],
                 traj_sems.at[buf_slot],
             )
 
+        return tile_ops, in_dma, state_dma, traj_dma
+
+    def kernel(*args):
+        """Single-step pipeline (``temporal_block == 1``): one RK4
+        step per tile residency; the state and trajectory writes copy
+        the same bytes from one shared output buffer."""
+        in_buf, out_state, in_sems, state_sems, traj_sems = args[-5:]
+        tile_ops, in_dma, state_dma, traj_dma = _kernel_prelude(
+            *args[:-5],
+            in_buf,
+            out_state,
+            out_state,  # trajectory DMAs source the state buffer
+            in_sems,
+            state_sems,
+            traj_sems,
+        )
+
         def compute_tile(tile, i):
-            """One full RK4 step over tile ``i`` (a Python index, so
-            every boundary fix lands on a statically-known row); rows
-            [halo, halo+block) of the result are globally correct."""
-            start = starts[i]
-            first_global = start - halo  # global row of tile row 0
-
-            # statically-known tile rows of the global boundary rows,
-            # when they fall inside this tile's window
-            top_row = -first_global  # global row 0
-            has_top = 0 <= top_row < tile_h
-            bottom_row = (height - 1) - first_global
-            has_bottom = bottom_row < tile_h
-            # rows outside [0, height) must stay exactly zero so they
-            # never feed back through the stencil; the roll wrap-around
-            # lands in those rows too, so edge tiles always mask
-            needs_sanitize = first_global < 0 or (
-                first_global + tile_h > height
-            )
-            if needs_sanitize:
-                row_valid_bool = (row_iota + first_global >= 0) & (
-                    row_iota + first_global < height
-                )
-                rhs_mask = (
-                    row_valid_bool.astype(dtype) * lane_valid_v
-                )
-            else:
-                rhs_mask = lane_valid_v
-
-            # per-tile windows of the column-indexed vectors,
-            # pre-sliced host-side: (tile_h, 1) f32 masks and
-            # premasked values for rank-1 broadcast fixes
-            dcm_l = dir_col_mask_ref[i, 0][:, jnp.newaxis]
-            dcm_r = dir_col_mask_ref[i, 1][:, jnp.newaxis]
-            dcv_l = dir_col_vals_ref[i, 0][:, jnp.newaxis]
-            dcv_r = dir_col_vals_ref[i, 1][:, jnp.newaxis]
-            gcm_l = ghost_col_mask_ref[i, 0][:, jnp.newaxis]
-            gcm_r = ghost_col_mask_ref[i, 1][:, jnp.newaxis]
-            gcv_l = ghost_col_vals_ref[i, 0][:, jnp.newaxis]
-            gcv_r = ghost_col_vals_ref[i, 1][:, jnp.newaxis]
-
-            def boundary_row_fixes(make_fn, present):
-                fixes = []
-                if has_top and present[0]:
-                    fixes.append((top_row, make_fn(0)))
-                if has_bottom and present[1]:
-                    fixes.append((bottom_row, make_fn(1)))
-                return fixes
-
-            def clamp(state):
-                """The affine Dirichlet stamp ``D``: boundary rows are
-                rebuilt in place (<= 2 static rows), boundary columns
-                through one-hot lane masks."""
-
-                def dir_row_fix(face):
-                    def fix(row):
-                        return jnp.where(
-                            dir_row_mask[face],
-                            dir_row_vals[face],
-                            row,
-                        )
-
-                    return fix
-
-                fixes = boundary_row_fixes(dir_row_fix, dir_row_present)
-                if fixes:
-                    state = _override_rows(state, fixes)
-                if not dir_cols_present:
-                    return state
-                # rank-1 column stamp: rows with the mask set take the
-                # (premasked) Dirichlet value, others keep the state
-                return (
-                    state
-                    * (1.0 - dcm_l * onehot_l - dcm_r * onehot_r)
-                    + dcv_l * onehot_l
-                    + dcv_r * onehot_r
-                )
-
-            def scaled_update(state, stage_coefficient):
-                """``c * rhs(state)`` with the stage coefficient and the
-                diffusion coefficient folded into every stencil tap, so
-                the stage needs no standalone scaling multiplies."""
-                c = float(stage_coefficient)
-                a0 = np.float32(c * d * float(inv_dx0_sqr))
-                a1 = np.float32(c * d * float(inv_dx1_sqr))
-                a_center = np.float32(c * d * float(center_tap))
-
-                above = roll(state, 1, 0)
-                below = roll(state, tile_h - 1, 0)
-                left = roll(state, 1, 1)
-                right = roll(state, w_pad - 1, 1)
-                if a0 == a1:  # square cells: one combined neighbor sum
-                    lap = (
-                        above + below + left + right
-                    ) * a0 + state * a_center
-                else:
-                    lap = (
-                        (above + below) * a0
-                        + (left + right) * a1
-                        + state * a_center
-                    )
-
-                # Neumann ghost contributions at the boundary rows
-                # (additive; the inward neighbor's tile row is static)
-                lap_fixes = []
-                if has_top and ghost_row_present[0]:
-                    def top_fix(row_lap):
-                        ghost = jnp.where(
-                            ghost_row_mask[0],
-                            state[top_row + 1, :]
-                            - two_dx0 * ghost_row_vals[0],
-                            0.0,
-                        )
-                        return row_lap + ghost * a0
-
-                    lap_fixes.append((top_row, top_fix))
-                if has_bottom and ghost_row_present[1]:
-                    def bottom_fix(row_lap):
-                        ghost = jnp.where(
-                            ghost_row_mask[1],
-                            state[bottom_row - 1, :]
-                            + two_dx0 * ghost_row_vals[1],
-                            0.0,
-                        )
-                        return row_lap + ghost * a0
-
-                    lap_fixes.append((bottom_row, bottom_fix))
-                if lap_fixes:
-                    lap = _override_rows(lap, lap_fixes)
-
-                if ghost_cols_present:
-                    # ghost contribution at the boundary columns as
-                    # rank-1 broadcasts: at column 0 the rolled
-                    # ``right`` plane already holds state[:, 1], so no
-                    # single-lane extraction is needed (measured ~7 us
-                    # per tile per stage for the extract formulation)
-                    lap = (
-                        lap
-                        + (right * gcm_l - two_dx1 * gcv_l)
-                        * (a1 * onehot_l)
-                        + (left * gcm_r + two_dx1 * gcv_r)
-                        * (a1 * onehot_r)
-                    )
-                update = lap
-
-                if has_convection:
-                    cv0 = np.float32(-c * velocity[0] * inv_two_dx0)
-                    gradient_0 = (below - above) * cv0
-
-                    def grad_row_fix(face):
-                        def fix(row):
-                            return jnp.where(
-                                ghost_row_mask[face],
-                                np.float32(-c * velocity[0])
-                                * ghost_row_vals[face],
-                                row,
-                            )
-
-                        return fix
-
-                    fixes = boundary_row_fixes(
-                        grad_row_fix, ghost_row_present
-                    )
-                    if fixes:
-                        gradient_0 = _override_rows(gradient_0, fixes)
-
-                    cv1 = np.float32(-c * velocity[1] * inv_two_dx1)
-                    gradient_1 = (right - left) * cv1
-                    if ghost_cols_present:
-                        # Neumann stamp on the boundary-column
-                        # gradients, rank-1 form
-                        gradient_1 = (
-                            gradient_1
-                            * (
-                                1.0
-                                - gcm_l * onehot_l
-                                - gcm_r * onehot_r
-                            )
-                            + np.float32(-c * velocity[1])
-                            * gcv_l
-                            * onehot_l
-                            + np.float32(-c * velocity[1])
-                            * gcv_r
-                            * onehot_r
-                        )
-
-                    update = update + gradient_0 + gradient_1
-
-                # one multiply re-zeroes padding columns (killing the
-                # lane wrap-around) and, on edge tiles, the
-                # out-of-grid halo rows
-                return update * rhs_mask
-
-            y = tile.astype(dtype)
-            if needs_sanitize:
-                # where, not multiply: the never-written padding rows of
-                # the ping-pong state buffer are uninitialized memory,
-                # and NaN * 0 would keep the NaN
-                y = jnp.where(row_valid_bool, y, 0.0) * lane_valid_v
-            # Horner chain: t_k = D(y + (dt/k) rhs(t_{k+1})), exactly
-            # classic RK4 for the affine clamped system (see module
-            # docstring)
-            t = y
-            for coefficient in horner_coefficients[:-1]:
-                t = clamp(y + scaled_update(t, coefficient))
-            result = clamp(
-                y + scaled_update(t, horner_coefficients[-1])
-            )
+            sanitize, one_step = tile_ops(i)
+            result = one_step(sanitize(tile))
             return result[halo:halo + block].astype(storage_dtype)
 
         def step(k, _):
@@ -669,14 +794,121 @@ def build_tiled_diffusion_rk4_trajectory(
         for i in (n_tiles - 2, n_tiles - 1):
             traj_dma(n_steps - 1, i, i % 2).wait()
 
+    def blocked_kernel(*args):
+        """Temporally-blocked pipeline (``temporal_block == K >= 2``):
+        each tile residency advances K RK4 steps, writing the K
+        trajectory frames through a dedicated two-slot ring (dtype
+        ``traj_dtype``) and the state once per residency (dtype
+        ``storage_dtype``) — the state's read/write DMA traffic drops
+        K-fold, leaving the unavoidable per-step trajectory write as
+        the traffic floor. Identical per-step arithmetic to the
+        single-step pipeline; halo rows are recomputed instead of
+        reloaded (the plan's halo covers 4*K rows of stencil creep)."""
+        (
+            in_buf,
+            out_state,
+            out_traj,
+            in_sems,
+            state_sems,
+            traj_sems,
+        ) = args[-6:]
+        tile_ops, in_dma, state_dma, traj_dma = _kernel_prelude(
+            *args[:-6],
+            in_buf,
+            out_state,
+            out_traj,
+            in_sems,
+            state_sems,
+            traj_sems,
+        )
+        k_block = temporal_block
+
+        def step(m, _):
+            src_slot = jax.lax.rem(m, 2)
+            dst_slot = jax.lax.rem(m + 1, 2)
+            frame_base = m * k_block
+
+            in_dma(src_slot, 0, 0).start()
+            # the tile loop is unrolled: every DMA offset is static
+            for i in range(n_tiles):
+                buf_slot = i % 2
+                if i + 1 < n_tiles:
+                    in_dma(src_slot, i + 1, (i + 1) % 2).start()
+                in_dma(src_slot, i, buf_slot).wait()
+                sanitize, one_step = tile_ops(i)
+                y = sanitize(in_buf[buf_slot])
+
+                # the K steps run in PAIRS inside one rolled loop, so
+                # the compiled body stays K-independent while each
+                # frame keeps a static trajectory-ring slot (frame
+                # parity; K is even). Before overwriting a slot, one
+                # completion is consumed from its semaphore: since
+                # every earlier DMA on the slot was already waited,
+                # counting guarantees ALL of them (including the one
+                # still reading the buffer) have landed — the wait
+                # descriptor only fixes the transfer size, identical
+                # for every frame. The very first frames ever written
+                # to the slots (macro step 0, tile 0, pair 0) have
+                # nothing pending and skip the wait.
+                def pair(jj, y, i=i):
+                    frame = frame_base + 2 * jj
+                    for parity in (0, 1):
+                        y = one_step(y)
+                        if i > 0:
+                            traj_dma(frame, i, parity).wait()
+                        else:
+                            @pl.when((jj > 0) | (m > 0))
+                            def _(parity=parity):
+                                traj_dma(frame, i, parity).wait()
+                        out_traj[parity] = y[
+                            halo:halo + block
+                        ].astype(traj_dtype)
+                        traj_dma(frame + parity, i, parity).start()
+                    return y
+
+                y = jax.lax.fori_loop(0, k_block // 2, pair, y)
+
+                # the state slot's previous DMA: two tiles ago within
+                # this macro step (prior macro steps fully drained)
+                if i >= 2:
+                    state_dma(dst_slot, i - 2, buf_slot).wait()
+                out_state[buf_slot] = y[
+                    halo:halo + block
+                ].astype(storage_dtype)
+                state_dma(dst_slot, i, buf_slot).start()
+
+            # the next macro step reads the dst state buffer, so its
+            # writes must land before this step returns; the final two
+            # trajectory writes stay pending into the next step
+            for i in (n_tiles - 2, n_tiles - 1):
+                state_dma(dst_slot, i, i % 2).wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_steps // k_block, step, 0)
+        # drain the last tile's still-pending trajectory writes
+        for j in (k_block - 2, k_block - 1):
+            traj_dma(n_steps - 1, n_tiles - 1, j % 2).wait()
+
+    scratch_shapes = [
+        pltpu.VMEM((2, tile_h, w_pad), storage_dtype),
+        pltpu.VMEM((2, block, w_pad), storage_dtype),
+    ]
+    if temporal_block > 1:
+        # the blocked pipeline's dedicated trajectory write ring
+        scratch_shapes.append(pltpu.VMEM((2, block, w_pad), traj_dtype))
+    scratch_shapes += [
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
     call = pl.pallas_call(
-        kernel,
+        kernel if temporal_block == 1 else blocked_kernel,
         out_shape=(
             # the trajectory keeps the padded width: Mosaic requires
             # every dimension of a sliced HBM buffer to be
             # tile-aligned, so the clean view is sliced off lazily
             jax.ShapeDtypeStruct(
-                (n_steps, h_traj, w_pad), storage_dtype
+                (n_steps, h_traj, w_pad), traj_dtype
             ),
             jax.ShapeDtypeStruct((2, h_buf, w_pad), storage_dtype),
         ),
@@ -686,13 +918,7 @@ def build_tiled_diffusion_rk4_trajectory(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, tile_h, w_pad), storage_dtype),
-            pltpu.VMEM((2, block, w_pad), storage_dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         # stage temporaries on wide tiles can push peak stack use just
         # past the 16 MB default scoped limit; physical VMEM is larger

@@ -174,3 +174,132 @@ def test_tiled_builder_rejects_interior_dirichlet():
     assert not dirichlet_is_face_only(cp)
     with _pytest.raises(ValueError):
         build_tiled_diffusion_rk4_trajectory(cp, 0.01, 2)
+
+@pytest.mark.parametrize("temporal_block", [2, 4])
+@pytest.mark.parametrize("convection", [False, True])
+def test_temporally_blocked_matches_single_step_exactly(
+    temporal_block, convection
+):
+    # K chained in-VMEM steps perform the identical per-step arithmetic
+    # (halo rows are recomputed, not reloaded), so the f32 blocked
+    # pipeline is bit-exact against the single-step pipeline
+    cp = _build_cp(10.0, 10.0, 10.0 / 63.0, convection, flux=0.1)
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 5.0), np.eye(2))], [20.0]
+    )
+    y = np.asarray(ic.discrete_y_0(True), np.float32)
+    d_t, steps = 0.005, 8
+
+    single = build_tiled_diffusion_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    blocked = build_tiled_diffusion_rk4_trajectory(
+        cp, d_t, steps, interpret=True, temporal_block=temporal_block
+    )
+    assert np.array_equal(np.asarray(single(y)), np.asarray(blocked(y)))
+
+
+def test_blocked_bf16_snapshots_round_once():
+    import jax.numpy as jnp
+
+    cp = _build_cp(10.0, 10.0, 10.0 / 63.0)
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 5.0), np.eye(2))], [20.0]
+    )
+    y = np.asarray(ic.discrete_y_0(True), np.float32)
+    d_t, steps = 0.005, 8
+
+    f32 = build_tiled_diffusion_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    split = build_tiled_diffusion_rk4_trajectory(
+        cp,
+        d_t,
+        steps,
+        interpret=True,
+        temporal_block=4,
+        traj_dtype=jnp.bfloat16,
+    )
+    ys_f32 = np.asarray(f32(y), np.float32)
+    ys_split = np.asarray(split(y), np.float32)
+    assert ys_split.shape == ys_f32.shape
+    scale = np.max(np.abs(ys_f32))
+    # the integration state stays f32, so every snapshot is a SINGLE
+    # bf16 rounding of the exact f32 frame: within one bf16 epsilon
+    # (2^-8) of the frame scale — NOT the accumulated per-step drift
+    # of a bf16 state
+    assert np.max(np.abs(ys_split - ys_f32)) <= 2.0 ** -8 * scale * 1.01
+
+
+def test_blocked_plan_halo_covers_stencil_creep():
+    plan = make_tile_plan(641, 641, sublane=8, temporal_block=6)
+    assert plan is not None
+    assert plan.halo >= 4 * 6 and plan.halo % 8 == 0
+    assert plan.tile_h == plan.block + 2 * plan.halo
+    assert plan.starts[-1] + plan.block == plan.h_traj >= 641
+
+
+def test_blocked_builder_validation():
+    import jax.numpy as jnp
+
+    cp = _build_cp(10.0, 10.0, 10.0 / 63.0)
+    with pytest.raises(ValueError, match="even"):
+        build_tiled_diffusion_rk4_trajectory(
+            cp, 0.01, 9, interpret=True, temporal_block=3
+        )
+    with pytest.raises(ValueError, match="divide"):
+        build_tiled_diffusion_rk4_trajectory(
+            cp, 0.01, 9, interpret=True, temporal_block=4
+        )
+    with pytest.raises(ValueError, match="temporal_block"):
+        build_tiled_diffusion_rk4_trajectory(
+            cp, 0.01, 8, interpret=True, traj_dtype=jnp.bfloat16
+        )
+
+
+def test_pick_temporal_block():
+    from pararealml_tpu.ops.tiled_diffusion import pick_temporal_block
+
+    assert pick_temporal_block(500, 10) == 10
+    assert pick_temporal_block(500, 8) == 4  # 8 does not divide 500
+    assert pick_temporal_block(512, 8) == 8
+    assert pick_temporal_block(7, 8) == 1  # no even divisor
+    assert pick_temporal_block(100, 1) == 1
+
+
+def test_fdm_operator_temporal_block_matches_generic():
+    # end-to-end through the operator surface: beyond-VMEM streaming
+    # path is exercised in interpret mode off-TPU
+    import jax.numpy as jnp
+
+    cp = _build_cp(10.0, 10.0, 10.0 / 63.0)
+    ic = GaussianInitialCondition(
+        cp, [(np.full(2, 5.0), np.eye(2))], [20.0]
+    )
+    y = np.asarray(ic.discrete_y_0(True), np.float32)
+    d_t, steps = 0.005, 8
+
+    direct = build_tiled_diffusion_rk4_trajectory(
+        cp, d_t, steps, interpret=True
+    )
+    op = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        d_t,
+        kernel_temporal_block=4,
+        kernel_traj_dtype=jnp.float32,
+    )
+    # the fused applicability gates require f32 mode
+    jax.config.update("jax_enable_x64", False)
+    try:
+        fn, _ = op.trajectory_function(cp, (0.0, steps * d_t))
+        # the 64x64 grid fits VMEM, so the operator may route to a
+        # whole-grid kernel; agreement is to f32 rounding either way
+        assert np.allclose(
+            np.asarray(fn(y, 0.0)),
+            np.asarray(direct(y)),
+            atol=1e-4,
+            rtol=1e-4,
+        )
+    finally:
+        jax.config.update("jax_enable_x64", True)
