@@ -3,6 +3,7 @@ from pararealml_tpu.operators.ml.supervised.sklearn_jax_regressor import (
     SKLearnJaxRegressor,
 )
 from pararealml_tpu.operators.ml.supervised.state_operator_regressor import (
+    ReducedQuadraticStateOperatorRegressor,
     StateOperatorRidgeRegressor,
 )
 from pararealml_tpu.operators.ml.supervised.supervised_ml_operator import (
@@ -15,6 +16,7 @@ SKLearnKerasRegressor = SKLearnJaxRegressor
 
 __all__ = [
     "DeepONet",
+    "ReducedQuadraticStateOperatorRegressor",
     "SKLearnJaxRegressor",
     "SKLearnKerasRegressor",
     "StateOperatorRidgeRegressor",

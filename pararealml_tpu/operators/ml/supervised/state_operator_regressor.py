@@ -27,6 +27,19 @@ coarse sweep on the matmul path.
 The model is time-invariant by construction: any time/step-size feature
 column in the layout is ignored, matching the auto-regressive
 ``SupervisedMLOperator`` mode whose step map does not depend on t.
+
+:class:`ReducedQuadraticStateOperatorRegressor` extends the same
+closed-form recipe to NONLINEAR slice jumps (Burgers, Van der Pol, any
+PDE whose flow map is not affine): it keeps the full-rank linear term
+``A y`` and adds a quadratic term evaluated in a POD-reduced subspace
+of the training states, ``B q((y - mean) V)``, so the feature count
+stays ``O(state + rank^2)`` instead of ``O(state^2)`` and both fit and
+inference remain dense matmuls on the MXU. This is the second-order
+Taylor expansion of the flow map around the training manifold, learned
+by ridge regression instead of derived — exactly the role the
+reference assigns to its Keras regressors as Parareal coarse operators
+(/root/reference/README.md:9-13), with a model class whose inference
+is two small matmuls instead of a network roll-out.
 """
 
 from __future__ import annotations
@@ -144,11 +157,31 @@ class StateOperatorRidgeRegressor(RegressorMixin, BaseEstimator):
         )
         return self
 
+    def _apply_states(self, states: jnp.ndarray) -> jnp.ndarray:
+        """The fitted step map over a ``(samples, state)`` batch."""
+        weights, intercept = self.state_map
+        return states @ weights.T + intercept
+
+    def _check_fitted(self) -> None:
+        if self._weights is None:
+            raise ValueError("regressor is not fitted")
+
+    @property
+    def jax_step_map(self):
+        """A jittable ``y_flat -> next_y_flat`` of the fitted operator
+        (the protocol :class:`SupervisedMLOperator` resolves for its
+        compiled trajectory/ends functions)."""
+        self._check_fitted()
+
+        def step(y_flat: jnp.ndarray) -> jnp.ndarray:
+            return self._apply_states(y_flat[jnp.newaxis])[0]
+
+        return step
+
     def predict(self, x: np.ndarray) -> np.ndarray:
         """Per-row predictions for inputs in the supervised layout
         (each block of rows sharing a state yields that state's
         predicted next values, one mesh point per row)."""
-        weights, intercept = self.state_map
         x = np.asarray(x)
         n_rows = len(x)
         # block size from the layout: every state column block repeats
@@ -166,7 +199,7 @@ class StateOperatorRidgeRegressor(RegressorMixin, BaseEstimator):
         states = jnp.asarray(
             x[::block, : self.state_size], self.dtype
         )
-        predictions = states @ weights.T + intercept
+        predictions = self._apply_states(states)
         return np.asarray(predictions).reshape(n_rows, -1)
 
     def score(self, x: np.ndarray, y: np.ndarray) -> float:
@@ -197,3 +230,154 @@ class StateOperatorRidgeRegressor(RegressorMixin, BaseEstimator):
         }
         saved = load_pytree(path, template)
         self.state_map = (saved["weights"], saved["intercept"])
+
+
+class ReducedQuadraticStateOperatorRegressor(
+    StateOperatorRidgeRegressor
+):
+    """Closed-form ridge fit of a quadratic state-transition map.
+
+    Models the slice jump as
+
+    ``y' = A y + B q(z) + c,   z = (y - mean) V``
+
+    where ``V`` is the ``(state, rank)`` POD basis of the centered
+    training states (top right-singular vectors) and ``q(z)`` stacks
+    the ``rank (rank + 1) / 2`` upper-triangular entries of ``z z^T``.
+    The linear term keeps the affine regressor's full-rank coverage of
+    linear dynamics; the quadratic term is the flow map's second-order
+    Taylor correction restricted to the subspace the training data
+    actually explores, so the feature count is ``state + rank^2 / 2``
+    instead of the intractable full ``state^2``. Everything is fitted
+    in one float64 normal-equations solve and applied as two dense
+    matmuls — the same MXU-friendly shape as the affine fit, now valid
+    for nonlinear problems (Burgers et al.) where the reference reaches
+    for trained Keras surrogates
+    (/root/reference/pararealml/operators/ml/supervised/
+    sklearn_keras_regressor.py:13-214).
+
+    :param state_size: the flattened solution size
+    :param rank: the POD subspace dimension carrying quadratic terms
+    :param alpha: ridge strength, scaled by the sample count at fit
+        time
+    :param dtype: the dtype of the fitted operator used at inference
+    """
+
+    def __init__(
+        self,
+        state_size: int,
+        rank: int = 24,
+        alpha: float = 1e-9,
+        dtype=jnp.float32,
+    ):
+        super().__init__(state_size, alpha, dtype)
+        self.rank = rank
+        self._quad_weights: Optional[jnp.ndarray] = None
+        self._basis: Optional[jnp.ndarray] = None
+        self._mean: Optional[jnp.ndarray] = None
+
+    def _check_fitted(self) -> None:
+        if self._quad_weights is None:
+            raise ValueError("regressor is not fitted")
+
+    @property
+    def _triu_indices(self) -> Tuple[np.ndarray, np.ndarray]:
+        return np.triu_indices(self.rank)
+
+    def _quadratic_features(self, z: np.ndarray) -> np.ndarray:
+        rows, cols = self._triu_indices
+        return z[:, rows] * z[:, cols]
+
+    def fit(
+        self, x: np.ndarray, y: np.ndarray
+    ) -> "ReducedQuadraticStateOperatorRegressor":
+        states, next_states = self._to_state_pairs(x, y)
+        states = states.astype(np.float64)
+        targets = next_states.astype(np.float64)
+        n_samples = len(states)
+
+        mean = states.mean(axis=0)
+        centered = states - mean
+        # POD basis of the training manifold: the quadratic features
+        # live where the data actually varies
+        _, _, vt = np.linalg.svd(centered, full_matrices=False)
+        rank = min(self.rank, vt.shape[0])
+        if rank < self.rank:
+            raise ValueError(
+                f"rank ({self.rank}) exceeds the training sample "
+                f"spread ({vt.shape[0]} modes); provide more data or "
+                "lower the rank"
+            )
+        basis = vt[:rank].T
+
+        z = centered @ basis
+        design = np.concatenate(
+            [
+                states,
+                self._quadratic_features(z),
+                np.ones((n_samples, 1)),
+            ],
+            axis=1,
+        )
+        gram = design.T @ design
+        gram[np.diag_indices_from(gram)] += self.alpha * n_samples
+        solution = np.linalg.solve(gram, design.T @ targets)
+
+        n = self.state_size
+        n_quad = len(self._triu_indices[0])
+        self._weights = jnp.asarray(solution[:n].T, self.dtype)
+        self._quad_weights = jnp.asarray(
+            solution[n : n + n_quad].T, self.dtype
+        )
+        self._intercept = jnp.asarray(solution[-1], self.dtype)
+        self._basis = jnp.asarray(basis, self.dtype)
+        self._mean = jnp.asarray(mean, self.dtype)
+        return self
+
+    def _apply_states(self, states: jnp.ndarray) -> jnp.ndarray:
+        self._check_fitted()
+        dtype = states.dtype
+        z = (states - self._mean.astype(dtype)) @ self._basis.astype(
+            dtype
+        )
+        rows, cols = self._triu_indices
+        quad = z[..., rows] * z[..., cols]
+        return (
+            states @ self._weights.astype(dtype).T
+            + quad @ self._quad_weights.astype(dtype).T
+            + self._intercept.astype(dtype)
+        )
+
+    def save(self, path: str) -> None:
+        from pararealml_tpu.utils.checkpoint import save_pytree
+
+        self._check_fitted()
+        save_pytree(
+            path,
+            {
+                "weights": self._weights,
+                "quad_weights": self._quad_weights,
+                "intercept": self._intercept,
+                "basis": self._basis,
+                "mean": self._mean,
+            },
+        )
+
+    def load(self, path: str) -> None:
+        from pararealml_tpu.utils.checkpoint import load_pytree
+
+        n = self.state_size
+        n_quad = len(self._triu_indices[0])
+        template = {
+            "weights": jnp.zeros((n, n), self.dtype),
+            "quad_weights": jnp.zeros((n, n_quad), self.dtype),
+            "intercept": jnp.zeros((n,), self.dtype),
+            "basis": jnp.zeros((n, self.rank), self.dtype),
+            "mean": jnp.zeros((n,), self.dtype),
+        }
+        saved = load_pytree(path, template)
+        self._weights = saved["weights"]
+        self._quad_weights = saved["quad_weights"]
+        self._intercept = saved["intercept"]
+        self._basis = saved["basis"]
+        self._mean = saved["mean"]
