@@ -21,6 +21,7 @@ whole solve is one ``jax.jit``-compiled ``lax.scan`` over time steps:
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -645,21 +646,41 @@ class FDMOperator(JaxOperator):
 
             if fused_diffusion_step_applicable(cp, self._integrator):
                 from pararealml_tpu.ops.tiled_diffusion import (
-                    pick_temporal_block,
+                    resolve_temporal_block,
+                    takes_streaming_path,
                 )
 
-                temporal_block = pick_temporal_block(
-                    steps, self._kernel_temporal_block
+                temporal_block = resolve_temporal_block(
+                    cp,
+                    steps,
+                    self._kernel_temporal_block,
+                    storage_dtype=self._kernel_storage_dtype,
+                    traj_dtype=self._kernel_traj_dtype,
                 )
+                if (
+                    temporal_block == 1
+                    and self._kernel_traj_dtype is not None
+                    and self._kernel_traj_dtype
+                    != self._kernel_storage_dtype
+                    and takes_streaming_path(cp)
+                ):
+                    # a split snapshot dtype needs the blocked pipeline;
+                    # falling back to the state dtype silently would
+                    # yield differently-rounded trajectories per solve
+                    warnings.warn(
+                        f"kernel_traj_dtype={self._kernel_traj_dtype} "
+                        "dropped: no even temporal block <= "
+                        f"{self._kernel_temporal_block} divides this "
+                        f"solve's {steps} steps with a feasible tile "
+                        "plan, so snapshots keep the storage dtype",
+                        stacklevel=2,
+                    )
                 fused_trajectory = build_fused_diffusion_rk4_trajectory(
                     cp,
                     self._d_t,
                     steps,
                     interpret=jax.default_backend() != "tpu",
                     storage_dtype=self._kernel_storage_dtype,
-                    # a split snapshot dtype needs the blocked pipeline;
-                    # fall back to the state dtype when no valid block
-                    # divides this solve's step count
                     traj_dtype=(
                         self._kernel_traj_dtype
                         if temporal_block > 1

@@ -299,16 +299,25 @@ class ReducedQuadraticStateOperatorRegressor(
         mean = states.mean(axis=0)
         centered = states - mean
         # POD basis of the training manifold: the quadratic features
-        # live where the data actually varies
-        _, _, vt = np.linalg.svd(centered, full_matrices=False)
-        rank = min(self.rank, vt.shape[0])
-        if rank < self.rank:
+        # live where the data actually varies. The top right-singular
+        # vectors come from the symmetric eigenproblem of the state
+        # Gram matrix — one (state, state) eigh instead of an SVD of
+        # the full (samples, state) data (LAPACK's divide-and-conquer
+        # SVD is also non-convergent on some large ill-conditioned
+        # trajectory matrices this path must digest)
+        gram_states = centered.T @ centered
+        eigenvalues, eigenvectors = np.linalg.eigh(gram_states)
+        order = np.argsort(eigenvalues)[::-1]
+        spread = int(
+            np.sum(eigenvalues > max(eigenvalues.max(), 0.0) * 1e-12)
+        )
+        if spread < self.rank:
             raise ValueError(
                 f"rank ({self.rank}) exceeds the training sample "
-                f"spread ({vt.shape[0]} modes); provide more data or "
+                f"spread ({spread} modes); provide more data or "
                 "lower the rank"
             )
-        basis = vt[:rank].T
+        basis = eigenvectors[:, order[: self.rank]]
 
         z = centered @ basis
         design = np.concatenate(

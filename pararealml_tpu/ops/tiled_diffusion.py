@@ -152,6 +152,76 @@ def pick_temporal_block(n_steps: int, requested: int) -> int:
     return 1
 
 
+def takes_streaming_path(cp) -> bool:
+    """Whether the fused-diffusion dispatch routes this problem's grid
+    to the HBM-streaming tiled kernel (too big for both the whole-grid
+    and the VMEM-resident kernels) — the only path that consumes
+    ``temporal_block`` and ``traj_dtype``."""
+    from pararealml_tpu.ops.fused_diffusion import (
+        _MAX_VMEM_CELLS,
+        _padded_cells,
+    )
+    from pararealml_tpu.ops.resident_diffusion import make_resident_plan
+
+    return _padded_cells(cp.mesh.vertices_shape) > _MAX_VMEM_CELLS and (
+        make_resident_plan(*cp.mesh.vertices_shape) is None
+        or not dirichlet_is_face_only(cp)
+    )
+
+
+def resolve_temporal_block(
+    cp,
+    n_steps: int,
+    requested: int,
+    storage_dtype=None,
+    traj_dtype=None,
+) -> int:
+    """The temporal block the kernel dispatch will actually run.
+
+    :func:`pick_temporal_block` filters only on parity/divisibility;
+    when the grid takes the HBM-streaming tiled path, a large block
+    also widens every tile's halo (``4 * block`` rows each side), which
+    can make :func:`make_tile_plan` infeasible — raising at solve time
+    for a block the step count approved — or degenerate (a block of
+    rows thinner than its own halo spends most of each tile residency
+    recomputing its neighbors' rows). This resolver steps the block
+    down through the valid divisors until the plan built with the
+    actual sublane and VMEM budget is feasible and its tile rows are at
+    least halo-sized (advance >= 2x redundancy bound), settling on 1
+    when no divisor qualifies. Grids that do not stream (VMEM-resident
+    kernels ignore the block) keep the parity/divisibility pick.
+    """
+    if not takes_streaming_path(cp):
+        return pick_temporal_block(n_steps, requested)
+    height, width = cp.mesh.vertices_shape
+
+    f32 = jnp.dtype(jnp.float32)
+    storage = jnp.dtype(storage_dtype) if storage_dtype else f32
+
+    def plan_feasible(k: int) -> bool:
+        snapshot = (
+            jnp.dtype(traj_dtype)
+            if traj_dtype is not None and k > 1
+            else storage
+        )
+        sublane = 8 if storage == f32 and snapshot == f32 else 16
+        plan = make_tile_plan(
+            height,
+            width,
+            sublane,
+            k,
+            max_tile_elems=(
+                _MAX_TILE_ELEMS if k == 1 else _MAX_TILE_ELEMS_BLOCKED
+            ),
+        )
+        return plan is not None and plan.block >= plan.halo
+
+    for k in range(min(int(requested), n_steps), 1, -1):
+        if k % 2 == 0 and n_steps % k == 0 and plan_feasible(k):
+            return k
+    return 1
+
+
 def dirichlet_is_face_only(cp: ConstrainedProblem) -> bool:
     """Whether all static y constraints lie on the grid faces (always
     the case for constraints created from boundary conditions; a

@@ -267,6 +267,60 @@ def test_pick_temporal_block():
     assert pick_temporal_block(100, 1) == 1
 
 
+def test_resolve_temporal_block_respects_tile_plan_feasibility():
+    from pararealml_tpu.ops.tiled_diffusion import (
+        pick_temporal_block,
+        resolve_temporal_block,
+        takes_streaming_path,
+    )
+
+    # a ~2049-wide grid takes the streaming path; a requested block of
+    # 64 would need a 256-row halo that leaves almost no tile advance
+    big_cp = _build_cp(10.0, 10.0, 10.0 / 2048.0)
+    assert takes_streaming_path(big_cp)
+    assert pick_temporal_block(512, 64) == 64
+    resolved = resolve_temporal_block(big_cp, 512, 64)
+    assert 1 < resolved < 64  # stepped down, not degraded to 1
+    # the resolved block must actually plan
+    plan = make_tile_plan(
+        *big_cp.mesh.vertices_shape, 8, resolved, max_tile_elems=1_200_000
+    )
+    assert plan is not None and plan.block >= plan.halo
+
+    # a VMEM-resident grid ignores the block: divisibility pick only
+    small_cp = _build_cp(10.0, 10.0, 10.0 / 63.0)
+    assert not takes_streaming_path(small_cp)
+    assert resolve_temporal_block(small_cp, 512, 64) == 64
+
+
+def test_fdm_operator_warns_when_traj_dtype_dropped():
+    import warnings as _warnings
+
+    import jax.numpy as jnp
+
+    # streaming-path grid, odd step count: no even temporal block
+    # divides it, so the requested bf16 snapshots must be dropped and
+    # the operator must say so instead of silently rounding differently
+    cp = _build_cp(10.0, 10.0, 10.0 / 2048.0)
+    op = FDMOperator(
+        RK4(),
+        ThreePointCentralDifferenceMethod(),
+        0.0001,
+        kernel_temporal_block=4,
+        kernel_traj_dtype=jnp.bfloat16,
+    )
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            op.trajectory_function(cp, (0.0, 7 * 0.0001))
+        assert any(
+            "kernel_traj_dtype" in str(w.message) for w in caught
+        )
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
 def test_fdm_operator_temporal_block_matches_generic():
     # end-to-end through the operator surface: beyond-VMEM streaming
     # path is exercised in interpret mode off-TPU
