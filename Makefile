@@ -29,8 +29,16 @@ test-fast:
 test-examples:
 	python -m pytest -q -n auto -m examples tests/test_examples.py
 
+# the quality gate the reference delegates to SonarCloud
+# (/root/reference/.github/workflows/build.yml:24-39): coverage is
+# computed over the full suite and the build fails if it regresses
+# below the floor
+COV_FLOOR = 85
+
 coverage:
-	python -m pytest --cov=pararealml_tpu --cov-report=xml tests/
+	python -m pytest -q -n auto --cov=pararealml_tpu \
+		--cov-report=xml --cov-report=term \
+		--cov-fail-under=$(COV_FLOOR) tests/
 
 bench:
 	python bench.py

@@ -169,6 +169,7 @@ def test_polar_ops_match_unpadded():
     _compare_all_ops(mesh, y_dim=2, vector=True)
 
 
+@pytest.mark.slow
 def test_cylindrical_ops_match_unpadded():
     mesh = Mesh(
         [(1.0, 3.0), (0.0, 2.0 * np.pi), (0.0, 1.5)],

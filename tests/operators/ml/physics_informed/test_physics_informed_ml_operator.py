@@ -96,6 +96,7 @@ def test_auto_regressive_validity_checks():
         )
 
 
+@pytest.mark.slow
 def test_population_growth_matches_analytic_solution():
     np.random.seed(0)
     cp, model_args, data_args = _population_growth_setup()
@@ -198,6 +199,7 @@ def test_trajectory_function_matches_solve():
     )
 
 
+@pytest.mark.slow
 def test_validation_history_and_retraining():
     np.random.seed(0)
     cp, model_args, data_args = _population_growth_setup()
@@ -329,6 +331,7 @@ def test_ode_system_training_lotka_volterra():
     assert np.abs(y - reference).max() < 0.05
 
 
+@pytest.mark.slow
 def test_polar_pde_training_smoke():
     # the curvilinear PINN path (symbol mapper -> batched polar
     # operators) must train stably end to end
@@ -411,6 +414,7 @@ def test_auto_regressive_rejects_t_dependent_rhs():
         )
 
 
+@pytest.mark.slow
 def test_auto_regressive_ode_end_to_end():
     # AR mode trains on one (0, d_t) step from varied initial states and
     # rolls the model forward autoregressively at solve time
@@ -455,6 +459,7 @@ def test_auto_regressive_ode_end_to_end():
     assert np.abs(solution.discrete_y()[:, 0] - exact).max() < 0.05
 
 
+@pytest.mark.slow
 def test_auto_regressive_pde_smoke():
     np.random.seed(6)
     mesh = Mesh([(0.0, 1.0)], [0.2])
@@ -504,6 +509,7 @@ def test_auto_regressive_pde_smoke():
     assert np.all(np.isfinite(y))
 
 
+@pytest.mark.slow
 def test_cylindrical_pde_training_smoke():
     from pararealml_tpu import CoordinateSystem, NeumannBoundaryCondition
 
@@ -548,6 +554,7 @@ def test_cylindrical_pde_training_smoke():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_spherical_pde_training_smoke():
     from pararealml_tpu import CoordinateSystem, NeumannBoundaryCondition
 

@@ -7,6 +7,7 @@ acceptance of any SciPy method string or ``OdeSolver`` class
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pararealml_tpu import (
     ConstrainedProblem,
@@ -66,6 +67,7 @@ def test_lsoda_nonstiff_van_der_pol_matches_scipy():
     )
 
 
+@pytest.mark.slow
 def test_lsoda_probe_selects_expected_branch():
     from pararealml_tpu.operators.ode.ode_operator import (
         _build_lsoda_integrator,

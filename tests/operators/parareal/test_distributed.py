@@ -13,6 +13,8 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
 _WORKER = textwrap.dedent(
     """
     import os, sys
@@ -60,6 +62,7 @@ _WORKER = textwrap.dedent(
 )
 
 
+@pytest.mark.slow
 def test_two_process_distributed_parareal(tmp_path):
     port = str(12000 + os.getpid() % 20000)
     env = dict(os.environ)

@@ -401,6 +401,7 @@ def test_fcf_vmap_batched_slices():
     assert np.abs(result - fine).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_tune_num_time_slices():
     ivp = _diffusion_ivp()
     f = FDMOperator(
@@ -563,6 +564,7 @@ def test_sequential_fused_batched_parareal_matches_generic():
     assert np.max(np.abs(fused_y - generic_y)) < 1e-4
 
 
+@pytest.mark.slow
 def test_sequential_fused_fcf_parareal_matches_generic():
     # FCF with a batched fused coarse end kernel in the corrections
     # must pair the sweeps with the (bit-identical) unbatched fused

@@ -126,6 +126,7 @@ def test_more_slices_than_time_shards():
     np.testing.assert_allclose(st_y, classic_y, rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_nonlinear_system_space_time():
     grid = GridMesh([(0.0, 1.0), (0.0, 1.0)], [0.1, 0.1])  # 11x11
     cp = ConstrainedProblem(
@@ -215,6 +216,7 @@ def test_validation_errors():
         ).solve(_diffusion_ivp())
 
 
+@pytest.mark.slow
 def test_fcf_relaxation_space_time():
     ivp = _diffusion_ivp()
     f, g = _operators()
@@ -239,6 +241,7 @@ def test_fcf_relaxation_space_time():
     assert np.max(np.abs(st_y - fine_y)) < 1e-4
 
 
+@pytest.mark.slow
 def test_two_axis_space_partition_in_space_time():
     # ('time', 'sx', 'sy'): slices shard over 2 time shards while the
     # grid partitions over a 2x2 space sub-mesh

@@ -109,6 +109,7 @@ def test_fused_3d_wave_matches_generic(dirichlet):
     _compare(_cp(WaveEquation(3, 1.2), 2, dirichlet), 2, 1e-4)
 
 
+@pytest.mark.slow
 def test_fused_3d_burgers_matches_generic():
     _compare(_cp(BurgersEquation(3, 50.0), 3), 3, 1e-4)
 
@@ -184,6 +185,7 @@ def test_fdm_operator_dispatches_fused_3d():
     )
 
 
+@pytest.mark.slow
 def test_3d_end_kernel_matches_trajectory_final_state():
     from pararealml_tpu import BurgersEquation
     from pararealml_tpu.ops import (

@@ -122,6 +122,7 @@ def test_tiled_burgers_matches_generic():
     _compare(cp, [0.5, -0.5])
 
 
+@pytest.mark.slow
 def test_tiled_shallow_water_matches_generic():
     cp = ConstrainedProblem(
         ShallowWaterEquation(0.5), _mesh(), _bcs(3, False)
@@ -193,6 +194,7 @@ def test_shallow_water_not_dispatched_to_tiled_beyond_vmem():
     assert not tiled_system_applicable(cp)
 
 
+@pytest.mark.slow
 def test_tiled_wave_three_tiles_matches_generic():
     # a 520-row grid plans 3 tiles (block=256), so the steady-state
     # DMA drain branches (the "i >= 2" waits) actually execute — the
@@ -209,6 +211,7 @@ def test_tiled_wave_three_tiles_matches_generic():
     _compare(cp, [1.0, 0.0], d_t=0.02, steps=3)
 
 
+@pytest.mark.slow
 def test_bf16_storage_matches_f32_within_bf16_resolution():
     import jax.numpy as jnp
 
