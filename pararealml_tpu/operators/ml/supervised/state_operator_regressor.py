@@ -261,6 +261,15 @@ class ReducedQuadraticStateOperatorRegressor(
     :param alpha: ridge strength, scaled by the sample count at fit
         time
     :param dtype: the dtype of the fitted operator used at inference
+    :param trust_margin: how far past the training data's per-mode
+        coefficient range the quadratic term keeps extrapolating before
+        its inputs are clamped (1.0 = exactly the training range).
+        Quadratic extrapolation is unbounded — one out-of-manifold
+        state (e.g. an early Parareal iterate on a not-yet-converged
+        border) would otherwise be amplified every sweep and diverge —
+        so outside the trust region the map smoothly degrades to
+        affine-plus-frozen-quadratic, which is Lipschitz and safe to
+        iterate.
     """
 
     def __init__(
@@ -269,12 +278,16 @@ class ReducedQuadraticStateOperatorRegressor(
         rank: int = 24,
         alpha: float = 1e-9,
         dtype=jnp.float32,
+        trust_margin: float = 1.5,
     ):
         super().__init__(state_size, alpha, dtype)
         self.rank = rank
+        self.trust_margin = trust_margin
         self._quad_weights: Optional[jnp.ndarray] = None
         self._basis: Optional[jnp.ndarray] = None
         self._mean: Optional[jnp.ndarray] = None
+        self._z_low: Optional[jnp.ndarray] = None
+        self._z_high: Optional[jnp.ndarray] = None
 
     def _check_fitted(self) -> None:
         if self._quad_weights is None:
@@ -341,6 +354,14 @@ class ReducedQuadraticStateOperatorRegressor(
         self._intercept = jnp.asarray(solution[-1], self.dtype)
         self._basis = jnp.asarray(basis, self.dtype)
         self._mean = jnp.asarray(mean, self.dtype)
+        # trust region: the per-mode coefficient range the quadratic
+        # term was fitted over, stretched by the margin around each
+        # mode's midpoint
+        z_min, z_max = z.min(axis=0), z.max(axis=0)
+        z_mid = 0.5 * (z_min + z_max)
+        z_half = 0.5 * (z_max - z_min) * self.trust_margin
+        self._z_low = jnp.asarray(z_mid - z_half, self.dtype)
+        self._z_high = jnp.asarray(z_mid + z_half, self.dtype)
         return self
 
     def _apply_states(self, states: jnp.ndarray) -> jnp.ndarray:
@@ -348,6 +369,9 @@ class ReducedQuadraticStateOperatorRegressor(
         dtype = states.dtype
         z = (states - self._mean.astype(dtype)) @ self._basis.astype(
             dtype
+        )
+        z = jnp.clip(
+            z, self._z_low.astype(dtype), self._z_high.astype(dtype)
         )
         rows, cols = self._triu_indices
         quad = z[..., rows] * z[..., cols]
@@ -369,6 +393,8 @@ class ReducedQuadraticStateOperatorRegressor(
                 "intercept": self._intercept,
                 "basis": self._basis,
                 "mean": self._mean,
+                "z_low": self._z_low,
+                "z_high": self._z_high,
             },
         )
 
@@ -383,6 +409,8 @@ class ReducedQuadraticStateOperatorRegressor(
             "intercept": jnp.zeros((n,), self.dtype),
             "basis": jnp.zeros((n, self.rank), self.dtype),
             "mean": jnp.zeros((n,), self.dtype),
+            "z_low": jnp.zeros((self.rank,), self.dtype),
+            "z_high": jnp.zeros((self.rank,), self.dtype),
         }
         saved = load_pytree(path, template)
         self._weights = saved["weights"]
@@ -390,3 +418,5 @@ class ReducedQuadraticStateOperatorRegressor(
         self._intercept = saved["intercept"]
         self._basis = saved["basis"]
         self._mean = saved["mean"]
+        self._z_low = saved["z_low"]
+        self._z_high = saved["z_high"]

@@ -569,11 +569,12 @@ class PararealOperator(JaxOperator):
                     return fine_iends(y_start, slice_index)
                 return fine_call(y_start, slice_index, t_0)[-1]
 
-            # fused batched/sequential sub-solves apply only to the
-            # static-BC branch below
+            # fused batched/sequential/packed sub-solves apply only to
+            # the static-BC branch below
             fine_ends_batched = None
             coarse_ends_batched = None
             fine_traj_sequential = None
+            fine_traj_batched = None
 
         else:
             time_parallel = self._use_time_parallel_trajectories(
@@ -716,6 +717,7 @@ class PararealOperator(JaxOperator):
             fine_ends_batched = None
             coarse_ends_batched = None
             fine_traj_sequential = None
+            fine_traj_batched = None
             if needs_vmap and self._prefer_sequential_fused(cp):
                 batch = n // n_devices_for_build
                 if _fine_end is None:
@@ -734,6 +736,47 @@ class PararealOperator(JaxOperator):
                     # rebuilt generic above means the fused trajectory
                     # kernel exists and cannot be vmapped; lax.map it
                     fine_traj_sequential = fine_fn_fused
+            elif (
+                needs_vmap
+                and _fine_end is None
+                and getattr(self._f, "_fused_kernels", False)
+                and hasattr(self._f, "_integrator")
+            ):
+                # grids BELOW the lane-saturation threshold: a single
+                # slice fills a fraction of one VPU tile, so both the
+                # vmapped generic path and the Pallas batch *grid*
+                # waste the vector unit. The width-PACKED kernels run
+                # the whole slice batch side by side along the lane
+                # axis in one program (ops/packed_system.py), covering
+                # the per-iteration ends and the final trajectory
+                # materialization alike
+                from pararealml_tpu.ops.packed_system import (
+                    build_packed_system_rk4_ends,
+                    build_packed_system_rk4_trajectory,
+                    packed_system_applicable,
+                )
+
+                batch = n // n_devices_for_build
+                if packed_system_applicable(
+                    cp, self._f._integrator, batch
+                ):
+                    interpret = jax.default_backend() != "tpu"
+                    fine_ends_batched = build_packed_system_rk4_ends(
+                        cp,
+                        self._f.d_t,
+                        self._fine_steps(slice_duration),
+                        batch,
+                        interpret=interpret,
+                    )
+                    fine_traj_batched = (
+                        build_packed_system_rk4_trajectory(
+                            cp,
+                            self._f.d_t,
+                            self._fine_steps(slice_duration),
+                            batch,
+                            interpret=interpret,
+                        )
+                    )
 
         n_devices = self._mesh_device_count(n)
         slices_per_device = n // n_devices
@@ -886,6 +929,11 @@ class PararealOperator(JaxOperator):
         else:
 
             def batched_fine(y_starts, slice_indices, t_0):
+                if fine_traj_batched is not None:
+                    # width-packed kernel: all slices' trajectories in
+                    # one program (autonomous systems — start times are
+                    # irrelevant under static boundary conditions)
+                    return fine_traj_batched(y_starts)
                 if fine_traj_sequential is not None:
                     # sequential fused trajectory solves beat
                     # lane-batched generic ones past the vmap-free

@@ -43,6 +43,8 @@ from pararealml_tpu.constrained_problem import ConstrainedProblem
 from pararealml_tpu.differential_equation import (
     BurgersEquation,
     CahnHilliardEquation,
+    ConvectionDiffusionEquation,
+    DiffusionEquation,
     NavierStokesEquation,
     ShallowWaterEquation,
     WaveEquation,
@@ -555,6 +557,27 @@ def _make_rhs_builder(diff_eq, polar=False):
 
         def rhs(helpers, y):
             return (y[1], c_sqr * helpers.laplacian(0, y[0]))
+
+        return rhs
+
+    if isinstance(diff_eq, ConvectionDiffusionEquation):
+        d = float(diff_eq._d)
+        v0, v1 = (float(v) for v in diff_eq._velocity)
+
+        def rhs(helpers, y):
+            return (
+                d * helpers.laplacian(0, y[0])
+                - v0 * helpers.gradient_0(0, y[0])
+                - v1 * helpers.gradient_1(0, y[0]),
+            )
+
+        return rhs
+
+    if isinstance(diff_eq, DiffusionEquation):
+        d = float(diff_eq._d)
+
+        def rhs(helpers, y):
+            return (d * helpers.laplacian(0, y[0]),)
 
         return rhs
 
