@@ -178,9 +178,21 @@ def build_resident_diffusion_rk4_trajectory(
     rhs_mask_np = row_valid * lane_valid
     lane_masks = jnp.asarray(
         np.concatenate(
-            [rhs_mask_np, onehot_left, onehot_right], axis=0
+            [
+                rhs_mask_np,
+                onehot_left,
+                onehot_right,
+                1.0 + onehot_left,
+                1.0 + onehot_right,
+                1.0 - onehot_left - onehot_right,
+            ],
+            axis=0,
         )
     )
+    # see tiled_diffusion._face_tensors: zero-flux mirror ghosts whose
+    # masks cover every non-Dirichlet-rebuilt row fold into the
+    # lateral stencil taps, dropping the rank-1 fixes
+    ghost_cols_foldable = bool(faces["ghost_col_foldable"])
 
     def roll(array, shift, axis):
         if interpret:
@@ -214,6 +226,9 @@ def build_resident_diffusion_rk4_trajectory(
         rhs_mask = lane_masks_ref[0:h_pad]
         onehot_l = lane_masks_ref[h_pad:h_pad + 1]
         onehot_r = lane_masks_ref[h_pad + 1:h_pad + 2]
+        fold_l = lane_masks_ref[h_pad + 2:h_pad + 3]
+        fold_r = lane_masks_ref[h_pad + 3:h_pad + 4]
+        grad_colmask = lane_masks_ref[h_pad + 4:h_pad + 5]
 
         # single whole-grid "tile": the column vectors' tile index is 0
         dcm_l = dir_col_mask_ref[0, 0][:, jnp.newaxis]
@@ -265,14 +280,20 @@ def build_resident_diffusion_rk4_trajectory(
             below = roll(s, h_pad - 1, 0)
             left = roll(s, 1, 1)
             right = roll(s, w_pad - 1, 1)
+            if ghost_cols_present and ghost_cols_foldable:
+                left_tap = left * fold_r
+                right_tap = right * fold_l
+            else:
+                left_tap = left
+                right_tap = right
             if a0 == a1:
                 lap = (
-                    above + below + left + right
+                    above + below + left_tap + right_tap
                 ) * a0 + s * a_center
             else:
                 lap = (
                     (above + below) * a0
-                    + (left + right) * a1
+                    + (left_tap + right_tap) * a1
                     + s * a_center
                 )
 
@@ -301,7 +322,7 @@ def build_resident_diffusion_rk4_trajectory(
             if lap_fixes:
                 lap = _override_rows(lap, lap_fixes)
 
-            if ghost_cols_present:
+            if ghost_cols_present and not ghost_cols_foldable:
                 lap = (
                     lap
                     + (right * gcm_l - two_dx1 * gcv_l)
@@ -334,7 +355,9 @@ def build_resident_diffusion_rk4_trajectory(
 
                 cv1 = np.float32(-c * velocity[1] * inv_two_dx1)
                 gradient_1 = (right - left) * cv1
-                if ghost_cols_present:
+                if ghost_cols_present and ghost_cols_foldable:
+                    gradient_1 = gradient_1 * grad_colmask
+                elif ghost_cols_present:
                     gradient_1 = (
                         gradient_1
                         * (1.0 - gcm_l * onehot_l - gcm_r * onehot_r)

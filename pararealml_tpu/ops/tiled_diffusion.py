@@ -292,6 +292,31 @@ def _face_tensors(cp: ConstrainedProblem, plan: _TilePlan):
             )
         )
 
+    # Foldability of the ghost-column fixes into the stencil taps:
+    # when both column faces are zero-flux with masks covering every
+    # row that is not fully rebuilt by a Dirichlet row stamp (or
+    # outside the grid), the mirror ghost at a boundary lane equals
+    # the inward neighbor — which the ``left``/``right`` roll planes
+    # already hold — so the whole per-stage rank-1 fix collapses to
+    # scaling those planes by ``1 + onehot`` at the boundary lane
+    # (rows the condition exempts are overwritten by the row stamp or
+    # zeroed by the rhs mask either way). This halves the ghost-column
+    # cost from ~8 full-plane VPU ops per stage to 2.
+    full_dir_rows = set()
+    if dir_mask[0, :].all():
+        full_dir_rows.add(0)
+    if dir_mask[-1, :].all():
+        full_dir_rows.add(height - 1)
+    interior_rows = np.asarray(
+        [r for r in range(height) if r not in full_dir_rows], int
+    )
+    ghost_col_foldable = bool(
+        not g_col_lo_v[interior_rows].any()
+        and not g_col_hi_v[interior_rows].any()
+        and g_col_lo_m[interior_rows].all()
+        and g_col_hi_m[interior_rows].all()
+    )
+
     # column-indexed tensors ride as f32 0/1 masks with PREMASKED
     # values: the kernel then applies every column fix as rank-1
     # broadcast multiply-adds (a (tile_h, 1) column factor times a
@@ -299,6 +324,7 @@ def _face_tensors(cp: ConstrainedProblem, plan: _TilePlan):
     # passes — single-lane extracts like ``state[:, 1]`` measured ~7 us
     # per tile and are avoided entirely
     return dict(
+        ghost_col_foldable=ghost_col_foldable,
         dir_row_mask=stack_rows(dir_mask[0], dir_mask[-1]),
         dir_row_vals=stack_rows(
             dir_vals[0].astype(dtype), dir_vals[-1].astype(dtype)
@@ -418,6 +444,12 @@ def build_tiled_diffusion_rk4_trajectory(
         )
     f32 = jnp.dtype(jnp.float32)
     sublane = 8 if storage_dtype == f32 and traj_dtype == f32 else 16
+    # measured at 2049^2 (v5e, post ghost-fold): the single-step
+    # pipeline runs fastest with MANY SMALL tiles (421k budget, 12
+    # tiles: 110.9 us/step vs 118.8 for the 4-tile 1.2M plan — small
+    # tiles keep the in/out DMAs fine-grained enough to hide under
+    # compute), while the blocked pipeline wants tall tiles to bound
+    # its halo recompute
     plan = make_tile_plan(
         height,
         width,
@@ -474,7 +506,10 @@ def build_tiled_diffusion_rk4_trajectory(
     )
 
     # one-hot f32 lane vectors for the boundary columns, plus the
-    # valid-lane mask that re-zeroes padding columns every stage
+    # valid-lane mask that re-zeroes padding columns every stage, plus
+    # the fold vectors of the foldable zero-flux ghost-column path
+    # (``1 + onehot`` tap scalings and the boundary-lane-zeroing
+    # gradient mask)
     lane_valid = np.zeros((1, w_pad), np.float32)
     lane_valid[0, :width] = 1.0
     onehot_left = np.zeros((1, w_pad), np.float32)
@@ -482,8 +517,19 @@ def build_tiled_diffusion_rk4_trajectory(
     onehot_right = np.zeros((1, w_pad), np.float32)
     onehot_right[0, width - 1] = 1.0
     lane_masks = jnp.asarray(
-        np.concatenate([lane_valid, onehot_left, onehot_right], axis=0)
+        np.concatenate(
+            [
+                lane_valid,
+                onehot_left,
+                onehot_right,
+                1.0 + onehot_left,
+                1.0 + onehot_right,
+                1.0 - onehot_left - onehot_right,
+            ],
+            axis=0,
+        )
     )
+    ghost_cols_foldable = bool(faces["ghost_col_foldable"])
 
     def roll(array, shift, axis):
         if interpret:
@@ -500,6 +546,9 @@ def build_tiled_diffusion_rk4_trajectory(
         lane_valid_v,
         onehot_l,
         onehot_r,
+        fold_l,
+        fold_r,
+        grad_colmask,
         row_iota,
         dir_col_mask_ref,
         dir_col_vals_ref,
@@ -602,14 +651,22 @@ def build_tiled_diffusion_rk4_trajectory(
             below = roll(state, tile_h - 1, 0)
             left = roll(state, 1, 1)
             right = roll(state, w_pad - 1, 1)
+            if ghost_cols_present and ghost_cols_foldable:
+                # zero-flux mirror ghosts folded into the lateral taps
+                # (rows this misstates are Dirichlet-rebuilt or masked)
+                left_tap = left * fold_r
+                right_tap = right * fold_l
+            else:
+                left_tap = left
+                right_tap = right
             if a0 == a1:  # square cells: one combined neighbor sum
                 lap = (
-                    above + below + left + right
+                    above + below + left_tap + right_tap
                 ) * a0 + state * a_center
             else:
                 lap = (
                     (above + below) * a0
-                    + (left + right) * a1
+                    + (left_tap + right_tap) * a1
                     + state * a_center
                 )
 
@@ -641,7 +698,7 @@ def build_tiled_diffusion_rk4_trajectory(
             if lap_fixes:
                 lap = _override_rows(lap, lap_fixes)
 
-            if ghost_cols_present:
+            if ghost_cols_present and not ghost_cols_foldable:
                 # ghost contribution at the boundary columns as
                 # rank-1 broadcasts: at column 0 the rolled
                 # ``right`` plane already holds state[:, 1], so no
@@ -679,7 +736,11 @@ def build_tiled_diffusion_rk4_trajectory(
 
                 cv1 = np.float32(-c * velocity[1] * inv_two_dx1)
                 gradient_1 = (right - left) * cv1
-                if ghost_cols_present:
+                if ghost_cols_present and ghost_cols_foldable:
+                    # zero-flux fold: the boundary-lane gradient is
+                    # exactly the (zero) prescribed flux
+                    gradient_1 = gradient_1 * grad_colmask
+                elif ghost_cols_present:
                     # Neumann stamp on the boundary-column
                     # gradients, rank-1 form
                     gradient_1 = (
@@ -768,6 +829,9 @@ def build_tiled_diffusion_rk4_trajectory(
                 lane_masks_ref[0:1],
                 lane_masks_ref[1:2],
                 lane_masks_ref[2:3],
+                lane_masks_ref[3:4],
+                lane_masks_ref[4:5],
+                lane_masks_ref[5:6],
                 row_iota,
                 dir_col_mask_ref,
                 dir_col_vals_ref,
