@@ -52,6 +52,13 @@ import time
 import numpy as np
 
 V5E_HBM_PEAK_GB_S = 819.0  # v5e HBM bandwidth (public spec)
+# v5e MXU peak (public spec: 197 TFLOP/s bf16; XLA's DEFAULT f32
+# matmul precision on TPU runs one bf16 MXU pass, so it shares this
+# peak) and the VPU vector-issue peak implied by the same clock
+# (8x128-lane vregs x 4 ALUs x ~1.5 GHz, counting each vector op once;
+# FMAs count two FLOPs but one issue slot)
+V5E_MXU_BF16_PEAK_TFLOPS = 197.0
+V5E_VPU_PEAK_TOPS = 6.1
 
 
 def log(*args):
@@ -477,6 +484,160 @@ def bench_sml_coarse_parareal(timer, fused_time):
     return ridge
 
 
+BURGERS_T_END = 200.0
+BURGERS_FINE_D_T = 0.0025
+BURGERS_N_SLICES = 100
+BURGERS_QUAD_RANK = 32
+BURGERS_MAX_ITERATIONS = 12
+SML_QUAD_PATH = "bench_assets/sml_quad_burgers_2d.msgpack"
+
+
+def build_burgers_problem(t_end):
+    """A 2D viscous Burgers problem (nonlinear advection) in the
+    reference's burgers_1d configuration style
+    (/root/reference/examples/burgers_1d_fdm.py: Re=100, zero-flux
+    Neumann faces, Gaussian initial bump, T=200), lifted to the 2D
+    fused-system kernel's grid."""
+    import pararealml_tpu as prml
+
+    diff_eq = prml.BurgersEquation(2, 100.0)
+    mesh = prml.Mesh([(0.0, 5.0)] * 2, [0.25] * 2)
+    bcs = [
+        (
+            prml.NeumannBoundaryCondition(
+                lambda x, t: np.zeros((len(x), 2)), is_static=True
+            ),
+        )
+        * 2
+    ] * 2
+    cp = prml.ConstrainedProblem(diff_eq, mesh, bcs)
+    ic = prml.GaussianInitialCondition(
+        cp,
+        [(np.full(2, 2.5), 0.75 * np.eye(2))] * 2,
+        [1.0, 0.5],
+    )
+    return prml.InitialValueProblem(cp, (0.0, t_end), ic)
+
+
+def bench_nonlinear_sml(timer):
+    """Parareal with a TRAINED NONLINEAR ML coarse operator on a
+    NONLINEAR problem — the reference's stated purpose
+    (/root/reference/README.md:9-13) beyond the affine-ridge shortcut
+    that only exists because diffusion's slice jump is affine.
+
+    Problem: 2D viscous Burgers (quadratic advection nonlinearity),
+    fine-solved by the fused-system Pallas kernel. Coarse: a
+    ``ReducedQuadraticStateOperatorRegressor`` slice-jump surrogate —
+    closed-form ridge fit of a full-rank linear term plus a quadratic
+    term in a POD-reduced subspace with a trust-region clamp
+    (operators/ml/supervised/state_operator_regressor.py) — trained on
+    fine trajectories of perturbed initial conditions exactly like the
+    reference trains its Keras surrogates. Inference is two dense
+    matmuls per slice jump riding the MXU; the fitted model ships as a
+    committed asset so the bench measures the composition, not
+    training (delete the asset to refit, ~3 minutes).
+
+    Correctness is tolerance-matched against the fine trajectory
+    (max diff reported); the headline is wall-clock speedup over the
+    fused sequential fine solve of the same problem."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from pararealml_tpu.operators.fdm import (
+        FDMOperator,
+        RK4,
+        ThreePointCentralDifferenceMethod,
+    )
+    from pararealml_tpu.operators.ml.supervised import (
+        ReducedQuadraticStateOperatorRegressor,
+        SupervisedMLOperator,
+    )
+    from pararealml_tpu.operators.parareal import PararealOperator
+    from pararealml_tpu.utils.rand import SEEDS, set_random_seed
+
+    ivp = build_burgers_problem(BURGERS_T_END)
+    cp = ivp.constrained_problem
+    n_y = int(np.prod(cp.y_shape(True)))
+    y_0 = jnp.asarray(
+        np.asarray(ivp.initial_condition.discrete_y_0(True), np.float32)
+    )
+    horizon = (0.0, BURGERS_T_END)
+
+    f = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), BURGERS_FINE_D_T
+    )
+    fused_fn, _ = f.trajectory_function(cp, horizon)
+    fused_time = timer.time_chained(lambda y: fused_fn(y, 0.0), y_0, 8)
+    log(
+        f"burgers 2d fused sequential fine ({BURGERS_T_END:g}s "
+        f"horizon): {fused_time * 1e3:.2f}ms"
+    )
+    fine_full = jax.jit(fused_fn)
+
+    sml = SupervisedMLOperator(BURGERS_T_END / BURGERS_N_SLICES, True)
+    model = ReducedQuadraticStateOperatorRegressor(
+        n_y, rank=BURGERS_QUAD_RANK
+    )
+    asset = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), SML_QUAD_PATH
+    )
+    if os.path.exists(asset):
+        model.load(asset)
+        log("burgers quad surrogate: loaded cached fit")
+    else:
+        set_random_seed(SEEDS[0])
+        start = time.perf_counter()
+        data = sml.generate_data(
+            ivp,
+            f,
+            12,
+            lambda t, y: y * np.random.uniform(0.9, 1.1, size=y.shape),
+        )
+        train_mse, test_mse = sml.fit_model(model, data)
+        log(
+            f"burgers quad surrogate: fitted in "
+            f"{time.perf_counter() - start:.0f}s "
+            f"(MSE train {train_mse:.2e} test {test_mse:.2e})"
+        )
+        os.makedirs(os.path.dirname(asset), exist_ok=True)
+        model.save(asset)
+    sml.model = model
+
+    parareal = PararealOperator(
+        f,
+        sml,
+        TOLERANCE,
+        num_time_slices=BURGERS_N_SLICES,
+        max_iterations=BURGERS_MAX_ITERATIONS,
+    )
+    parareal_fn, _ = parareal.trajectory_function(cp, horizon)
+
+    def solve(y):
+        return parareal_fn(y, jnp.asarray(0.0, y.dtype))
+
+    diff_fn = jax.jit(
+        lambda y: jnp.max(jnp.abs(solve(y) - fine_full(y, 0.0)))
+    )
+    max_diff = float(diff_fn(y_0))
+    elapsed = timer.time_chained(solve, y_0, 16)
+    log(
+        f"burgers 2d quad-coarse parareal ({BURGERS_N_SLICES} slices, "
+        f"<= {BURGERS_MAX_ITERATIONS} iterations): "
+        f"{elapsed * 1e3:.2f}ms -> {fused_time / elapsed:.2f}x vs "
+        f"fused fine; max diff vs fine {max_diff:.3e}"
+    )
+    return {
+        "speedup_vs_fused_fine": fused_time / elapsed,
+        "time_s": elapsed,
+        "max_diff_vs_fine": max_diff,
+        "fused_fine_time_s": fused_time,
+        "n_time_slices": BURGERS_N_SLICES,
+        "quad_rank": BURGERS_QUAD_RANK,
+    }
+
+
 def bench_pinn(timer):
     """Physics-informed (DeepONet) training and inference throughput on
     the reference's diffusion_1d_physics_informed_ml workload shape
@@ -586,13 +747,91 @@ def bench_pinn(timer):
         f"loss {final_loss:.3e} after {epochs + 2} epochs), "
         f"{n_steps}-step solve {solve_time * 1e3:.2f}ms"
     )
+
+    # the quality loop: a committed asset holds the reference-scale
+    # training result (5000 epochs — the reference example's budget,
+    # /root/reference/examples/diffusion_1d_physics_informed_ml.py:77,
+    # regenerated by .scratch/train_pinn_asset.py); its converged loss
+    # plus the trained model's max solution error vs an FDM fine solve
+    # close the "throughput but no quality" gap
+    quality = _pinn_quality(piml, cp, t_interval, model_args)
+
     return {
         "train_epochs_per_s": epochs_per_s,
         "train_domain_points_per_s": points_per_s,
         "train_loss": final_loss,
         "solve_time_s": solve_time,
         "solve_steps": n_steps,
+        **quality,
     }
+
+
+PINN_ASSET_PATH = "bench_assets/pinn_diffusion_1d.msgpack"
+
+
+def _pinn_quality(piml, cp, t_interval, model_args):
+    """Loads the 5000-epoch trained PINN asset and measures the
+    converged model's worst solution error against the FDM fine solve
+    (Crank-Nicolson d_t=1e-4, the reference example's oracle) over the
+    example's three test initial conditions."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    import pararealml_tpu as prml
+    from pararealml_tpu.operators.fdm import (
+        CrankNicolsonMethod,
+        FDMOperator,
+        ThreePointCentralDifferenceMethod,
+    )
+    from pararealml_tpu.operators.ml.physics_informed import (
+        PhysicsInformedRegressor,
+    )
+    from pararealml_tpu.utils.checkpoint import load_pytree
+
+    asset = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), PINN_ASSET_PATH
+    )
+    if not os.path.exists(asset):
+        log("pinn quality: no trained asset, skipping")
+        return {}
+    regressor = PhysicsInformedRegressor(
+        model=model_args.model,
+        cp=cp,
+        ic_loss_weight=model_args.ic_loss_weight,
+        vertex_oriented=True,
+    )
+    template = {
+        "params": regressor.init_params(jax.random.PRNGKey(0)),
+        "final_loss": jnp.zeros((), jnp.float32),
+        "epochs": jnp.zeros((), jnp.int32),
+    }
+    saved = load_pytree(asset, template)
+    regressor.params = saved["params"]
+    piml.model = regressor
+    final_loss = float(saved["final_loss"])
+    epochs = int(saved["epochs"])
+
+    fdm = FDMOperator(
+        CrankNicolsonMethod(), ThreePointCentralDifferenceMethod(), 1e-4
+    )
+    max_err = 0.0
+    for p in (2.0, 3.5, 5.0):
+        ic = prml.MarginalBetaProductInitialCondition(cp, [[(p, p)]])
+        ivp = prml.InitialValueProblem(cp, t_interval, ic)
+        fdm_y = fdm.solve(ivp).discrete_y(True)
+        piml_y = piml.solve(ivp).discrete_y(True)
+        stride = len(fdm_y) // len(piml_y)
+        max_err = max(
+            max_err,
+            float(np.max(np.abs(piml_y - fdm_y[stride - 1 :: stride]))),
+        )
+    log(
+        f"pinn quality ({epochs}-epoch asset): final loss "
+        f"{final_loss:.3e}, max solution err vs FDM fine {max_err:.3e}"
+    )
+    return {"final_loss": final_loss, "solution_max_err": max_err}
 
 
 def bench_fcf(timer):
@@ -954,6 +1193,256 @@ def bench_large_grid(timer):
     }
 
 
+def bench_streaming(timer):
+    """The HBM-streaming tiled pipeline where bandwidth can actually
+    bind: 2049x2049, past the VMEM-resident kernel's range
+    (``make_resident_plan`` returns None), so every step round-trips
+    the state through HBM (ops/tiled_diffusion.py).
+
+    Measured v5e facts this section records (post ghost-fold):
+
+    - f32 single-step pipeline moves its honest traffic (12 halo'd
+      tile reads + state write + trajectory write per step) at ~500
+      GB/s = ~62% of the chip's 819 GB/s peak while fully overlapping
+      it under compute.
+    - ``temporal_block=2`` halves the state stream at zero extra halo
+      recompute (the 8-row f32 halo already covers two steps' stencil
+      creep) and is the wall-clock champion; deeper blocks lose to
+      halo recompute because the pipeline is VPU-bound, not DMA-bound.
+    - bf16 storage does NOT pay wall-clock here (~1.03x): Mosaic has
+      no sub-32-bit VPU rotates so compute stays f32 and compute is
+      the binding resource. Its value at this scale is HBM *capacity*
+      (a bf16 trajectory halves the footprint, doubling the horizon
+      that fits) — the kernel docstring says exactly this.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import pararealml_tpu as prml
+    from pararealml_tpu.operators.fdm import (
+        FDMOperator,
+        RK4,
+        ThreePointCentralDifferenceMethod,
+    )
+    from pararealml_tpu.ops.resident_diffusion import make_resident_plan
+    from pararealml_tpu.ops.tiled_diffusion import (
+        _MAX_TILE_ELEMS,
+        _MAX_TILE_ELEMS_BLOCKED,
+        make_tile_plan,
+        resolve_temporal_block,
+    )
+
+    n = 2049
+    steps = 192
+    d_t = 1e-5
+    ivp = build_problem(
+        vars(prml), steps * d_t, d_x=10.0 / (n - 1), d=0.05
+    )
+    cp = ivp.constrained_problem
+    assert make_resident_plan(n, n) is None  # truly streaming regime
+    y_0 = jnp.asarray(
+        np.asarray(ivp.initial_condition.discrete_y_0(True), np.float32)
+    )
+    horizon = (0.0, steps * d_t)
+
+    def measure(**kwargs):
+        op = FDMOperator(
+            RK4(), ThreePointCentralDifferenceMethod(), d_t, **kwargs
+        )
+        fn, _ = op.trajectory_function(cp, horizon)
+        elapsed = timer.time_chained(lambda y: fn(y, 0.0), y_0, 4)
+        block = resolve_temporal_block(
+            cp,
+            steps,
+            kwargs.get("kernel_temporal_block", 1),
+            storage_dtype=kwargs.get("kernel_storage_dtype"),
+            traj_dtype=kwargs.get("kernel_traj_dtype"),
+        )
+        storage = jnp.dtype(
+            kwargs.get("kernel_storage_dtype") or jnp.float32
+        )
+        traj = jnp.dtype(
+            (kwargs.get("kernel_traj_dtype") if block > 1 else None)
+            or storage
+        )
+        f32 = jnp.dtype(jnp.float32)
+        sublane = 8 if storage == f32 and traj == f32 else 16
+        plan = make_tile_plan(
+            n,
+            n,
+            sublane,
+            block,
+            max_tile_elems=(
+                _MAX_TILE_ELEMS if block == 1 else _MAX_TILE_ELEMS_BLOCKED
+            ),
+        )
+        # honest traffic: per residency every tile reads tile_h rows
+        # and writes block rows of state (once per temporal block),
+        # plus one trajectory snapshot write per step
+        state_bytes = (
+            (steps // block)
+            * plan.n_tiles
+            * (plan.tile_h + plan.block)
+            * plan.w_pad
+            * storage.itemsize
+        )
+        traj_bytes = steps * plan.h_traj * plan.w_pad * traj.itemsize
+        gb_s = (state_bytes + traj_bytes) / elapsed / 1e9
+        return elapsed, gb_s, fn
+
+    f32_time, f32_gb_s, f32_fn = measure()
+    blocked_time, blocked_gb_s, _ = measure(kernel_temporal_block=2)
+    bf16_time, bf16_gb_s, bf16_fn = measure(
+        kernel_storage_dtype=jnp.bfloat16, kernel_temporal_block=2
+    )
+    rel_err_fn = jax.jit(
+        lambda y: jnp.max(
+            jnp.abs(bf16_fn(y, 0.0)[-1] - f32_fn(y, 0.0)[-1])
+        )
+        / jnp.max(jnp.abs(f32_fn(y, 0.0)[-1]))
+    )
+    bf16_rel_err = float(rel_err_fn(y_0))
+    log(
+        f"streaming {n}x{n}, {steps} steps: f32 tb=1 {f32_time:.3f}s "
+        f"({f32_gb_s:.0f} GB/s honest = "
+        f"{f32_gb_s / V5E_HBM_PEAK_GB_S:.1%} of peak), f32 tb=2 "
+        f"{blocked_time:.3f}s ({f32_time / blocked_time:.2f}x), bf16 "
+        f"tb=2 {bf16_time:.3f}s ({blocked_time / bf16_time:.2f}x vs "
+        f"f32 tb=2, rel err {bf16_rel_err:.1e}) - VPU-bound regime, "
+        "bf16 trades no wall time and halves HBM footprint"
+    )
+    return {
+        "grid": n,
+        "steps": steps,
+        "f32_time_s": f32_time,
+        "f32_gb_s": f32_gb_s,
+        "f32_peak_fraction": f32_gb_s / V5E_HBM_PEAK_GB_S,
+        "blocked_time_s": blocked_time,
+        "blocked_gb_s": blocked_gb_s,
+        "blocked_speedup_vs_f32": f32_time / blocked_time,
+        "bf16_time_s": bf16_time,
+        "bf16_speedup_vs_f32_blocked": blocked_time / bf16_time,
+        "bf16_rel_err": bf16_rel_err,
+    }
+
+
+def bench_roofline(timer, large, streaming):
+    """FLOP/byte/MFU accounting for the hot kernels against the v5e
+    peaks, so every "X-bound" claim in this file is falsifiable.
+
+    - ``propagator``: the affine-propagator GEMM chain — a dependent
+      sequence of ``(steps, state) @ (state, state)`` matmuls, the
+      exact shape Parareal's log-depth trajectory expansion and
+      affine coarse sweeps ride (ops/linear_propagator.py). MFU is
+      quoted against the 197 TFLOP/s bf16 MXU peak (XLA's DEFAULT f32
+      matmul precision is one bf16 pass, so f32 GEMMs share it).
+    - ``resident``/``streaming``: the stencil trajectory kernels. The
+      FLOP model counts the Horner-RK4 arithmetic actually executed
+      per padded cell per step (4 stages x [2 fold muls + 3 neighbor
+      adds + 1 tap scale + 1 center FMA(2) + 1 mask mul + 1 state
+      add] = 40 FLOPs); the issue-slot model adds the 4 ``pltpu.roll``
+      data movements per stage (56 slots) since rolls occupy the VPU
+      without doing arithmetic. The verdict each round: which of
+      VPU issue, HBM DMA, and loop latency binds.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    chain = 64
+    m, state = 40000, 441
+    key = jax.random.PRNGKey(0)
+    # near-identity propagator keeps the chain numerically tame
+    w32 = (
+        jnp.eye(state, dtype=jnp.float32)
+        + 1e-4 * jax.random.normal(key, (state, state), jnp.float32)
+    )
+    a32 = jax.random.normal(key, (m, state), jnp.float32)
+
+    def chain_fn(a, w):
+        def body(carry, _):
+            return carry @ w, ()
+
+        out, _ = jax.lax.scan(body, a, None, length=chain)
+        return jnp.sum(out)
+
+    flops = 2.0 * m * state * state * chain
+    t_f32 = timer.time(jax.jit(chain_fn), a32, w32)
+    tflops_f32 = flops / t_f32 / 1e12
+    t_bf16 = timer.time(
+        jax.jit(chain_fn), a32.astype(jnp.bfloat16), w32.astype(jnp.bfloat16)
+    )
+    tflops_bf16 = flops / t_bf16 / 1e12
+    mfu_f32 = tflops_f32 / V5E_MXU_BF16_PEAK_TFLOPS
+    mfu_bf16 = tflops_bf16 / V5E_MXU_BF16_PEAK_TFLOPS
+    log(
+        f"roofline propagator GEMM chain ({m}x{state} @ "
+        f"{state}x{state}, {chain} deep): f32-default "
+        f"{tflops_f32:.1f} TFLOP/s (MFU {mfu_f32:.1%}), bf16 "
+        f"{tflops_bf16:.1f} TFLOP/s (MFU {mfu_bf16:.1%}); "
+        f"{state}-dim state pads to 512 so the layout ceiling is "
+        f"{(state / 512) ** 2:.0%}"
+    )
+
+    flops_per_cell_step = 40.0
+    slots_per_cell_step = 56.0
+
+    def stencil_entry(label, cells, steps, elapsed, dma_bytes):
+        tflops = cells * steps * flops_per_cell_step / elapsed / 1e12
+        issue = cells * steps * slots_per_cell_step / elapsed / 1e12
+        dma_gb_s = dma_bytes / elapsed / 1e9
+        vpu_frac = issue / V5E_VPU_PEAK_TOPS
+        hbm_frac = dma_gb_s / V5E_HBM_PEAK_GB_S
+        us_per_step = elapsed / steps * 1e6
+        verdict = (
+            "vpu-issue-bound"
+            if vpu_frac >= 2.0 * hbm_frac
+            else ("hbm-bound" if hbm_frac >= 2.0 * vpu_frac else "mixed")
+        )
+        log(
+            f"roofline {label}: {tflops:.2f} TFLOP/s arithmetic "
+            f"({tflops / V5E_VPU_PEAK_TOPS:.0%} of VPU peak), "
+            f"{issue:.2f} T issue-slots/s ({vpu_frac:.0%}), DMA "
+            f"{dma_gb_s:.0f} GB/s ({hbm_frac:.0%}), "
+            f"{us_per_step:.1f} us/step -> {verdict}"
+        )
+        return {
+            "tflops": tflops,
+            "vpu_issue_fraction": vpu_frac,
+            "hbm_fraction": hbm_frac,
+            "verdict": verdict,
+        }
+
+    from pararealml_tpu.ops.resident_diffusion import make_resident_plan
+    from pararealml_tpu.ops.tiled_diffusion import make_tile_plan
+
+    plan_641 = make_resident_plan(641, 641)
+    resident = stencil_entry(
+        "resident 641^2",
+        plan_641.h_pad * plan_641.w_pad,
+        2000,
+        large["fused_time_s"],
+        # resident kernel's only HBM traffic: one padded trajectory
+        # write per step plus the initial read
+        2001 * plan_641.h_pad * plan_641.w_pad * 4,
+    )
+    plan_2049 = make_tile_plan(2049, 2049, 8)
+    streaming_entry = stencil_entry(
+        "streaming 2049^2 (tb=1)",
+        plan_2049.n_tiles * plan_2049.tile_h * plan_2049.w_pad,
+        streaming["steps"],
+        streaming["f32_time_s"],
+        streaming["f32_gb_s"] * streaming["f32_time_s"] * 1e9,
+    )
+    return {
+        "propagator_tflops_f32": tflops_f32,
+        "propagator_mfu_f32": mfu_f32,
+        "propagator_tflops_bf16": tflops_bf16,
+        "propagator_mfu_bf16": mfu_bf16,
+        "resident": resident,
+        "streaming": streaming_entry,
+    }
+
+
 def bench_3d(timer):
     """Fused 3D kernel vs the generic path on a 21^3 Cartesian viscous
     Burgers configuration (the fused 3D kernels' benchmark problem;
@@ -1100,7 +1589,10 @@ def main():
     sml = bench_sml_coarse_parareal(
         timer, parareal["fused_fine_time_s"]
     )
+    nonlinear = bench_nonlinear_sml(timer)
     large = bench_large_grid(timer)
+    streaming = bench_streaming(timer)
+    roofline = bench_roofline(timer, large, streaming)
     burgers_3d = bench_3d(timer)
     pinn = bench_pinn(timer)
     fcf = bench_fcf(timer)
@@ -1143,6 +1635,20 @@ def main():
         "sml_deeponet_parareal_max_diff_vs_fine": sml["deeponet"][
             "max_diff_vs_fine"
         ],
+        "sml_nonlinear_parareal_speedup": round(
+            nonlinear["speedup_vs_fused_fine"], 3
+        ),
+        "sml_nonlinear_parareal_time_s": round(
+            nonlinear["time_s"], 5
+        ),
+        "sml_nonlinear_parareal_max_diff_vs_fine": nonlinear[
+            "max_diff_vs_fine"
+        ],
+        "sml_nonlinear_fused_fine_time_s": round(
+            nonlinear["fused_fine_time_s"], 5
+        ),
+        "sml_nonlinear_n_time_slices": nonlinear["n_time_slices"],
+        "sml_nonlinear_quad_rank": nonlinear["quad_rank"],
         "large_grid_fused_speedup_vs_generic": round(
             large["fused_speedup_vs_generic"], 3
         ),
@@ -1184,6 +1690,51 @@ def main():
             if large["measured_epilogue_copy_gb_s"]
             else None
         ),
+        "streaming_grid": streaming["grid"],
+        "streaming_f32_time_s": round(streaming["f32_time_s"], 5),
+        "streaming_f32_gb_s": round(streaming["f32_gb_s"], 1),
+        "streaming_f32_peak_fraction": round(
+            streaming["f32_peak_fraction"], 4
+        ),
+        "streaming_blocked_speedup_vs_f32": round(
+            streaming["blocked_speedup_vs_f32"], 3
+        ),
+        "streaming_bf16_speedup_vs_f32_blocked": round(
+            streaming["bf16_speedup_vs_f32_blocked"], 3
+        ),
+        "streaming_bf16_rel_err": streaming["bf16_rel_err"],
+        "roofline_propagator_tflops_f32": round(
+            roofline["propagator_tflops_f32"], 2
+        ),
+        "roofline_propagator_mfu_f32": round(
+            roofline["propagator_mfu_f32"], 4
+        ),
+        "roofline_propagator_tflops_bf16": round(
+            roofline["propagator_tflops_bf16"], 2
+        ),
+        "roofline_propagator_mfu_bf16": round(
+            roofline["propagator_mfu_bf16"], 4
+        ),
+        "roofline_resident_tflops": round(
+            roofline["resident"]["tflops"], 3
+        ),
+        "roofline_resident_vpu_issue_fraction": round(
+            roofline["resident"]["vpu_issue_fraction"], 4
+        ),
+        "roofline_resident_hbm_fraction": round(
+            roofline["resident"]["hbm_fraction"], 4
+        ),
+        "roofline_resident_verdict": roofline["resident"]["verdict"],
+        "roofline_streaming_tflops": round(
+            roofline["streaming"]["tflops"], 3
+        ),
+        "roofline_streaming_vpu_issue_fraction": round(
+            roofline["streaming"]["vpu_issue_fraction"], 4
+        ),
+        "roofline_streaming_hbm_fraction": round(
+            roofline["streaming"]["hbm_fraction"], 4
+        ),
+        "roofline_streaming_verdict": roofline["streaming"]["verdict"],
         "burgers_3d_fused_speedup_vs_generic": round(burgers_3d, 3),
         "pinn_train_epochs_per_s": round(
             pinn["train_epochs_per_s"], 2
@@ -1194,6 +1745,8 @@ def main():
         "pinn_train_loss": pinn["train_loss"],
         "pinn_solve_time_s": round(pinn["solve_time_s"], 5),
         "pinn_solve_steps": pinn["solve_steps"],
+        "pinn_final_loss": pinn.get("final_loss"),
+        "pinn_solution_max_err": pinn.get("solution_max_err"),
         "fcf_classic_iterations": fcf["f"][
             "iterations_to_tolerance"
         ],

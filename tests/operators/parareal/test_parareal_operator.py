@@ -587,3 +587,69 @@ def test_sequential_fused_fcf_parareal_matches_generic():
     finally:
         jax.config.update("jax_enable_x64", True)
     assert np.max(np.abs(fused_y - generic_y)) < 1e-4
+
+
+def test_nonlinear_quadratic_ml_coarse_parareal_matches_fine():
+    """Parareal with a TRAINED NONLINEAR surrogate coarse operator on a
+    problem whose slice jump is NOT affine (2D viscous Burgers) — the
+    reference's ML-coarse composition
+    (/root/reference/pararealml/operators/parareal/
+    parareal_operator.py:102-197 with an ML ``g``,
+    /root/reference/README.md:9-13) beyond the affine-ridge special
+    case. The coarse operator is a reduced-quadratic state-operator
+    fit (closed-form ridge of linear + POD-subspace-quadratic terms)
+    trained on fine trajectories of perturbed initial conditions."""
+    from pararealml_tpu import BurgersEquation
+    from pararealml_tpu.operators.ml.supervised import (
+        ReducedQuadraticStateOperatorRegressor,
+        SupervisedMLOperator,
+    )
+
+    mesh = Mesh([(0.0, 5.0), (0.0, 5.0)], [0.5, 0.5])
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 2)), is_static=True
+    )
+    cp = ConstrainedProblem(
+        BurgersEquation(2, 100.0), mesh, [(bc, bc)] * 2
+    )
+    ic = GaussianInitialCondition(
+        cp,
+        [(np.full(2, 2.5), 0.75 * np.eye(2))] * 2,
+        [1.0, 0.5],
+    )
+    t_end = 2.0
+    ivp = InitialValueProblem(cp, (0.0, t_end), ic)
+    n_y = int(np.prod(cp.y_shape(True)))
+
+    f = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), 0.005,
+        fused_kernels=False,
+    )
+    n_slices = 8
+    sml = SupervisedMLOperator(t_end / n_slices, True)
+    np.random.seed(0)
+    data = sml.generate_data(
+        ivp,
+        f,
+        6,
+        lambda t, y: y * np.random.uniform(0.9, 1.1, size=y.shape),
+    )
+    model = ReducedQuadraticStateOperatorRegressor(n_y, rank=8)
+    train_mse, test_mse = sml.fit_model(model, data)
+    assert train_mse < 1e-8
+    assert test_mse < 1e-4
+
+    import jax.numpy as jnp
+
+    parareal = PararealOperator(
+        f, sml, 0.005, num_time_slices=n_slices, max_iterations=4
+    )
+    fn, _ = parareal.trajectory_function(cp, (0.0, t_end))
+    fine_fn, _ = f.trajectory_function(cp, (0.0, t_end))
+    y_0 = jnp.asarray(ivp.initial_condition.discrete_y_0(True))
+    parareal_y = np.asarray(fn(y_0, jnp.asarray(0.0, y_0.dtype)))
+    fine_y = np.asarray(fine_fn(y_0, jnp.asarray(0.0, y_0.dtype)))
+    assert parareal_y.shape == fine_y.shape
+    # the quadratic surrogate captures the nonlinear slice jump well
+    # enough that a handful of Parareal corrections reach fine accuracy
+    assert np.max(np.abs(parareal_y - fine_y)) < 0.005
