@@ -284,6 +284,7 @@ class ReducedQuadraticStateOperatorRegressor(
         self.rank = rank
         self.trust_margin = trust_margin
         self._quad_weights: Optional[jnp.ndarray] = None
+        self._quad_weights_full: Optional[jnp.ndarray] = None
         self._basis: Optional[jnp.ndarray] = None
         self._mean: Optional[jnp.ndarray] = None
         self._z_low: Optional[jnp.ndarray] = None
@@ -300,6 +301,31 @@ class ReducedQuadraticStateOperatorRegressor(
     def _quadratic_features(self, z: np.ndarray) -> np.ndarray:
         rows, cols = self._triu_indices
         return z[:, rows] * z[:, cols]
+
+    def _expand_quad_weights(self) -> None:
+        """Expands the fitted upper-triangular quadratic weights to the
+        full ``(state, rank, rank)`` outer-product form used at
+        inference: ``q_triu(z) @ B.T == vec(z z^T) @ B_full.T`` with
+        off-diagonal weights split evenly between the two symmetric
+        outer entries. The triangular form stays the persisted/fitted
+        representation; the full form exists because evaluating
+        ``z[:, rows] * z[:, cols]`` is a 528-element GATHER that
+        dominates a serial Parareal coarse sweep on TPU (measured ~129
+        us per apply at rank 32), while ``outer(z, z).reshape(-1)`` is
+        one broadcast multiply."""
+        rows, cols = self._triu_indices
+        weights = np.asarray(self._quad_weights, np.float64)
+        full = np.zeros(
+            (self.state_size, self.rank, self.rank), np.float64
+        )
+        off_diagonal = (rows != cols).astype(np.float64)
+        split = weights * (1.0 - 0.5 * off_diagonal)
+        full[:, rows, cols] = split
+        full[:, cols, rows] = split
+        self._quad_weights_full = jnp.asarray(
+            full.reshape(self.state_size, self.rank * self.rank),
+            self.dtype,
+        )
 
     def fit(
         self, x: np.ndarray, y: np.ndarray
@@ -362,6 +388,7 @@ class ReducedQuadraticStateOperatorRegressor(
         z_half = 0.5 * (z_max - z_min) * self.trust_margin
         self._z_low = jnp.asarray(z_mid - z_half, self.dtype)
         self._z_high = jnp.asarray(z_mid + z_half, self.dtype)
+        self._expand_quad_weights()
         return self
 
     def _apply_states(self, states: jnp.ndarray) -> jnp.ndarray:
@@ -373,11 +400,14 @@ class ReducedQuadraticStateOperatorRegressor(
         z = jnp.clip(
             z, self._z_low.astype(dtype), self._z_high.astype(dtype)
         )
-        rows, cols = self._triu_indices
-        quad = z[..., rows] * z[..., cols]
+        # gather-free quadratic features: the full outer product
+        # (see _expand_quad_weights)
+        quad = (z[..., :, jnp.newaxis] * z[..., jnp.newaxis, :]).reshape(
+            *z.shape[:-1], self.rank * self.rank
+        )
         return (
             states @ self._weights.astype(dtype).T
-            + quad @ self._quad_weights.astype(dtype).T
+            + quad @ self._quad_weights_full.astype(dtype).T
             + self._intercept.astype(dtype)
         )
 
@@ -420,3 +450,4 @@ class ReducedQuadraticStateOperatorRegressor(
         self._mean = saved["mean"]
         self._z_low = saved["z_low"]
         self._z_high = saved["z_high"]
+        self._expand_quad_weights()
