@@ -220,8 +220,17 @@ class _StencilHelpers:
         self._grv = ghost_row_vals
         self._gcm = ghost_col_mask
         self._gcv = ghost_col_vals
+        self._shift_cache = {}
 
     def _shifts(self, state):
+        # every RHS evaluates laplacian + gradients on the SAME state
+        # plane, and each helper needs the same four shifted copies;
+        # memoizing per traced plane emits them once per stage instead
+        # of once per helper call (the held reference keeps the tracer
+        # alive so ids cannot be recycled within a trace)
+        cached = self._shift_cache.get(id(state))
+        if cached is not None and cached[0] is state:
+            return cached[1]
         g = self._g
         above = jnp.concatenate(
             [g["zero_row"], state[:-1, :]], axis=0
@@ -231,7 +240,9 @@ class _StencilHelpers:
         )
         left = jnp.concatenate([g["zero_col"], state[:, :-1]], axis=1)
         right = jnp.concatenate([state[:, 1:], g["zero_col"]], axis=1)
-        return above, below, left, right
+        shifts = (above, below, left, right)
+        self._shift_cache[id(state)] = (state, shifts)
+        return shifts
 
     def _zero_pads(self, x):
         """Replaces pad rows/lanes with zeros so garbage can never leak

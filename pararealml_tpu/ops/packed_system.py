@@ -108,6 +108,8 @@ def packed_system_applicable(
     height, width = cp.mesh.vertices_shape
     n = diff_eq.y_dimension
     ph = -(-height // 8) * 8
+    if ph == height:  # matches _PackedConfig's roll-safety padding row
+        ph += 8
     cells = ph * _packed_width(width, batch)
     return cells * (7 * n + 4) <= _VMEM_BUDGET_CELLS
 
@@ -130,6 +132,7 @@ class _PackedStencilHelpers:
         ghost_row_vals,
         ghost_col_mask,
         ghost_col_vals,
+        use_rolls: bool = False,
     ):
         self._g = geometry
         self._grm = ghost_row_mask  # (2, n, Wp) tiled along width
@@ -141,18 +144,49 @@ class _PackedStencilHelpers:
             jnp.float32
         )  # (2, n, ph) shared by all slices
         self._gcv = ghost_col_vals
+        self._use_rolls = use_rolls
+        self._shift_cache = {}
 
     def _shifts(self, state):
+        # memoized per traced plane: the RHS calls laplacian plus both
+        # gradients on the same state, and each needs the same four
+        # shifted copies (the held reference keeps the tracer alive so
+        # ids cannot be recycled within a trace)
+        cached = self._shift_cache.get(id(state))
+        if cached is not None and cached[0] is state:
+            return cached[1]
         g = self._g
-        above = jnp.concatenate(
-            [g["zero_row"], state[:-1, :]], axis=0
-        )
-        below = jnp.concatenate(
-            [state[1:, :], g["zero_row"]], axis=0
-        )
-        left = jnp.concatenate([g["zero_col"], state[:, :-1]], axis=1)
-        right = jnp.concatenate([state[:, 1:], g["zero_col"]], axis=1)
-        return above, below, left, right
+        if self._use_rolls:
+            # pltpu.roll beats zero-concatenated shift copies on TPU
+            # (see tiled_diffusion). Wrap-around is structurally
+            # harmless in the packed layout: the plane's padding rows
+            # are below ``height`` + every slice trails a zero gap
+            # column (and the plan guarantees ph > height), so each
+            # wrapped row/lane is either zero or lands in cells the
+            # helpers' ``_mask`` re-zeroes
+            from jax.experimental.pallas import tpu as pltpu
+
+            ph, wp = state.shape
+            above = pltpu.roll(state, 1, 0)
+            below = pltpu.roll(state, ph - 1, 0)
+            left = pltpu.roll(state, 1, 1)
+            right = pltpu.roll(state, wp - 1, 1)
+        else:
+            above = jnp.concatenate(
+                [g["zero_row"], state[:-1, :]], axis=0
+            )
+            below = jnp.concatenate(
+                [state[1:, :], g["zero_row"]], axis=0
+            )
+            left = jnp.concatenate(
+                [g["zero_col"], state[:, :-1]], axis=1
+            )
+            right = jnp.concatenate(
+                [state[:, 1:], g["zero_col"]], axis=1
+            )
+        shifts = (above, below, left, right)
+        self._shift_cache[id(state)] = (state, shifts)
+        return shifts
 
     def _mask(self, x):
         """Zeroes gaps, lane padding, and pad rows so garbage can never
@@ -270,7 +304,12 @@ class _PackedConfig:
         self.batch = batch
         self.height, self.width = height, width = mesh.vertices_shape
         self.stride = stride = width + 1
-        self.padded_height = ph = -(-height // 8) * 8
+        # at least one all-zero padding row so roll-based shifts can
+        # never wrap a real row into row 0's ``above``
+        ph = -(-height // 8) * 8
+        if ph == height:
+            ph += 8
+        self.padded_height = ph
         self.packed_width = wp = _packed_width(width, batch)
         d_x0, d_x1 = mesh.d_x
         self.dtype = dtype = jnp.float32
