@@ -711,3 +711,91 @@ def test_epoch_block_path_matches_per_epoch_path():
     np.testing.assert_allclose(
         blocked["loss"], per_epoch["loss"], rtol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_reference_scale_trained_asset_solution_error():
+    """The committed 5000-epoch training asset (the reference example's
+    budget, /root/reference/examples/
+    diffusion_1d_physics_informed_ml.py:77, regenerated by
+    .scratch/train_pinn_asset.py) solves the diffusion_1d problem to
+    small error against an FDM fine solve — the PINN QUALITY loop, not
+    just training throughput."""
+    import os
+
+    from pararealml_tpu import (
+        DiffusionEquation,
+        InitialValueProblem,
+        MarginalBetaProductInitialCondition,
+        Mesh,
+        NeumannBoundaryCondition,
+    )
+    from pararealml_tpu.operators.fdm import (
+        CrankNicolsonMethod,
+        FDMOperator,
+        ThreePointCentralDifferenceMethod,
+    )
+    from pararealml_tpu.operators.ml import DeepONet, FNN
+    from pararealml_tpu.operators.ml.physics_informed import (
+        PhysicsInformedRegressor,
+    )
+    from pararealml_tpu.utils.checkpoint import load_pytree
+
+    asset = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", "..", "..", "..", "bench_assets",
+        "pinn_diffusion_1d.msgpack",
+    )
+    if not os.path.exists(asset):
+        pytest.skip("trained PINN asset not present")
+
+    diff_eq = DiffusionEquation(1, 0.2)
+    mesh = Mesh([(0.0, 1.0)], (0.1,))
+    bcs = [
+        (
+            NeumannBoundaryCondition(
+                lambda x, t: np.zeros((len(x), 1)), is_static=True
+            ),
+        )
+        * 2
+    ]
+    cp = ConstrainedProblem(diff_eq, mesh, bcs)
+    t_interval = (0.0, 0.5)
+    regressor = PhysicsInformedRegressor(
+        model=DeepONet(
+            branch_net=FNN([50] * 8),
+            trunk_net=FNN([50] * 8),
+            combiner_net=FNN([diff_eq.y_dimension]),
+            branch_net_input_size=int(np.prod(cp.y_vertices_shape)),
+        ),
+        cp=cp,
+        ic_loss_weight=10.0,
+        vertex_oriented=True,
+    )
+    import jax.numpy as jnp
+
+    template = {
+        "params": regressor.init_params(jax.random.PRNGKey(0)),
+        "final_loss": jnp.zeros((), jnp.float32),
+        "epochs": jnp.zeros((), jnp.int32),
+    }
+    saved = load_pytree(asset, template)
+    regressor.params = saved["params"]
+    assert int(saved["epochs"]) >= 5000
+    piml = PhysicsInformedMLOperator(
+        UniformRandomCollocationPointSampler(), 0.001, True
+    )
+    piml.model = regressor
+
+    fdm = FDMOperator(
+        CrankNicolsonMethod(), ThreePointCentralDifferenceMethod(), 1e-4
+    )
+    ic = MarginalBetaProductInitialCondition(cp, [[(3.5, 3.5)]])
+    ivp = InitialValueProblem(cp, t_interval, ic)
+    fdm_y = fdm.solve(ivp).discrete_y(True)
+    piml_y = piml.solve(ivp).discrete_y(True)
+    stride = len(fdm_y) // len(piml_y)
+    err = float(np.max(np.abs(piml_y - fdm_y[stride - 1 :: stride])))
+    # solution scale is ~1 (a Beta(3.5, 3.5) pdf diffusing): the
+    # converged PINN tracks the FDM fine solve to a few percent
+    assert err < 0.05
