@@ -1,4 +1,7 @@
 from pararealml_tpu.operators.ml.deeponet import DeepONet
+from pararealml_tpu.operators.ml.supervised.deeponet_refinement import (
+    refine_affine_deeponet_branch,
+)
 from pararealml_tpu.operators.ml.supervised.sklearn_jax_regressor import (
     SKLearnJaxRegressor,
 )
@@ -21,4 +24,5 @@ __all__ = [
     "SKLearnKerasRegressor",
     "StateOperatorRidgeRegressor",
     "SupervisedMLOperator",
+    "refine_affine_deeponet_branch",
 ]

@@ -775,6 +775,13 @@ class PararealOperator(JaxOperator):
                             self._fine_steps(slice_duration),
                             batch,
                             interpret=interpret,
+                            # the fine operator's snapshot-precision
+                            # knob carries over: rounding applies to
+                            # the STORED frames only (the final border
+                            # shift re-anchors slice ends on the
+                            # full-precision corrected borders either
+                            # way)
+                            traj_dtype=self._f._kernel_traj_dtype,
                         )
                     )
 

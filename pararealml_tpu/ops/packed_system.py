@@ -467,7 +467,12 @@ class _PackedConfig:
         )
 
     def unpack(self, packed: jax.Array) -> jax.Array:
-        """(..., n, ph, Wp) packed planes -> (..., B, h, w, n)."""
+        """(..., n, ph, Wp) packed planes -> (..., B, h, w, n).
+
+        The whole unpacking is one slice + reshape + SINGLE transpose,
+        so XLA lowers it to one copy pass over the data — on trajectory
+        arrays (hundreds of MB) a chain of ``moveaxis`` calls would
+        cost extra full-array passes."""
         batch, stride = self.batch, self.stride
         height, width, n = self.height, self.width, self.n
         out = packed[..., :height, : batch * stride]
@@ -475,8 +480,14 @@ class _PackedConfig:
             ..., :width
         ]
         # (..., n, h, B, w) -> (..., B, h, w, n)
-        out = jnp.moveaxis(out, -2, -4)  # (..., B, n, h, w)
-        return jnp.moveaxis(out, -3, -1)
+        lead = out.ndim - 4
+        perm = tuple(range(lead)) + (
+            lead + 2,
+            lead + 1,
+            lead + 3,
+            lead,
+        )
+        return jnp.transpose(out, perm)
 
 
 def build_packed_system_rk4_ends(
@@ -551,16 +562,28 @@ def build_packed_system_rk4_trajectory(
     n_steps: int,
     batch: int,
     interpret: bool = False,
+    traj_dtype=None,
 ):
     """Builds ``trajectory(y) -> ys`` computing all ``batch`` stacked
     sub-trajectories ``(B, h, w, n) -> (B, n_steps, h, w, n)`` in ONE
     kernel program, each step's packed plane set streamed to HBM with
     double-buffered async DMA (the batched analog of
-    ``fused_system.build_fused_system_rk4_trajectory``)."""
+    ``fused_system.build_fused_system_rk4_trajectory``).
+
+    ``traj_dtype`` rounds the STREAMED per-step snapshots (e.g. to
+    bfloat16, halving the kernel's HBM write traffic and the unpacking
+    epilogue's read traffic); the carried state that integration
+    actually advances stays in the working dtype, so rounding affects
+    stored frames only, never the dynamics — the same contract as
+    ``resident_diffusion``'s snapshot dtype. The returned array is cast
+    back to the input dtype."""
     from jax.experimental.pallas import tpu as pltpu
 
     cfg = _PackedConfig(cp, d_t, batch)
     n = cfg.n
+    snapshot_dtype = jnp.dtype(
+        traj_dtype if traj_dtype is not None else cfg.dtype
+    )
 
     def kernel(
         y_ref,
@@ -596,7 +619,9 @@ def build_packed_system_rk4_trajectory(
                 ).wait()
 
             for comp, plane in enumerate(y):
-                scratch_ref[slot, comp] = plane
+                scratch_ref[slot, comp] = plane.astype(
+                    snapshot_dtype
+                )
             pltpu.make_async_copy(
                 scratch_ref.at[slot],
                 traj_ref.at[k],
@@ -633,13 +658,14 @@ def build_packed_system_rk4_trajectory(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
             (n_steps, n, cfg.padded_height, cfg.packed_width),
-            cfg.dtype,
+            snapshot_dtype,
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM(
-                (2, n, cfg.padded_height, cfg.packed_width), cfg.dtype
+                (2, n, cfg.padded_height, cfg.packed_width),
+                snapshot_dtype,
             ),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -648,9 +674,16 @@ def build_packed_system_rk4_trajectory(
 
     def trajectory(y: jax.Array) -> jax.Array:
         out = call(cfg.pack(y), *cfg.packed_constants)
-        # (steps, n, ph, Wp) -> (steps, B, h, w, n) -> batch-major
-        out = cfg.unpack(out)
-        out = jnp.moveaxis(out, 1, 0)
+        # (steps, n, ph, Wp) -> (B, steps, h, w, n) in one slice +
+        # reshape + single transpose: the trajectory is hundreds of MB,
+        # so every avoided extra pass is milliseconds of HBM time on
+        # Parareal's critical path
+        height, width, n_comp = cfg.height, cfg.width, cfg.n
+        out = out[:, :, :height, : cfg.batch * cfg.stride]
+        out = out.reshape(
+            n_steps, n_comp, height, cfg.batch, cfg.stride
+        )[..., :width]
+        out = jnp.transpose(out, (3, 0, 2, 4, 1))
         return out.reshape(
             (cfg.batch, n_steps) + tuple(y.shape[1:])
         ).astype(y.dtype)

@@ -140,6 +140,36 @@ def test_packed_trajectory_matches_single_slice_fused():
     np.testing.assert_allclose(got, expected, atol=5e-7, rtol=1e-5)
 
 
+def test_packed_trajectory_bf16_snapshots_round_frames_only():
+    """``traj_dtype=bfloat16`` must round the STORED frames only: the
+    integration carry stays float32, so every frame agrees with the
+    float32 trajectory to one bfloat16 rounding (no error accumulation
+    across steps), and the returned dtype is still the input's."""
+    import jax.numpy as jnp
+
+    cp = _build_cp(BurgersEquation(2, 100), 2, "neumann")
+    h, w = cp.mesh.vertices_shape
+    rng = np.random.default_rng(2)
+    batch, steps, d_t = 3, 12, 0.002
+    y = rng.standard_normal((batch, h, w, 2)).astype(np.float32) * 0.3
+
+    full = build_packed_system_rk4_trajectory(
+        cp, d_t, steps, batch, interpret=True
+    )
+    rounded = build_packed_system_rk4_trajectory(
+        cp, d_t, steps, batch, interpret=True,
+        traj_dtype=jnp.bfloat16,
+    )
+    expected = np.asarray(full(y))
+    got = np.asarray(rounded(y))
+    assert got.dtype == np.float32
+    assert got.shape == expected.shape
+    # one rounding of values at scale ~0.3: |err| <= 2^-9 * scale
+    np.testing.assert_allclose(got, expected, atol=3e-3)
+    # and NOT bit-identical (the knob actually does something)
+    assert np.any(got != expected)
+
+
 def test_gap_and_pad_cells_stay_exactly_zero():
     """The packing invariant: gaps and padding are never written, so a
     slice's stencil can only ever read zeros from beyond its edges —
