@@ -402,8 +402,17 @@ def bench_sml_coarse_parareal(timer, fused_time):
         )
 
         trained_module, trained_params = model.model
+        # damping 1e-3 measured best on this problem (1e-6 -> MSE
+        # 1.4e-2 from float32-unsafe weights; 1e-3 -> 6.7e-4): the
+        # heavy damping is simultaneously the strongest regularizer
+        # and keeps the solved branch weights small enough that the
+        # float32 forward pass loses nothing
         refined_params, refined_mse = refine_affine_deeponet_branch(
-            trained_module, trained_params, x_all, y_all
+            trained_module,
+            trained_params,
+            x_all,
+            y_all,
+            projection_damping=1e-3,
         )
         model.model = (trained_module, refined_params)
         log(

@@ -245,9 +245,13 @@ def refine_affine_deeponet_branch(
         out[n_points: 2 * n_points],
         out[2 * n_points:],
     )
+    # float32 accumulation over wide branch dots leaves O(1e-5 .. 1e-4)
+    # relative midpoint error even for an exactly affine module, while
+    # a nonlinear branch violates the midpoint identity at O(1e-1)
+    # relative — 1e-2 separates the two cleanly
     scale = np.max(np.abs(out)) + 1e-6
     if not np.allclose(
-        f_mid, 0.5 * (f_a + f_b), atol=1e-4 * scale
+        f_mid, 0.5 * (f_a + f_b), atol=1e-2 * scale
     ):
         raise ValueError(
             "the module is not affine in its state features — the "
