@@ -289,6 +289,8 @@ class ReducedQuadraticStateOperatorRegressor(
         self._mean: Optional[jnp.ndarray] = None
         self._z_low: Optional[jnp.ndarray] = None
         self._z_high: Optional[jnp.ndarray] = None
+        self._weight_factors = None
+        self._quad_factors = None
 
     def _check_fitted(self) -> None:
         if self._quad_weights is None:
@@ -389,7 +391,44 @@ class ReducedQuadraticStateOperatorRegressor(
         self._z_low = jnp.asarray(z_mid - z_half, self.dtype)
         self._z_high = jnp.asarray(z_mid + z_half, self.dtype)
         self._expand_quad_weights()
+        self._factor_operators()
         return self
+
+    @staticmethod
+    def _truncated_factors(matrix, dtype, max_rel_error):
+        """Low-rank SVD factors of an operator matrix, or ``None`` when
+        truncation at the tolerance saves nothing. Applying the fitted
+        map to ONE state (a Parareal coarse sweep is n dependent
+        single-state applies) is MXU-latency-bound: a ``(1, k) @
+        (k, m)`` matvec costs ``ceil(k/128) * ceil(m/128)`` systolic
+        tile passes regardless of the single row, so splitting ``W``
+        into ``(k, r) @ (r, m)`` factors cuts the passes — and the
+        serial sweep's wall time — by ``~min(k, m) / (2 r)``. The
+        truncation tail is bounded by ``max_rel_error * sigma_0``,
+        placed well under float32 matmul noise by default."""
+        m64 = np.asarray(matrix, np.float64)
+        u, sigma, vt = np.linalg.svd(m64, full_matrices=False)
+        if sigma[0] == 0.0:
+            return None
+        r = int(np.sum(sigma > sigma[0] * max_rel_error))
+        r = -(-max(1, r) // 128) * 128  # MXU lane alignment
+        n_out, n_in = m64.shape
+        if r * (n_out + n_in) >= n_out * n_in:
+            return None
+        right = vt[:r].T  # (n_in, r)
+        left = u[:, :r] * sigma[:r]  # (n_out, r)
+        return (
+            jnp.asarray(right, dtype),
+            jnp.asarray(left, dtype),
+        )
+
+    def _factor_operators(self, max_rel_error: float = 1e-6) -> None:
+        self._weight_factors = self._truncated_factors(
+            self._weights, self.dtype, max_rel_error
+        )
+        self._quad_factors = self._truncated_factors(
+            self._quad_weights_full, self.dtype, max_rel_error
+        )
 
     def _apply_states(self, states: jnp.ndarray) -> jnp.ndarray:
         self._check_fitted()
@@ -405,11 +444,21 @@ class ReducedQuadraticStateOperatorRegressor(
         quad = (z[..., :, jnp.newaxis] * z[..., jnp.newaxis, :]).reshape(
             *z.shape[:-1], self.rank * self.rank
         )
-        return (
-            states @ self._weights.astype(dtype).T
-            + quad @ self._quad_weights_full.astype(dtype).T
-            + self._intercept.astype(dtype)
-        )
+        if self._weight_factors is not None:
+            right, left = self._weight_factors
+            linear = (states @ right.astype(dtype)) @ left.astype(
+                dtype
+            ).T
+        else:
+            linear = states @ self._weights.astype(dtype).T
+        if self._quad_factors is not None:
+            q_right, q_left = self._quad_factors
+            quadratic = (quad @ q_right.astype(dtype)) @ q_left.astype(
+                dtype
+            ).T
+        else:
+            quadratic = quad @ self._quad_weights_full.astype(dtype).T
+        return linear + quadratic + self._intercept.astype(dtype)
 
     def save(self, path: str) -> None:
         from pararealml_tpu.utils.checkpoint import save_pytree
@@ -451,3 +500,4 @@ class ReducedQuadraticStateOperatorRegressor(
         self._z_low = saved["z_low"]
         self._z_high = saved["z_high"]
         self._expand_quad_weights()
+        self._factor_operators()

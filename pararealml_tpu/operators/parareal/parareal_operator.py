@@ -113,6 +113,7 @@ class PararealOperator(JaxOperator):
         num_time_slices: Optional[int] = None,
         devices: Optional[Sequence] = None,
         relaxation: str = "f",
+        materialize: str = "final",
     ):
         """
         :param f: the fine (accurate, expensive) operator
@@ -138,11 +139,38 @@ class PararealOperator(JaxOperator):
             generic, non-fused path when slices are vmap-batched per
             device). Beyond the reference, which only implements
             classic Parareal.
+        :param materialize: when and from which borders the returned
+            fine trajectories are computed. ``"final"`` (default) runs
+            the corrective loop on slice END states only and expands
+            the trajectories once after convergence from the FINAL
+            borders — most accurate, but the expansion is an extra
+            full fine sweep on the critical path. ``"iteration"``
+            materializes each iteration's fine sweep as full
+            trajectories (the reference's own schedule,
+            /root/reference/pararealml/operators/parareal/
+            parareal_operator.py:163-193: it keeps the last
+            iteration's ``sub_ys`` and shifts them), so a run that
+            converges in ``k`` iterations performs exactly ``k`` fine
+            sweeps with no final expansion — the fastest choice
+            whenever convergence takes only a few iterations and the
+            fine operator has no cheap end-state shortcut. Both modes
+            shift slice trajectories onto the corrected borders;
+            ``"iteration"`` trajectories start from one correction
+            earlier (exactly the reference's accuracy). Falls back to
+            ``"final"`` semantics for FCF relaxation and for fine
+            operators exposing an affine end map (where end states
+            are nearly free and trajectory expansion is cheaper kept
+            off the iteration path).
         """
         if relaxation not in ("f", "fcf"):
             raise ValueError(
                 f"unsupported relaxation '{relaxation}'; expected 'f' "
                 "or 'fcf'"
+            )
+        if materialize not in ("final", "iteration"):
+            raise ValueError(
+                f"unsupported materialize '{materialize}'; expected "
+                "'final' or 'iteration'"
             )
         super().__init__(f.d_t, f.vertex_oriented)
         self._f = f
@@ -152,6 +180,7 @@ class PararealOperator(JaxOperator):
         self._devices = list(devices) if devices is not None else None
         self._num_time_slices = num_time_slices
         self._relaxation = relaxation
+        self._materialize = materialize
         self._compiled_cache = {}
 
     @property
@@ -1026,6 +1055,18 @@ class PararealOperator(JaxOperator):
                 # back to the per-slice sweep
                 coarse_whole_fn = None
 
+        # "iteration" materialization (see __init__): classic
+        # relaxation only, static start time, no affine fine shortcut
+        # (whose end states are nearly free), and at least one
+        # iteration guaranteed to run
+        iteration_traj = (
+            self._materialize == "iteration"
+            and not fcf
+            and t_start is None
+            and _fine_end is None
+            and iterations > 0
+        )
+
         def program(y_init, t_0):
             device_index = jax.lax.axis_index("time")
             first_slice = device_index * slices_per_device
@@ -1075,19 +1116,33 @@ class PararealOperator(JaxOperator):
             # applied to both (cross-operator bit-identity tests in
             # tests/operators/parareal/test_space_time.py enforce it)
             def iteration(carry):
-                # corrections (classic and FCF alike) need only the
-                # fine slice END states, so the loop never materializes
-                # fine trajectories: affine-propagator fine solves
-                # advance a slice in O(log steps) matvecs here, and the
-                # full trajectories are expanded exactly once after
-                # convergence
-                i, y_borders, coarse_ends, _ = carry
-                # this device's fine solves, batched through vmap
-                local_fine_ends = batched_fine_ends(
-                    local_slice(y_borders[:-1]),
-                    local_slice_indices,
-                    t_0,
-                )
+                # in "final" mode, corrections need only the fine
+                # slice END states, so the loop never materializes
+                # fine trajectories (affine-propagator fine solves
+                # advance a slice in O(log steps) matvecs here) and
+                # the full trajectories are expanded exactly once
+                # after convergence. In "iteration" mode each
+                # iteration's fine sweep IS a full trajectory solve
+                # carried through the loop (the reference's schedule,
+                # parareal_operator.py:163-193), so a k-iteration run
+                # performs exactly k fine sweeps with no final
+                # expansion
+                if iteration_traj:
+                    i, y_borders, coarse_ends, _, _ = carry
+                    sub_y_fine = batched_fine(
+                        local_slice(y_borders[:-1]),
+                        local_slice_indices,
+                        t_0,
+                    )
+                    local_fine_ends = sub_y_fine[:, -1]
+                else:
+                    i, y_borders, coarse_ends, _ = carry
+                    # this device's fine solves, batched through vmap
+                    local_fine_ends = batched_fine_ends(
+                        local_slice(y_borders[:-1]),
+                        local_slice_indices,
+                        t_0,
+                    )
                 if fcf:
                     # FCF relaxation: the first fine sweep above is
                     # the F-relaxation; correct border j + 1 from
@@ -1167,10 +1222,18 @@ class PararealOperator(JaxOperator):
                         (y_borders, coarse_ends),
                     )
                 converged = termination(old_ends, y_borders[1:])
+                if iteration_traj:
+                    return (
+                        i + 1,
+                        y_borders,
+                        coarse_ends,
+                        converged,
+                        sub_y_fine,
+                    )
                 return (i + 1, y_borders, coarse_ends, converged)
 
             def keep_iterating(carry):
-                i, _, _, converged = carry
+                i, _, _, converged = carry[:4]
                 return jnp.logical_and(
                     i < iterations, jnp.logical_not(converged)
                 )
@@ -1179,27 +1242,60 @@ class PararealOperator(JaxOperator):
             # updates drop below the tolerance (the reference's
             # criterion and loop break, parareal_operator.py:187-188),
             # remaining iterations are never dispatched at all
-            _, y_borders, _, _ = jax.lax.while_loop(
-                keep_iterating,
-                iteration,
-                (
-                    jnp.asarray(0, jnp.int32),
-                    y_borders,
-                    coarse_ends,
-                    jnp.asarray(False),
-                ),
+            state = (
+                jnp.asarray(0, jnp.int32),
+                y_borders,
+                coarse_ends,
+                jnp.asarray(False),
             )
+            if iteration_traj:
+                # run the first iteration eagerly (its trajectory
+                # input is dead, so no 100s-of-MB zero-fill is ever
+                # materialized), then loop from iteration 2 on; the
+                # while carry aliases the trajectory buffer in place
+                first = iteration(
+                    state
+                    + (
+                        jnp.zeros(
+                            (slices_per_device, fine_steps)
+                            + y_shape,
+                            y_init.dtype,
+                        ),
+                    )
+                )
+                if iterations == 1:
+                    # statically one iteration: the while would never
+                    # run, but compiling it would still force the
+                    # trajectory through a loop-carry buffer (an extra
+                    # hundreds-of-MB copy) and break the fusion of the
+                    # kernel output into the unpacking epilogue
+                    _, y_borders, _, _, sub_y_fine = first
+                else:
+                    (
+                        _,
+                        y_borders,
+                        _,
+                        _,
+                        sub_y_fine,
+                    ) = jax.lax.while_loop(
+                        keep_iterating, iteration, first
+                    )
+            else:
+                _, y_borders, _, _ = jax.lax.while_loop(
+                    keep_iterating, iteration, state
+                )
 
-            # materialize the fine trajectories once, from the FINAL
-            # borders (at or above the accuracy of the reference's
-            # last-iteration trajectories, which start one correction
-            # earlier), and shift them onto the corrected borders for
-            # continuity — the reference's final shift semantics
-            sub_y_fine = batched_fine(
-                local_slice(y_borders[:-1]),
-                local_slice_indices,
-                t_0,
-            )
+                # materialize the fine trajectories once, from the
+                # FINAL borders (at or above the accuracy of the
+                # reference's last-iteration trajectories, which start
+                # one correction earlier)
+                sub_y_fine = batched_fine(
+                    local_slice(y_borders[:-1]),
+                    local_slice_indices,
+                    t_0,
+                )
+            # shift onto the corrected borders for continuity — the
+            # reference's final shift semantics
             shifts = (
                 local_slice(y_borders[1:]) - sub_y_fine[:, -1]
             )

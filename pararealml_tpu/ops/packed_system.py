@@ -576,7 +576,14 @@ def build_packed_system_rk4_trajectory(
     actually advances stays in the working dtype, so rounding affects
     stored frames only, never the dynamics — the same contract as
     ``resident_diffusion``'s snapshot dtype. The returned array is cast
-    back to the input dtype."""
+    back to the input dtype.
+
+    Snapshots are grouped into multi-step DMA batches: at ~5 us of
+    compute per step, per-copy issue overhead on ~0.5 MB frames is a
+    measurable fraction of the stream, so the kernel accumulates
+    ``steps_per_dma`` frames in a VMEM slot and ships them as one
+    copy, sized to the largest power of two that divides ``n_steps``
+    and fits the VMEM budget."""
     from jax.experimental.pallas import tpu as pltpu
 
     cfg = _PackedConfig(cp, d_t, batch)
@@ -584,6 +591,16 @@ def build_packed_system_rk4_trajectory(
     snapshot_dtype = jnp.dtype(
         traj_dtype if traj_dtype is not None else cfg.dtype
     )
+    cells = cfg.padded_height * cfg.packed_width
+    steps_per_dma = 1
+    for candidate in (8, 4, 2):
+        if (
+            n_steps % candidate == 0
+            and cells * (7 * n + 4 + 2 * candidate * n)
+            <= _VMEM_BUDGET_CELLS
+        ):
+            steps_per_dma = candidate
+            break
 
     def kernel(
         y_ref,
@@ -594,7 +611,7 @@ def build_packed_system_rk4_trajectory(
         ghost_col_mask_ref,
         ghost_col_vals_ref,
         traj_ref,  # (n_steps, n, ph, Wp) in HBM
-        scratch_ref,  # (2 slots, n, ph, Wp) VMEM
+        scratch_ref,  # (2 slots, steps_per_dma, n, ph, Wp) VMEM
         copy_sems,
     ):
         step = cfg.make_step(
@@ -606,27 +623,38 @@ def build_packed_system_rk4_trajectory(
             ghost_col_vals_ref[:],
         )
 
+        spd = steps_per_dma
+        n_groups = n_steps // spd
+
         def body(k, carry):
             y = step(carry)
-            slot = jax.lax.rem(k, 2)
+            group = k // spd
+            index = jax.lax.rem(k, spd)
+            slot = jax.lax.rem(group, 2)
 
-            @pl.when(k >= 2)
+            # before overwriting a slot's first frame, the copy that
+            # shipped this slot two groups ago must have completed
+            @pl.when(jnp.logical_and(index == 0, group >= 2))
             def _():
                 pltpu.make_async_copy(
                     scratch_ref.at[slot],
-                    traj_ref.at[k - 2],
+                    traj_ref.at[pl.ds((group - 2) * spd, spd)],
                     copy_sems.at[slot],
                 ).wait()
 
             for comp, plane in enumerate(y):
-                scratch_ref[slot, comp] = plane.astype(
+                scratch_ref[slot, index, comp] = plane.astype(
                     snapshot_dtype
                 )
-            pltpu.make_async_copy(
-                scratch_ref.at[slot],
-                traj_ref.at[k],
-                copy_sems.at[slot],
-            ).start()
+
+            @pl.when(index == spd - 1)
+            def _():
+                pltpu.make_async_copy(
+                    scratch_ref.at[slot],
+                    traj_ref.at[pl.ds(group * spd, spd)],
+                    copy_sems.at[slot],
+                ).start()
+
             return y
 
         jax.lax.fori_loop(
@@ -636,21 +664,21 @@ def build_packed_system_rk4_trajectory(
             tuple(y_ref[comp] for comp in range(n)),
         )
 
-        @pl.when(n_steps >= 2)
+        @pl.when(n_groups >= 2)
         def _():
-            slot = jax.lax.rem(n_steps - 2, 2)
+            slot = jax.lax.rem(n_groups - 2, 2)
             pltpu.make_async_copy(
                 scratch_ref.at[slot],
-                traj_ref.at[n_steps - 2],
+                traj_ref.at[pl.ds((n_groups - 2) * spd, spd)],
                 copy_sems.at[slot],
             ).wait()
 
-        @pl.when(n_steps >= 1)
+        @pl.when(n_groups >= 1)
         def _():
-            slot = jax.lax.rem(n_steps - 1, 2)
+            slot = jax.lax.rem(n_groups - 1, 2)
             pltpu.make_async_copy(
                 scratch_ref.at[slot],
-                traj_ref.at[n_steps - 1],
+                traj_ref.at[pl.ds((n_groups - 1) * spd, spd)],
                 copy_sems.at[slot],
             ).wait()
 
@@ -664,7 +692,13 @@ def build_packed_system_rk4_trajectory(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM(
-                (2, n, cfg.padded_height, cfg.packed_width),
+                (
+                    2,
+                    steps_per_dma,
+                    n,
+                    cfg.padded_height,
+                    cfg.packed_width,
+                ),
                 snapshot_dtype,
             ),
             pltpu.SemaphoreType.DMA((2,)),
@@ -672,20 +706,42 @@ def build_packed_system_rk4_trajectory(
         interpret=interpret,
     )
 
-    def trajectory(y: jax.Array) -> jax.Array:
-        out = call(cfg.pack(y), *cfg.packed_constants)
+    def unpack_trajectory(packed: jax.Array, y_shape) -> jax.Array:
         # (steps, n, ph, Wp) -> (B, steps, h, w, n) in one slice +
         # reshape + single transpose: the trajectory is hundreds of MB,
         # so every avoided extra pass is milliseconds of HBM time on
         # Parareal's critical path
         height, width, n_comp = cfg.height, cfg.width, cfg.n
-        out = out[:, :, :height, : cfg.batch * cfg.stride]
+        out = packed[:, :, :height, : cfg.batch * cfg.stride]
         out = out.reshape(
             n_steps, n_comp, height, cfg.batch, cfg.stride
         )[..., :width]
         out = jnp.transpose(out, (3, 0, 2, 4, 1))
         return out.reshape(
-            (cfg.batch, n_steps) + tuple(y.shape[1:])
-        ).astype(y.dtype)
+            (cfg.batch, n_steps) + tuple(y_shape)
+        ).astype(cfg.dtype)
+
+    def unpack_last(packed: jax.Array, y_shape) -> jax.Array:
+        # the final frame only — a ~sub-MB unpack for consumers (the
+        # Parareal iteration loop) that need just the slice END states
+        # while the full trajectory stays packed in the loop carry
+        frame = cfg.unpack(packed[-1])
+        return frame.reshape((cfg.batch,) + tuple(y_shape)).astype(
+            cfg.dtype
+        )
+
+    def trajectory(y: jax.Array) -> jax.Array:
+        out = call(cfg.pack(y), *cfg.packed_constants)
+        return unpack_trajectory(out, y.shape[1:]).astype(y.dtype)
+
+    def trajectory_raw(y: jax.Array) -> jax.Array:
+        """The kernel's untransformed (steps, n, ph, Wp) output, for
+        callers that carry the trajectory through a loop and want to
+        defer the unpacking transpose until after it."""
+        return call(cfg.pack(y), *cfg.packed_constants)
+
+    trajectory.raw = trajectory_raw
+    trajectory.unpack = unpack_trajectory
+    trajectory.unpack_last = unpack_last
 
     return trajectory

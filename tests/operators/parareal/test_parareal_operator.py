@@ -653,3 +653,98 @@ def test_nonlinear_quadratic_ml_coarse_parareal_matches_fine():
     # the quadratic surrogate captures the nonlinear slice jump well
     # enough that a handful of Parareal corrections reach fine accuracy
     assert np.max(np.abs(parareal_y - fine_y)) < 0.005
+
+
+def test_invalid_materialize_rejected():
+    f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.01)
+    g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.05)
+    with pytest.raises(ValueError, match="materialize"):
+        PararealOperator(f, g, 1e-8, materialize="eager")
+
+
+def test_iteration_materialization_matches_final():
+    """``materialize="iteration"`` (the reference's schedule — keep the
+    last iteration's fine trajectories and shift them,
+    /root/reference/pararealml/operators/parareal/
+    parareal_operator.py:163-193) must agree with the default
+    final-borders expansion to correction accuracy, share its slice
+    END states bit-for-bit after the shift, and still match the fine
+    solve within tolerance."""
+    import jax.numpy as jnp
+
+    ivp = _diffusion_ivp()
+    cp = ivp.constrained_problem
+    f = FDMOperator(
+        RK4(), ThreePointCentralDifferenceMethod(), 0.01,
+        fused_kernels=False,
+    )
+    g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.05)
+    y_0 = jnp.asarray(ivp.initial_condition.discrete_y_0(True))
+    t_0 = jnp.asarray(0.0, y_0.dtype)
+
+    fine_fn, _ = f.trajectory_function(cp, ivp.t_interval)
+    fine = np.asarray(fine_fn(y_0, t_0))
+
+    results = {}
+    for materialize in ("final", "iteration"):
+        parareal = PararealOperator(
+            f, g, 1e-8, num_time_slices=8, materialize=materialize
+        )
+        fn, _ = parareal.trajectory_function(cp, ivp.t_interval)
+        results[materialize] = np.asarray(fn(y_0, t_0))
+
+    for materialize, y in results.items():
+        assert y.shape == fine.shape
+        assert np.max(np.abs(y - fine)) < 1e-5, materialize
+    # slice END states are shifted onto each mode's corrected borders,
+    # which agree to correction accuracy (the two modes' fine end
+    # states come from differently-compiled but mathematically equal
+    # programs, so bit identity is not promised)
+    steps_per_slice = len(fine) // 8
+    ends = slice(steps_per_slice - 1, None, steps_per_slice)
+    np.testing.assert_allclose(
+        results["final"][ends],
+        results["iteration"][ends],
+        atol=1e-6,
+    )
+
+
+def test_iteration_materialization_packed_batched_path():
+    """"iteration" materialization through the width-packed batched
+    trajectory kernel (more slices than devices on a small grid)."""
+    import jax
+    import jax.numpy as jnp
+    from pararealml_tpu import BurgersEquation
+
+    mesh = Mesh([(0.0, 4.0), (0.0, 4.0)], [0.5, 0.5])
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 2)), is_static=True
+    )
+    cp = ConstrainedProblem(
+        BurgersEquation(2, 50.0), mesh, [(bc, bc)] * 2
+    )
+    ic = GaussianInitialCondition(
+        cp,
+        [(np.full(2, 2.0), 0.5 * np.eye(2))] * 2,
+        [0.5, 0.25],
+    )
+    t_end = 1.6
+    ivp = InitialValueProblem(cp, (0.0, t_end), ic)
+    f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.005)
+    g = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.1)
+    y_0 = jnp.asarray(
+        np.asarray(ic.discrete_y_0(True), np.float32)
+    )
+    t_0 = jnp.asarray(0.0, y_0.dtype)
+
+    fine_fn, _ = f.trajectory_function(
+        cp, (0.0, t_end), allow_fused=False
+    )
+    fine = np.asarray(jax.jit(fine_fn)(y_0, t_0))
+    parareal = PararealOperator(
+        f, g, 1e-6, num_time_slices=16, materialize="iteration"
+    )
+    fn, _ = parareal.trajectory_function(cp, (0.0, t_end))
+    y = np.asarray(fn(y_0, t_0))
+    assert y.shape == fine.shape
+    assert np.max(np.abs(y - fine)) < 1e-4

@@ -170,6 +170,26 @@ def test_packed_trajectory_bf16_snapshots_round_frames_only():
     assert np.any(got != expected)
 
 
+def test_trajectory_raw_unpack_round_trip():
+    """``trajectory.raw`` + ``unpack``/``unpack_last`` must reproduce
+    the direct trajectory output exactly (they are the same epilogue,
+    deferred)."""
+    cp = _build_cp(BurgersEquation(2, 100), 2, "neumann")
+    h, w = cp.mesh.vertices_shape
+    rng = np.random.default_rng(4)
+    batch, steps, d_t = 3, 8, 0.002
+    y = rng.standard_normal((batch, h, w, 2)).astype(np.float32) * 0.3
+    traj = build_packed_system_rk4_trajectory(
+        cp, d_t, steps, batch, interpret=True
+    )
+    direct = np.asarray(traj(y))
+    raw = traj.raw(y)
+    unpacked = np.asarray(traj.unpack(raw, y.shape[1:]))
+    np.testing.assert_array_equal(unpacked, direct)
+    last = np.asarray(traj.unpack_last(raw, y.shape[1:]))
+    np.testing.assert_array_equal(last, direct[:, -1])
+
+
 def test_gap_and_pad_cells_stay_exactly_zero():
     """The packing invariant: gaps and padding are never written, so a
     slice's stencil can only ever read zeros from beyond its edges —
