@@ -1066,6 +1066,16 @@ class PararealOperator(JaxOperator):
             and _fine_end is None
             and iterations > 0
         )
+        # statically-single-iteration runs on the packed kernel keep
+        # the raw packed trajectory end to end (see the fast paths
+        # below); with more iterations possible, deferring the unpack
+        # pays nothing (it runs once either way) and costs fusion
+        one_shot_raw = (
+            iteration_traj
+            and iterations == 1
+            and fine_traj_batched is not None
+            and hasattr(fine_traj_batched, "raw")
+        )
 
         def program(y_init, t_0):
             device_index = jax.lax.axis_index("time")
@@ -1129,12 +1139,24 @@ class PararealOperator(JaxOperator):
                 # expansion
                 if iteration_traj:
                     i, y_borders, coarse_ends, _, _ = carry
-                    sub_y_fine = batched_fine(
-                        local_slice(y_borders[:-1]),
-                        local_slice_indices,
-                        t_0,
-                    )
-                    local_fine_ends = sub_y_fine[:, -1]
+                    starts = local_slice(y_borders[:-1])
+                    if one_shot_raw:
+                        # single statically-known iteration with the
+                        # packed kernel: keep the kernel's raw packed
+                        # output so the final shift-add and unpacking
+                        # transpose fuse into ONE pass over the
+                        # trajectory
+                        sub_y_fine = fine_traj_batched.raw(starts)
+                        local_fine_ends = (
+                            fine_traj_batched.unpack_last(
+                                sub_y_fine, y_shape
+                            )
+                        )
+                    else:
+                        sub_y_fine = batched_fine(
+                            starts, local_slice_indices, t_0
+                        )
+                        local_fine_ends = sub_y_fine[:, -1]
                 else:
                     i, y_borders, coarse_ends, _ = carry
                     # this device's fine solves, batched through vmap
@@ -1296,13 +1318,30 @@ class PararealOperator(JaxOperator):
                 )
             # shift onto the corrected borders for continuity — the
             # reference's final shift semantics
-            shifts = (
-                local_slice(y_borders[1:]) - sub_y_fine[:, -1]
-            )
-            sub_y_fine = sub_y_fine + shifts[:, jnp.newaxis]
-            local = sub_y_fine.reshape(
-                (slices_per_device * fine_steps,) + y_shape
-            )
+            if iteration_traj and one_shot_raw:
+                # packed fast path: add the shift in PACKED layout so
+                # it fuses with the unpacking transpose's read — one
+                # pass over the trajectory instead of two
+                ends = fine_traj_batched.unpack_last(
+                    sub_y_fine, y_shape
+                )
+                shifts = local_slice(y_borders[1:]) - ends
+                shifted = sub_y_fine + fine_traj_batched.pack_states(
+                    shifts
+                )
+                local = fine_traj_batched.unpack(
+                    shifted, y_shape
+                ).reshape(
+                    (slices_per_device * fine_steps,) + y_shape
+                )
+            else:
+                shifts = (
+                    local_slice(y_borders[1:]) - sub_y_fine[:, -1]
+                )
+                sub_y_fine = sub_y_fine + shifts[:, jnp.newaxis]
+                local = sub_y_fine.reshape(
+                    (slices_per_device * fine_steps,) + y_shape
+                )
             if replicate_output:
                 # multi-host: every process needs the full trajectory
                 # host-side, mirroring the reference's final MPI

@@ -743,5 +743,8 @@ def build_packed_system_rk4_trajectory(
     trajectory.raw = trajectory_raw
     trajectory.unpack = unpack_trajectory
     trajectory.unpack_last = unpack_last
+    trajectory.pack_states = lambda y: cfg.pack(y).astype(
+        snapshot_dtype
+    )
 
     return trajectory

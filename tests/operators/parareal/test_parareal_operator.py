@@ -709,6 +709,52 @@ def test_iteration_materialization_matches_final():
     )
 
 
+def test_one_shot_iteration_packed_raw_path_exact_with_exact_coarse():
+    """max_iterations=1 + "iteration" materialization + packed batched
+    kernel takes the raw-packed fast path (shift-add fused in packed
+    layout); with the coarse operator EQUAL to the fine one, a single
+    iteration must reproduce the fine solve to float32 accuracy."""
+    import jax
+    import jax.numpy as jnp
+    from pararealml_tpu import BurgersEquation
+
+    mesh = Mesh([(0.0, 4.0), (0.0, 4.0)], [0.5, 0.5])
+    bc = NeumannBoundaryCondition(
+        lambda x, t: np.zeros((len(x), 2)), is_static=True
+    )
+    cp = ConstrainedProblem(
+        BurgersEquation(2, 50.0), mesh, [(bc, bc)] * 2
+    )
+    ic = GaussianInitialCondition(
+        cp,
+        [(np.full(2, 2.0), 0.5 * np.eye(2))] * 2,
+        [0.5, 0.25],
+    )
+    t_end = 1.6
+    f = FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.005)
+    y_0 = jnp.asarray(
+        np.asarray(ic.discrete_y_0(True), np.float32)
+    )
+    t_0 = jnp.asarray(0.0, y_0.dtype)
+    fine_fn, _ = f.trajectory_function(
+        cp, (0.0, t_end), allow_fused=False
+    )
+    fine = np.asarray(jax.jit(fine_fn)(y_0, t_0))
+
+    parareal = PararealOperator(
+        f,
+        FDMOperator(RK4(), ThreePointCentralDifferenceMethod(), 0.005),
+        1e-6,
+        num_time_slices=16,
+        max_iterations=1,
+        materialize="iteration",
+    )
+    fn, _ = parareal.trajectory_function(cp, (0.0, t_end))
+    y = np.asarray(fn(y_0, t_0))
+    assert y.shape == fine.shape
+    assert np.max(np.abs(y - fine)) < 1e-4
+
+
 def test_iteration_materialization_packed_batched_path():
     """"iteration" materialization through the width-packed batched
     trajectory kernel (more slices than devices on a small grid)."""
