@@ -1413,18 +1413,26 @@ def bench_roofline(timer, large, streaming):
     )
     a32 = jax.random.normal(key, (m, state), jnp.float32)
 
-    def chain_fn(a, w):
-        def body(carry, _):
-            return carry @ w, ()
+    def chain_fn(w):
+        def run(a):
+            def body(carry, _):
+                return carry @ w, ()
 
-        out, _ = jax.lax.scan(body, a, None, length=chain)
-        return jnp.sum(out)
+            out, _ = jax.lax.scan(body, a, None, length=chain)
+            return out
 
+        return run
+
+    # time_chained (16 solves inside one program) — a single ~5 ms
+    # GEMM chain is smaller than this environment's host<->device
+    # round-trip scatter, so one-shot timing is noise-dominated
     flops = 2.0 * m * state * state * chain
-    t_f32 = timer.time(jax.jit(chain_fn), a32, w32)
+    t_f32 = timer.time_chained(chain_fn(w32), a32, 16)
     tflops_f32 = flops / t_f32 / 1e12
-    t_bf16 = timer.time(
-        jax.jit(chain_fn), a32.astype(jnp.bfloat16), w32.astype(jnp.bfloat16)
+    t_bf16 = timer.time_chained(
+        chain_fn(w32.astype(jnp.bfloat16)),
+        a32.astype(jnp.bfloat16),
+        16,
     )
     tflops_bf16 = flops / t_bf16 / 1e12
     mfu_f32 = tflops_f32 / V5E_MXU_BF16_PEAK_TFLOPS
